@@ -1,0 +1,174 @@
+"""Normative tokenizer spec + vectorized Arrow batch analyzer.
+
+Semantics derive from the reference's sanitize/tokenize/is_indexable chain
+(reference index.py:27, 98-127, 111-113 — see SURVEY.md §2.2):
+
+1. **sanitize** — strip every character in ``SANITIZE_CHARS`` (the exact
+   reference charset; note ``[ ; . ' + - =`` are NOT stripped).
+2. **split** — on whitespace (the reference unions mecab morphemes with a
+   whitespace split; the morpheme analyzer is a pluggable slot — this
+   sandbox has no mecab/Kiwi, so the normative default is the deterministic
+   whitespace path, which is what all goldens are computed against).
+3. **keep** a token iff it fully matches ``[A-Za-z]+`` (then **lowercased**
+   — a spec'd deviation from the case-preserving reference, per
+   BASELINE.json's "lowercase/ASCII fallback for code tokens") or fully
+   matches ``[가-힣]+`` (kept as-is).
+
+Derived per-document quantities (new, spec'd — the reference stores tokens
+as an unordered *set* (index.py:98-102) so tf/positions do not exist there):
+
+- ``tf(term, doc)`` — occurrence count of *term* in the kept ordered stream.
+- ``first_pos(term, doc)`` — 0-based index of the term's **first**
+  occurrence in the kept ordered stream. This powers the PHRASE check,
+  which replicates the reference's first-occurrence monotonicity quirk
+  (reference index.py:443-444, utility.py:25-26 — SURVEY.md Q5).
+- ``doc_len(doc)`` — total kept tokens (Σ tf), the BM25 ``dl``.
+
+The batch path (`analyze_batch`) is fully vectorized pyarrow.compute; the
+row path (`tokenize`) is the single-process oracle used by tests and must
+agree exactly. The DuckDB oracle SQL in ``__ray_entry__`` re-derives the
+same spec with regexp_replace / regexp_split_to_array / list_filter.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Exact reference charset (reference index.py:27).
+SANITIZE_CHARS = '@_!#$%^&*()<>?/\\|}{~:]",'
+_SANITIZE_TABLE = str.maketrans("", "", SANITIZE_CHARS)
+# Same class, escaped for RE2 (pyarrow) / DuckDB regexp.
+SANITIZE_RE = r'[@_!#$%^&*()<>?/\\|}{~:\]",]'
+
+ALPHA_RE = r"[A-Za-z]+"
+HANGUL_RE = r"[가-힣]+"
+_ALPHA = re.compile(ALPHA_RE)
+_HANGUL = re.compile(HANGUL_RE)
+
+
+def sanitize(text: str) -> str:
+    """Strip the reference sanitize charset (reference index.py:111-113)."""
+    return text.translate(_SANITIZE_TABLE)
+
+
+def normalize_token(tok: str) -> str | None:
+    """Keep-and-normalize one raw whitespace token, else None."""
+    if _ALPHA.fullmatch(tok):
+        return tok.lower()
+    if _HANGUL.fullmatch(tok):
+        return tok
+    return None
+
+
+def tokenize(text: str) -> list[str]:
+    """Ordered kept-token stream of one document (single-process oracle path)."""
+    out = []
+    for raw in sanitize(text).split():
+        t = normalize_token(raw)
+        if t is not None:
+            out.append(t)
+    return out
+
+
+def normalize_query_tokens(tokens: list[str]) -> list[str]:
+    """Apply the same normalization to user query tokens.
+
+    The reference passes raw caller tokens straight to the posting lookup
+    (reference index.py:431-434); our spec normalizes them through the same
+    analyzer so queries match what was indexed.
+    """
+    out = []
+    for tok in tokens:
+        t = normalize_token(sanitize(tok))
+        if t is not None:
+            out.append(t)
+    return out
+
+
+def analyze_strings(col: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
+    """Vectorized analyzer over a string column.
+
+    Returns flat numpy arrays describing every kept token occurrence:
+    ``doc_idx`` (int64 index into the batch), ``term`` (object/str),
+    ``pos`` (int32 position in the kept ordered stream of that doc).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    sanitized = pc.replace_substring_regex(col, pattern=SANITIZE_RE, replacement="")
+    toks = pc.utf8_split_whitespace(sanitized)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    is_alpha = pc.match_substring_regex(flat, f"^{ALPHA_RE}$")
+    is_hangul = pc.match_substring_regex(flat, f"^{HANGUL_RE}$")
+    keep = pc.or_(is_alpha, is_hangul)
+    norm = pc.if_else(is_alpha, pc.utf8_lower(flat), flat)
+    kept_terms = pc.filter(norm, keep)
+    kept_parent = pc.filter(parent, keep)
+
+    doc_idx = kept_parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    # Position in the kept stream per doc: running index within equal doc_idx
+    # runs. doc_idx is non-decreasing (list_parent_indices order), so a
+    # vectorized run-length trick works.
+    n = len(doc_idx)
+    pos = np.zeros(n, dtype=np.int32)
+    if n:
+        starts = np.flatnonzero(np.diff(doc_idx)) + 1
+        seq = np.arange(n, dtype=np.int32)
+        run_start = np.zeros(n, dtype=np.int32)
+        run_start[starts] = seq[starts]
+        run_start = np.maximum.accumulate(run_start)
+        pos = seq - run_start
+    return {
+        "doc_idx": doc_idx,
+        "term": kept_terms.to_numpy(zero_copy_only=False),
+        "pos": pos,
+    }
+
+
+def analyze_batch(
+    batch: pa.Table, content_col: str, id_col: str = "doc_id"
+) -> pa.Table:
+    """Batch → per-(doc, term) rows: doc_id, term, tf, first_pos.
+
+    Vectorized: pyarrow split/filter + one numpy lexsort-based group pass.
+    Used by the tokenizer stage of the build pipeline; also emits nothing
+    per doc — ``doc_len`` is recovered downstream as Σ tf per doc.
+    """
+    occ = analyze_strings(batch[content_col])
+    doc_ids_np = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(occ["doc_idx"]) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int32()),
+                "first_pos": pa.array([], pa.int32()),
+            }
+        )
+    doc_id = doc_ids_np[occ["doc_idx"]]
+    term = occ["term"]
+    pos = occ["pos"]
+    # Group by (doc_id, term): factorize terms to int codes, sort, run-length
+    # reduce. Int lexsort is much faster than object-array comparison.
+    uniq_terms, term_code = np.unique(term, return_inverse=True)
+    order = np.lexsort((pos, term_code, doc_id))
+    doc_s, code_s, pos_s = doc_id[order], term_code[order], pos[order]
+    term_s = uniq_terms[code_s]
+    new_group = np.ones(len(doc_s), dtype=bool)
+    if len(doc_s) > 1:
+        new_group[1:] = (doc_s[1:] != doc_s[:-1]) | (code_s[1:] != code_s[:-1])
+    group_start = np.flatnonzero(new_group)
+    tf = np.diff(np.append(group_start, len(doc_s))).astype(np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_s[group_start]),
+            "term": pa.array(term_s[group_start]),
+            "tf": pa.array(tf),
+            # pos sorted ascending within group → group_start row holds min.
+            "first_pos": pa.array(pos_s[group_start]),
+        }
+    )

@@ -1,0 +1,455 @@
+"""Distributed index build — a streaming Ray Data pipeline.
+
+Replaces the reference's serial, lock-guarded ingest loop (reference
+index.py:299-327 — per-(token, doc) RocksDB point writes, SURVEY.md §3.1)
+with two phases over ``ray.data.Dataset``:
+
+**Phase A — canonical docs** (runs once, marker-gated):
+  read input Parquet → vectorized sha256 (per-row invariant column
+  ``content_sha256``) → exact dedup = ``groupby(content_sha256)`` keep the
+  first row in canonical order (first-wins, reference index.py:299-305) →
+  deterministic dense 1-based ``doc_id`` (sort + metadata prefix-sum, see
+  ids.py) → ``shard = (doc_id - 1) // shard_size`` → write the docstore
+  ``docs/`` partitioned by shard.
+
+**Phase B — posting segments** (resumable per shard):
+  read only incomplete shards' docs (column-pruned to doc_id + content) →
+  tokenizer stage (``map_batches``, Arrow in/out, emits per-batch partial
+  posting rows pre-combined by (shard, term) — the combiner that keeps the
+  shuffle small) → ``groupby("shard")`` (the ONE wide exchange; shards are
+  equal doc-ID ranges so the shuffle is skew-free by construction — this is
+  the "salt by doc-range" strategy of SURVEY.md §7(b): head terms are
+  split across shards into disjoint, ordered sub-lists that concatenate
+  back into a globally sorted posting list with no merge logic) →
+  per-shard encoder task: sort (term, doc_id), delta-gap + varint encode,
+  block-max metadata, atomic segment + doclens + manifest write.
+
+**Finalize**: global ``stats.json`` (N, avgdl, total_tokens) from shard
+manifests; ``dictionary/`` = groupby(term) over the segments' (term, df,
+cf) columns only (column-pruned read).
+
+Per-shard manifests carry lineage (input files), counters, and output
+sha256s; a re-run skips complete shards and reproduces byte-identical
+segments (encoder output depends only on the shard's rows, not on task
+scheduling order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Sum
+
+from konlsearch_ray.analyzer import analyze_batch
+from konlsearch_ray.codec import encode_posting
+from konlsearch_ray.ids import assign_doc_ids
+
+# Sentinel "term" carrying per-doc token counts through the same exploded
+# stream as real postings (kept tokens are never empty strings).
+DOCLEN_TERM = ""
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("doc_ids_bin", pa.large_binary()),
+        ("tfs_bin", pa.large_binary()),
+        ("pos_bin", pa.large_binary()),
+        ("block_last_doc", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+    ]
+)
+
+
+@dataclass
+class IndexConfig:
+    content_col: str = "content"
+    id_col: str | None = None  # None → assign dense IDs by sort_keys
+    sort_keys: list[str] = field(default_factory=lambda: ["repo", "path", "commit"])
+    shard_size: int = 32768  # docs per shard (the resumable / bounded unit)
+    dedup: bool = True
+    store_cols: list[str] | None = None  # extra columns persisted in docs/
+    tokenize_batch_size: int = 512
+    tokenize_concurrency: int | tuple[int, int] | None = None
+    id_start: int = 1
+
+
+# --------------------------------------------------------------------------
+# Stages
+# --------------------------------------------------------------------------
+
+
+def _sha256_batch(batch: pa.Table, content_col: str) -> pa.Table:
+    vals = batch[content_col].to_pylist()
+    hashes = [hashlib.sha256(v.encode("utf-8")).hexdigest() if v is not None else None
+              for v in vals]
+    return batch.append_column("content_sha256", pa.array(hashes, pa.string()))
+
+
+class TokenizeStage:
+    """Actor-pool tokenizer: Arrow batch of docs → partial posting rows.
+
+    Stands in for the reference's module-level mecab singleton (reference
+    index.py:24 — state loaded once per process, SURVEY.md ST1). The
+    analyzer slot is pluggable; the normative default is the deterministic
+    regex analyzer (analyzer.py). Emits rows
+    ``(shard, term, doc_ids: list<int64>, tfs: list<int32>,
+    poss: list<int32>)`` pre-combined per batch — the partial-aggregation
+    combiner that keeps the groupby("shard") exchange small — plus one
+    sentinel row per (batch, shard) with ``term == ""`` whose tfs carry
+    per-doc total token counts (doc_len), covering zero-token docs too.
+    """
+
+    def __init__(self, content_col: str, shard_size: int):
+        self.content_col = content_col
+        self.shard_size = shard_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        occ = analyze_batch(batch, self.content_col)  # doc_id, term, tf, first_pos
+        doc = occ["doc_id"].to_numpy(zero_copy_only=False)
+        term = occ["term"].to_numpy(zero_copy_only=False)
+        tf = occ["tf"].to_numpy(zero_copy_only=False)
+        fpos = occ["first_pos"].to_numpy(zero_copy_only=False)
+        shard = (doc - 1) // self.shard_size if len(doc) else doc
+
+        # Group (shard, term) → lists. analyze_batch output is sorted by
+        # (doc_id, term); re-sort by (shard, term, doc_id).
+        uniq, code = (np.unique(term, return_inverse=True) if len(term)
+                      else (np.array([], dtype=object), np.array([], dtype=np.int64)))
+        order = np.lexsort((doc, code, shard))
+        doc_s, code_s, tf_s, fp_s, sh_s = (
+            doc[order], code[order], tf[order], fpos[order], shard[order])
+        n = len(doc_s)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (sh_s[1:] != sh_s[:-1]) | (code_s[1:] != code_s[:-1])
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, n).astype(np.int32)
+
+        out_term = uniq[code_s[starts]] if n else np.array([], dtype=object)
+        out_shard = sh_s[starts] if n else np.array([], dtype=np.int64)
+
+        # Sentinel doclen rows: all batch docs grouped by shard.
+        all_doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dlen = np.zeros(len(all_doc), dtype=np.int64)
+        if n:
+            # Σ tf per doc (dense within batch via searchsorted on sorted ids).
+            o2 = np.argsort(all_doc, kind="stable")
+            pos_in = np.searchsorted(all_doc[o2], doc_s)
+            np.add.at(dlen, o2[pos_in], tf_s)
+        sh_all = (all_doc - 1) // self.shard_size
+        o3 = np.lexsort((all_doc, sh_all))
+        sh_sorted, doc_sorted, dlen_sorted = sh_all[o3], all_doc[o3], dlen[o3]
+        s_new = np.ones(len(sh_sorted), dtype=bool)
+        if len(sh_sorted) > 1:
+            s_new[1:] = sh_sorted[1:] != sh_sorted[:-1]
+        s_starts = np.flatnonzero(s_new)
+        s_offsets = np.append(s_starts, len(sh_sorted)).astype(np.int32)
+
+        def list_arr(values: np.ndarray, offs: np.ndarray, typ) -> pa.ListArray:
+            return pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(values, typ))
+
+        terms = pa.array(
+            np.concatenate([out_term, np.full(len(s_starts), DOCLEN_TERM, object)]),
+            pa.string(),
+        )
+        shards = pa.array(
+            np.concatenate([out_shard, sh_sorted[s_starts]]).astype(np.int64))
+        doc_lists = pa.concat_arrays([
+            list_arr(doc_s.astype(np.int64), offsets, pa.int64()),
+            list_arr(doc_sorted, s_offsets, pa.int64()),
+        ])
+        tf_lists = pa.concat_arrays([
+            list_arr(tf_s.astype(np.int32), offsets, pa.int32()),
+            list_arr(dlen_sorted.astype(np.int32), s_offsets, pa.int32()),
+        ])
+        pos_lists = pa.concat_arrays([
+            list_arr(fp_s.astype(np.int32), offsets, pa.int32()),
+            list_arr(np.zeros(len(doc_sorted), np.int32), s_offsets, pa.int32()),
+        ])
+        return pa.table(
+            {"shard": shards, "term": terms, "doc_ids": doc_lists,
+             "tfs": tf_lists, "poss": pos_lists}
+        )
+
+
+def _encode_shard(group: pa.Table, index_dir: str) -> pa.Table:
+    """Encode + atomically write one shard's segment, doclens and manifest.
+
+    Runs inside the groupby("shard") map task on a worker. Deterministic:
+    output depends only on the shard's (doc, term) content — partial-row
+    arrival order is erased by the global (term, doc_id) sort.
+    """
+    shard = int(group["shard"][0].as_py())
+    term_l = group["term"].to_numpy(zero_copy_only=False)
+    doc_ll = group["doc_ids"].to_numpy(zero_copy_only=False)
+    tf_ll = group["tfs"].to_numpy(zero_copy_only=False)
+    pos_ll = group["poss"].to_numpy(zero_copy_only=False)
+
+    is_doclen = term_l == DOCLEN_TERM
+    # Doclens: concat sentinel lists, sort by doc_id, dedupe (a doc appears
+    # in exactly one tokenize batch, so no dupes expected).
+    dl_docs = (np.concatenate([np.asarray(x) for x in doc_ll[is_doclen]])
+               if is_doclen.any() else np.array([], dtype=np.int64))
+    dl_vals = (np.concatenate([np.asarray(x) for x in tf_ll[is_doclen]])
+               if is_doclen.any() else np.array([], dtype=np.int32))
+    o = np.argsort(dl_docs, kind="stable")
+    dl_docs, dl_vals = dl_docs[o].astype(np.int64), dl_vals[o].astype(np.int64)
+
+    # Postings: flatten partial lists with repeated terms, sort, slice.
+    post_mask = ~is_doclen
+    terms_rep, flat_doc, flat_tf, flat_pos = [], [], [], []
+    for t, dl_, tl_, pl_ in zip(
+        term_l[post_mask], doc_ll[post_mask], tf_ll[post_mask], pos_ll[post_mask]
+    ):
+        terms_rep.append(np.full(len(dl_), t, dtype=object))
+        flat_doc.append(np.asarray(dl_))
+        flat_tf.append(np.asarray(tl_))
+        flat_pos.append(np.asarray(pl_))
+    if terms_rep:
+        terms_rep = np.concatenate(terms_rep)
+        flat_doc = np.concatenate(flat_doc).astype(np.int64)
+        flat_tf = np.concatenate(flat_tf).astype(np.int64)
+        flat_pos = np.concatenate(flat_pos).astype(np.int64)
+    else:
+        terms_rep = np.array([], dtype=object)
+        flat_doc = np.array([], dtype=np.int64)
+        flat_tf = np.array([], dtype=np.int64)
+        flat_pos = np.array([], dtype=np.int64)
+
+    uniq, code = np.unique(terms_rep, return_inverse=True)
+    order = np.lexsort((flat_doc, code))
+    code_s, doc_s, tf_s, pos_s = code[order], flat_doc[order], flat_tf[order], flat_pos[order]
+    n = len(code_s)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = code_s[1:] != code_s[:-1]
+    starts = np.flatnonzero(new)
+    bounds = np.append(starts, n)
+
+    rows = {k: [] for k in ("term", "df", "cf", "doc_ids_bin", "tfs_bin",
+                            "pos_bin", "block_last_doc", "block_max_tf")}
+    for i, s in enumerate(starts):
+        e = bounds[i + 1]
+        enc = encode_posting(doc_s[s:e], tf_s[s:e], pos_s[s:e])
+        rows["term"].append(str(uniq[code_s[s]]))
+        rows["df"].append(enc["df"])
+        rows["cf"].append(enc["cf"])
+        rows["doc_ids_bin"].append(enc["doc_ids_bin"])
+        rows["tfs_bin"].append(enc["tfs_bin"])
+        rows["pos_bin"].append(enc["pos_bin"])
+        rows["block_last_doc"].append(enc["block_last_doc"])
+        rows["block_max_tf"].append(enc["block_max_tf"])
+    seg_table = pa.table(rows, schema=SEGMENT_SCHEMA)
+
+    seg_dir = os.path.join(index_dir, "segments")
+    dl_dir = os.path.join(index_dir, "doclens")
+    mf_dir = os.path.join(index_dir, "manifests")
+    for d in (seg_dir, dl_dir, mf_dir):
+        os.makedirs(d, exist_ok=True)
+
+    seg_path = os.path.join(seg_dir, f"shard-{shard:06d}.parquet")
+    dl_path = os.path.join(dl_dir, f"shard-{shard:06d}.parquet")
+    _atomic_write_parquet(seg_table, seg_path)
+    dl_table = pa.table(
+        {"doc_id": pa.array(dl_docs), "doc_len": pa.array(dl_vals)})
+    _atomic_write_parquet(dl_table, dl_path)
+
+    manifest = {
+        "shard": shard,
+        "n_docs": int(len(dl_docs)),
+        "n_terms": int(len(starts)),
+        "total_tokens": int(dl_vals.sum()),
+        "segment_sha256": _file_sha(seg_path),
+        "doclens_sha256": _file_sha(dl_path),
+        "version": 1,
+    }
+    tmp = os.path.join(mf_dir, f".shard-{shard:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(mf_dir, f"shard-{shard:06d}.json"))
+    return pa.table({k: [v] for k, v in manifest.items()
+                     if k in ("shard", "n_docs", "n_terms", "total_tokens")})
+
+
+def _atomic_write_parquet(table: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def _file_sha(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+# --------------------------------------------------------------------------
+# Orchestration
+# --------------------------------------------------------------------------
+
+
+def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> None:
+    docs_dir = os.path.join(index_dir, "docs")
+    marker = os.path.join(index_dir, "_DOCS_DONE")
+    if os.path.exists(marker):
+        return
+    ds = source if isinstance(source, ray.data.Dataset) else ray.data.read_parquet(source)
+    ds = ds.map_batches(
+        _sha256_batch, batch_format="pyarrow",
+        fn_kwargs={"content_col": cfg.content_col})
+    if cfg.id_col is None:
+        if cfg.dedup:
+            keys = list(cfg.sort_keys)
+
+            def first_wins(g: pa.Table) -> pa.Table:
+                idx = pc.sort_indices(
+                    g, sort_keys=[(k, "ascending") for k in keys])
+                return g.take(idx[:1])
+
+            ds = ds.groupby("content_sha256").map_groups(
+                first_wins, batch_format="pyarrow")
+        ds = assign_doc_ids(ds, cfg.sort_keys, start=cfg.id_start)
+    else:
+        if cfg.id_col != "doc_id":
+            ds = ds.rename_columns({cfg.id_col: "doc_id"})
+        if cfg.dedup:
+            def first_wins_id(g: pa.Table) -> pa.Table:
+                idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+                return g.take(idx[:1])
+
+            ds = ds.groupby("content_sha256").map_groups(
+                first_wins_id, batch_format="pyarrow")
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pc.divide(pc.subtract(batch["doc_id"], 1), cfg.shard_size)
+        return batch.append_column("shard", pc.cast(shard, pa.int64()))
+
+    ds = ds.map_batches(add_shard, batch_format="pyarrow")
+    keep = {"doc_id", "shard", "content_sha256", cfg.content_col}
+    keep |= set(cfg.store_cols or [])
+    if cfg.id_col is None:
+        keep |= set(cfg.sort_keys)
+    cols = [c for c in ds.schema().names if c in keep]
+    ds.select_columns(cols).write_parquet(docs_dir, partition_cols=["shard"])
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def _completed_shards(index_dir: str) -> set[int]:
+    mf_dir = os.path.join(index_dir, "manifests")
+    if not os.path.isdir(mf_dir):
+        return set()
+    done = set()
+    for name in os.listdir(mf_dir):
+        if name.startswith("shard-") and name.endswith(".json"):
+            done.add(int(name[len("shard-"):-len(".json")]))
+    return done
+
+
+def _postings_phase(index_dir: str, cfg: IndexConfig) -> None:
+    docs_dir = os.path.join(index_dir, "docs")
+    done = _completed_shards(index_dir)
+    shard_dirs = []
+    for name in sorted(os.listdir(docs_dir)):
+        if not name.startswith("shard="):
+            continue
+        shard = int(name.split("=", 1)[1])
+        if shard not in done:
+            sub = os.path.join(docs_dir, name)
+            shard_dirs.extend(
+                os.path.join(sub, f) for f in sorted(os.listdir(sub))
+                if f.endswith(".parquet"))
+    if not shard_dirs:
+        return
+    ds = ray.data.read_parquet(shard_dirs, columns=["doc_id", cfg.content_col])
+    concurrency = cfg.tokenize_concurrency
+    if concurrency is None:
+        # Autoscaling actor pool sized to the session's CPUs, leaving head-
+        # room for the read and shuffle stages.
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, ncpu - 2))
+    exploded = ds.map_batches(
+        TokenizeStage,
+        fn_constructor_kwargs={
+            "content_col": cfg.content_col, "shard_size": cfg.shard_size},
+        batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch_size,
+        concurrency=concurrency,
+    )
+    manifests = exploded.groupby("shard").map_groups(
+        _encode_shard, batch_format="pyarrow", fn_kwargs={"index_dir": index_dir})
+    manifests.materialize()  # drive the pipeline; manifest rows are tiny
+
+
+def _finalize(index_dir: str) -> dict:
+    mf_dir = os.path.join(index_dir, "manifests")
+    manifests = []
+    for name in sorted(os.listdir(mf_dir)):
+        if name.startswith("shard-") and name.endswith(".json"):
+            with open(os.path.join(mf_dir, name)) as f:
+                manifests.append(json.load(f))
+    n_docs = sum(m["n_docs"] for m in manifests)
+    total_tokens = sum(m["total_tokens"] for m in manifests)
+    stats = {
+        "N": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "num_shards": len(manifests),
+        "version": 1,
+    }
+    # Global dictionary: column-pruned groupby over segment stats.
+    seg_dir = os.path.join(index_dir, "segments")
+    seg_files = [os.path.join(seg_dir, n) for n in sorted(os.listdir(seg_dir))
+                 if n.endswith(".parquet")]
+    dict_dir = os.path.join(index_dir, "dictionary")
+    if seg_files:
+        dct = (
+            ray.data.read_parquet(seg_files, columns=["term", "df", "cf"])
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        )
+        tmp_dir = dict_dir + ".tmp"
+        if os.path.isdir(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        dct.write_parquet(tmp_dir)
+        if os.path.isdir(dict_dir):
+            import shutil
+
+            shutil.rmtree(dict_dir)
+        os.replace(tmp_dir, dict_dir)
+    stats["vocab"] = int(pq.ParquetDataset(dict_dir).read(["term"]).num_rows) if seg_files else 0
+    tmp = os.path.join(index_dir, ".stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, sort_keys=True)
+    os.replace(tmp, os.path.join(index_dir, "stats.json"))
+    return stats
+
+
+def build_index(source, index_dir: str, cfg: IndexConfig | None = None) -> dict:
+    """Build (or resume) the full index at ``index_dir``; returns stats.
+
+    ``source`` is a Parquet path/paths or an existing ``ray.data.Dataset``.
+    Ray must already be initialised by the caller (driver contract).
+    """
+    cfg = cfg or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    _docs_phase(source, index_dir, cfg)
+    _postings_phase(index_dir, cfg)
+    return _finalize(index_dir)

