@@ -1,44 +1,504 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness gate.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in konlsearch_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every queries() entry maps to an operator family in SURVEY.md §2:
+search engine (S/M/J/A/O/SO rows) over the ``documents`` table via a real
+index build, plus the training-data operators (dedup, similarity, text
+analysis, log aggregation, suggestions, multimodal plumbing). The oracle
+SQL re-derives the normative tokenizer spec (analyzer.py) with DuckDB
+regexp/list functions; column names and types match the Ray outputs
+exactly (ints → BIGINT, floats → DOUBLE).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+# --- index cache -----------------------------------------------------------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+# Boolean/BM25 query token sets (drawn from the testdata vocabulary).
+AND_TOKENS = ["table", "merge", "fast"]
+OR_TOKENS = ["spark", "vector"]
+PHRASE_TOKENS = ["batch", "window"]
+BM25_TOKENS = ["table", "merge", "fast"]
+BM25_K = 10
+NGRAM_TAU = 0.03
+NGRAM_MAXDOC = 150
+EMBED_TAU = 0.4
+ANN_K = 10
+
+
+def _index_dir(sf_dir: str) -> str:
+    """Build (or reuse) the index over ``{sf_dir}/documents.parquet``."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    from konlsearch_ray.build import IndexConfig, build_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/konl_entry_index/{tag}"
+    cfg = IndexConfig(
+        content_col="text", id_col="doc_id", dedup=False, sort_keys=[],
+        store_cols=["lang", "source"], shard_size=4096,
+    )
+    build_index(os.path.join(sf_dir, "documents.parquet"), out, cfg)
+    _INDEX_CACHE[sf_dir] = out
+    return out
+
+
+def _reader(sf_dir: str):
+    from konlsearch_ray.query import IndexReader
+
+    return IndexReader(_index_dir(sf_dir))
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _ids_table(ids: list[int]) -> pa.Table:
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+# --- entry -----------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the index over sf0.001 documents, serve a BM25 query
+    batch through the distributed actor-pool path, return the result."""
+    import ray.data
+
+    from konlsearch_ray.query import QueryStage
+
+    idx = _index_dir("/root/testdata/sf0.001")
+    queries_tbl = pa.table(
+        {
+            "qid": pa.array([1, 2, 3], pa.int64()),
+            "tokens": pa.array(
+                [BM25_TOKENS, OR_TOKENS, PHRASE_TOKENS], pa.list_(pa.string())),
+            "mode": pa.array(["BM25", "OR", "PHRASE"]),
+            "k": pa.array([10, 0, 0], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(queries_tbl).map_batches(
+        QueryStage, fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow", concurrency=2,
+    )
+
+
+# --- queries ---------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import numpy as np
+    import pyarrow.compute as pc
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def search_and(sf_dir):
+        return _ids_table(_reader(sf_dir).search(AND_TOKENS, "AND"))
+
+    def search_or(sf_dir):
+        return _ids_table(_reader(sf_dir).search(OR_TOKENS, "OR"))
+
+    def search_and_absent(sf_dir):
+        return _ids_table(_reader(sf_dir).search(["qqqzzz", "table"], "AND"))
+
+    def search_phrase(sf_dir):
+        return _ids_table(_reader(sf_dir).search(PHRASE_TOKENS, "PHRASE"))
+
+    def search_complex(sf_dir):
+        tree = (((["table"], "AND"), (["merge"], "AND"), "AND"),
+                ((["vector"], "AND"), (["spark"], "AND"), "AND"), "OR")
+        return _ids_table(_reader(sf_dir).search_complex(tree))
+
+    def bm25_topk(sf_dir):
+        top = _reader(sf_dir).bm25_topk(BM25_TOKENS, BM25_K)
+        return pa.table(
+            {"doc_id": pa.array([d for d, _ in top], pa.int64()),
+             "score": pa.array([round(s, 4) for _, s in top], pa.float64())})
+
+    def term_stats(sf_dir):
+        import ray.data
+
+        d = os.path.join(_index_dir(sf_dir), "dictionary")
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        t = (ray.data.read_parquet(files)
+             .sort(["df", "term"], descending=[True, False]).limit(50).to_pandas())
+        return pa.table({"term": pa.array(t["term"], pa.string()),
+                         "df": pa.array(t["df"].astype("int64")),
+                         "cf": pa.array(t["cf"].astype("int64"))})
+
+    def index_stats(sf_dir):
+        import json
+
+        with open(os.path.join(_index_dir(sf_dir), "stats.json")) as f:
+            s = json.load(f)
+        return pa.table({"n_docs": pa.array([s["N"]], pa.int64()),
+                         "total_tokens": pa.array([s["total_tokens"]], pa.int64()),
+                         "vocab": pa.array([s["vocab"]], pa.int64()),
+                         "avgdl": pa.array([s["avgdl"]], pa.float64())})
+
+    def doc_sha256(sf_dir):
+        import ray.data
+
+        docs_dir = os.path.join(_index_dir(sf_dir), "docs")
+        files = []
+        for name in sorted(os.listdir(docs_dir)):
+            sub = os.path.join(docs_dir, name)
+            if os.path.isdir(sub):
+                files += [os.path.join(sub, f) for f in sorted(os.listdir(sub))
+                          if f.endswith(".parquet")]
+        return ray.data.read_parquet(files, columns=["doc_id", "content_sha256"])
+
+    def docstore_range(sf_dir):
+        # J3 get_range semantics: half-open [100, 120).
+        ds = _docs(sf_dir).map_batches(
+            lambda t: t.filter(pc.and_(pc.greater_equal(t["doc_id"], 100),
+                                       pc.less(t["doc_id"], 120))),
+            batch_format="pyarrow")
+        return ds.select_columns(["doc_id", "lang", "source", "n_chars"])
+
+    def dedup_exact(sf_dir):
+        from konlsearch_ray.functions.dedup import exact_dedup_groups
+
+        return exact_dedup_groups(_docs(sf_dir), "text", "doc_id")
+
+    def dedup_ngram(sf_dir):
+        from konlsearch_ray.functions.dedup import ngram_jaccard_pairs
+
+        ds = _docs(sf_dir).map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], NGRAM_MAXDOC)),
+            batch_format="pyarrow")
+        return ngram_jaccard_pairs(ds, "text", "doc_id", n=3, tau=NGRAM_TAU)
+
+    def dedup_minhash(sf_dir):  # rows-only (LSH recall < 1 by design)
+        from konlsearch_ray.functions.dedup import minhash_lsh_pairs
+
+        ds = _docs(sf_dir).map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], NGRAM_MAXDOC)),
+            batch_format="pyarrow")
+        return minhash_lsh_pairs(ds, "text", "doc_id", n=3, tau=NGRAM_TAU)
+
+    def dedup_simhash(sf_dir):  # rows-only (bit-level hashing not in SQL)
+        from konlsearch_ray.functions.dedup import simhash_pairs
+
+        ds = _docs(sf_dir).map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], NGRAM_MAXDOC)),
+            batch_format="pyarrow")
+        return simhash_pairs(ds, "text", "doc_id", max_hamming=16)
+
+    def embed_neardup(sf_dir):
+        from konlsearch_ray.functions.similarity import cosine_pairs
+
+        return cosine_pairs(_embeddings(sf_dir), EMBED_TAU)
+
+    def ann_topk(sf_dir):
+        from konlsearch_ray.functions.similarity import ann_topk as _ann
+
+        return _ann(_embeddings(sf_dir), [0, 1, 2, 3, 4], k=ANN_K)
+
+    def lang_id(sf_dir):
+        from konlsearch_ray.functions.text import lang_id as _lid
+
+        return _lid(_docs(sf_dir), "text", "doc_id")
+
+    def text_quality(sf_dir):
+        from konlsearch_ray.functions.text import quality_profile
+
+        return quality_profile(_docs(sf_dir), "text", "doc_id")
+
+    def token_count(sf_dir):
+        from konlsearch_ray.functions.text import token_counts
+
+        return token_counts(_docs(sf_dir), "text", "doc_id")
+
+    def text_fingerprint(sf_dir):  # rows-only (rolling hash not in SQL)
+        from konlsearch_ray.functions.text import fingerprints
+
+        return fingerprints(_docs(sf_dir), "text", "doc_id")
+
+    def log_aggregate(sf_dir):
+        import datetime
+
+        from konlsearch_ray.pipelines.logagg import aggregate_from_offset
+
+        out = aggregate_from_offset(
+            _events(sf_dir), datetime.datetime(2024, 1, 15)).to_pandas()
+        out["total"] = out["total"].round(2)
+        out["hits"] = out["hits"].astype("int64")
+        return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                         "hits": pa.array(out["hits"]),
+                         "total": pa.array(out["total"], pa.float64())})
+
+    def log_seq_ids(sf_dir):
+        from konlsearch_ray.pipelines.logagg import assign_seq_ids
+
+        return assign_seq_ids(_events(sf_dir))
+
+    def topk_per_prefix(sf_dir):
+        import ray.data
+
+        from konlsearch_ray.pipelines.suggest import topk_per_prefix as _tpp
+
+        d = os.path.join(_index_dir(sf_dir), "dictionary")
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        out = _tpp(ray.data.read_parquet(files)).to_pandas()
+        return pa.table({"prefix": pa.array(out["prefix"], pa.string()),
+                         "term": pa.array(out["term"], pa.string()),
+                         "df": pa.array(out["df"].astype("int64")),
+                         "rk": pa.array(out["rk"].astype("int64"))})
+
+    def suggest_prefix(sf_dir):
+        import ray.data
+
+        from konlsearch_ray.pipelines.suggest import suggest as _sg
+
+        d = os.path.join(_index_dir(sf_dir), "dictionary")
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        return _sg(ray.data.read_parquet(files), "s")
+
+    def freq_topk(sf_dir):
+        from ray.data.aggregate import Count
+
+        out = (_events(sf_dir).groupby("event_type")
+               .aggregate(Count(alias_name="hits"))
+               .sort(["hits", "event_type"], descending=[True, False])
+               .limit(5).to_pandas())
+        return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                         "hits": pa.array(out["hits"].astype("int64"))})
+
+    def multimodal_meta(sf_dir):
+        from konlsearch_ray.functions.multimodal import media_metadata
+
+        ds = _events(sf_dir).map_batches(
+            lambda t: t.filter(pc.less(t["event_id"], 200)),
+            batch_format="pyarrow")
+        return media_metadata(ds, "props", "event_id").select_columns(
+            ["event_id", "nbytes", "digest"])
+
+    return {
+        "search_and": search_and,
+        "search_or": search_or,
+        "search_and_absent": search_and_absent,
+        "search_phrase": search_phrase,
+        "search_complex": search_complex,
+        "bm25_topk": bm25_topk,
+        "term_stats": term_stats,
+        "index_stats": index_stats,
+        "doc_sha256": doc_sha256,
+        "docstore_range": docstore_range,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram": dedup_ngram,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "embed_neardup": embed_neardup,
+        "ann_topk": ann_topk,
+        "lang_id": lang_id,
+        "text_quality": text_quality,
+        "token_count": token_count,
+        "text_fingerprint": text_fingerprint,
+        "log_aggregate": log_aggregate,
+        "log_seq_ids": log_seq_ids,
+        "topk_per_prefix": topk_per_prefix,
+        "suggest_prefix": suggest_prefix,
+        "freq_topk": freq_topk,
+        "multimodal_meta": multimodal_meta,
+    }
+
+
+# --- oracle SQL ------------------------------------------------------------
+
+_SAN = r'[@_!#$%^&*()<>?/\\|}{~:\]",]'
+
+_KEPT = f"""kept AS (
+  SELECT doc_id, list_transform(
+      list_filter(
+        regexp_split_to_array(regexp_replace(text, '{_SAN}', '', 'g'), '\\s+'),
+        t -> regexp_full_match(t, '[A-Za-z]+') OR regexp_full_match(t, '[가-힣]+')),
+      t -> CASE WHEN regexp_full_match(t, '[A-Za-z]+') THEN lower(t) ELSE t END) AS toks
+  FROM documents)"""
+
+_OCC = "occ AS (SELECT doc_id, unnest(toks) AS term FROM kept)"
+
+
+def _sql_in(tokens: list[str]) -> str:
+    return "(" + ", ".join(f"'{t}'" for t in tokens) + ")"
+
+
+def _and_sql(tokens: list[str]) -> str:
+    return f"""WITH {_KEPT}, {_OCC}
+SELECT doc_id::BIGINT AS doc_id FROM (SELECT DISTINCT doc_id, term FROM occ)
+WHERE term IN {_sql_in(tokens)}
+GROUP BY doc_id HAVING count(*) = {len(tokens)} ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    k1, b = 1.2, 0.75
+    bm25_terms = _sql_in(BM25_TOKENS)
+    shingle_cte = f"""sh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+    list_transform(generate_series(1, len(toks)-2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+  FROM kept WHERE doc_id < {NGRAM_MAXDOC})"""
+    stop = {
+        lg: _sql_in(list(ws))
+        for lg, ws in (
+            ("en", ("the", "a", "of", "to", "and", "in", "is")),
+            ("es", ("el", "la", "de", "y", "que", "los")),
+            ("de", ("der", "die", "und", "das", "ist", "nicht")),
+            ("fr", ("le", "et", "les", "des", "une", "dans")),
+        )
+    }
+    return {
+        "search_and": _and_sql(AND_TOKENS),
+        "search_or": f"""WITH {_KEPT}, {_OCC}
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM occ
+WHERE term IN {_sql_in(OR_TOKENS)} ORDER BY doc_id""",
+        "search_and_absent": _and_sql(["qqqzzz", "table"]),
+        "search_phrase": f"""WITH {_KEPT}
+SELECT doc_id::BIGINT AS doc_id FROM kept
+WHERE coalesce(list_position(toks, '{PHRASE_TOKENS[0]}'), 0) > 0
+  AND coalesce(list_position(toks, '{PHRASE_TOKENS[1]}'), 0) > 0
+  AND list_position(toks, '{PHRASE_TOKENS[0]}') <= list_position(toks, '{PHRASE_TOKENS[1]}')
+ORDER BY doc_id""",
+        "search_complex": f"""WITH {_KEPT}, {_OCC},
+d AS (SELECT DISTINCT doc_id, term FROM occ)
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM (
+  SELECT doc_id FROM d WHERE term IN ('table','merge')
+  GROUP BY doc_id HAVING count(*) = 2
+  UNION
+  SELECT doc_id FROM d WHERE term IN ('vector','spark')
+  GROUP BY doc_id HAVING count(*) = 2
+) ORDER BY doc_id""",
+        "bm25_topk": f"""WITH {_KEPT}, {_OCC},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ
+       WHERE term IN {bm25_terms} GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM kept),
+st AS (SELECT count(*)::DOUBLE AS n,
+              sum(len(toks))::BIGINT::DOUBLE / count(*)::DOUBLE AS avgdl FROM kept),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM occ
+       WHERE term IN {bm25_terms} GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+         sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))) AS s
+       FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN st GROUP BY tf.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT {BM25_K}""",
+        "term_stats": f"""WITH {_KEPT}, {_OCC}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM occ GROUP BY term ORDER BY df DESC, term LIMIT 50""",
+        "index_stats": f"""WITH {_KEPT}
+SELECT count(*)::BIGINT AS n_docs,
+       sum(len(toks))::BIGINT AS total_tokens,
+       (SELECT count(DISTINCT term) FROM (SELECT unnest(toks) term FROM kept))::BIGINT AS vocab,
+       sum(len(toks))::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE AS avgdl
+FROM kept""",
+        "doc_sha256": "SELECT doc_id::BIGINT AS doc_id, sha256(text) AS content_sha256 "
+                      "FROM documents ORDER BY doc_id",
+        "docstore_range": """SELECT doc_id::BIGINT AS doc_id, lang, source,
+n_chars::BIGINT AS n_chars FROM documents
+WHERE doc_id >= 100 AND doc_id < 120 ORDER BY doc_id""",
+        "dedup_exact": """SELECT md5(text) AS h, min(doc_id)::BIGINT AS keep_id,
+count(*)::BIGINT AS n FROM documents GROUP BY 1""",
+        "dedup_ngram": f"""WITH {_KEPT}, {shingle_cte},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i FROM sh a
+          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT a::BIGINT AS a, b::BIGINT AS b
+FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {NGRAM_TAU}""",
+        "embed_neardup": f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+FROM embeddings)
+SELECT a.vec_id::BIGINT AS a, b.vec_id::BIGINT AS b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {EMBED_TAU}""",
+        "ann_topk": f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+sims AS (SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+                list_cosine_similarity(q.v, e.v) AS cos
+         FROM q CROSS JOIN e WHERE e.vec_id <> q.vec_id),
+ranked AS (SELECT qid, neighbor, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rk
+           FROM sims)
+SELECT qid::BIGINT AS qid, neighbor::BIGINT AS neighbor,
+       round(cos, 4) AS cos, rk::BIGINT AS rk
+FROM ranked WHERE rk <= {ANN_K}""",
+        "lang_id": f"""WITH {_KEPT},
+votes AS (SELECT doc_id,
+  len(list_filter(toks, t -> t IN {stop['en']})) AS ven,
+  len(list_filter(toks, t -> t IN {stop['es']})) AS ves,
+  len(list_filter(toks, t -> t IN {stop['de']})) AS vde,
+  len(list_filter(toks, t -> t IN {stop['fr']})) AS vfr
+FROM kept)
+SELECT doc_id::BIGINT AS doc_id,
+  CASE WHEN greatest(ven, ves, vde, vfr) = 0 THEN 'und'
+       WHEN ven >= greatest(ves, vde, vfr) THEN 'en'
+       WHEN ves >= greatest(vde, vfr) THEN 'es'
+       WHEN vde >= vfr THEN 'de' ELSE 'fr' END AS lang_guess
+FROM votes""",
+        "text_quality": f"""WITH {_KEPT}
+SELECT doc_id::BIGINT AS doc_id, len(toks)::BIGINT AS n_tokens,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE len(list_distinct(toks))::BIGINT::DOUBLE / len(toks)::BIGINT::DOUBLE END AS ttr,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE len(list_filter(toks, t -> t IN {stop['en']}))::BIGINT::DOUBLE
+            / len(toks)::BIGINT::DOUBLE END AS stop_ratio,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE list_sum(list_transform(toks, t -> length(t)))::BIGINT::DOUBLE
+            / len(toks)::BIGINT::DOUBLE END AS mean_token_len
+FROM kept""",
+        "token_count": f"""WITH {_KEPT}
+SELECT doc_id::BIGINT AS doc_id, len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_distinct
+FROM kept""",
+        "log_aggregate": """SELECT event_type, count(*)::BIGINT AS hits,
+round(sum(value), 2) AS total FROM events
+WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY event_type""",
+        "log_seq_ids": """SELECT event_id::BIGINT AS event_id,
+(epoch_us(ts) // 1000000)::BIGINT AS sec,
+(row_number() OVER (PARTITION BY epoch_us(ts) // 1000000 ORDER BY event_id) - 1)::BIGINT AS seq
+FROM events""",
+        "topk_per_prefix": f"""WITH {_KEPT}, {_OCC},
+terms AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM occ GROUP BY 1)
+SELECT substr(term, 1, 1) AS prefix, term, df, rk::BIGINT AS rk FROM (
+  SELECT term, df,
+         row_number() OVER (PARTITION BY substr(term, 1, 1)
+                            ORDER BY df DESC, term) AS rk
+  FROM terms) WHERE rk <= 5""",
+        "suggest_prefix": f"""WITH {_KEPT}, {_OCC}
+SELECT DISTINCT term FROM occ WHERE term LIKE 's%' ORDER BY term""",
+        "freq_topk": """SELECT event_type, count(*)::BIGINT AS hits FROM events
+GROUP BY event_type ORDER BY hits DESC, event_type LIMIT 5""",
+        "multimodal_meta": """SELECT event_id::BIGINT AS event_id,
+octet_length(CAST(props AS BLOB))::BIGINT AS nbytes, md5(props) AS digest
+FROM events WHERE event_id < 200""",
+    }

@@ -1,0 +1,7 @@
+"""Large-scale training-data operations (beyond the reference's surface).
+
+Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + bucketed ANN), text analysis
+(language-ID, quality scoring, token counting, fingerprinting) and
+multimodal plumbing — all as Ray Data ``Dataset`` pipelines.
+"""

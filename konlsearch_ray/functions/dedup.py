@@ -1,0 +1,306 @@
+"""Deduplication pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All Dataset-first. The wide steps are groupbys over content-derived keys
+(hash / shingle / band / simhash-chunk); candidate verification broadcasts
+the small per-doc summaries with ``ray.put`` instead of a second shuffle.
+Scale notes per function docstring.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from konlsearch_ray.analyzer import analyze_strings
+from konlsearch_ray.functions.text import FP_MOD, _token_hashes
+
+
+def _md5_batch(batch: pa.Table, content_col: str) -> pa.Table:
+    vals = batch[content_col].to_pylist()
+    return batch.append_column(
+        "h", pa.array([hashlib.md5(v.encode()).hexdigest() for v in vals]))
+
+
+def exact_dedup_groups(
+    ds: ray.data.Dataset, content_col: str, id_col: str
+) -> ray.data.Dataset:
+    """Exact dedup summary: content hash → surviving (min) id + group size.
+
+    First-wins semantics match the reference's hash-dict dedup (reference
+    index.py:299-305). One groupby on the hash — hash keys are uniform, so
+    no skew handling needed.
+    """
+    hashed = ds.map_batches(
+        _md5_batch, batch_format="pyarrow", fn_kwargs={"content_col": content_col}
+    ).select_columns(["h", id_col])
+    return hashed.groupby("h").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n")
+    )
+
+
+def _shingle_batch(batch: pa.Table, content_col: str, id_col: str, n: int) -> pa.Table:
+    """Per doc: distinct n-gram (token) shingles, exploded to (doc, shingle)."""
+    occ = analyze_strings(batch[content_col])
+    doc_idx, terms = occ["doc_idx"], occ["term"]
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    out_doc, out_sh = [], []
+    counts = np.bincount(doc_idx, minlength=batch.num_rows)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    for i in range(batch.num_rows):
+        toks = terms[offsets[i]: offsets[i + 1]]
+        if len(toks) < n:
+            continue
+        sh = {" ".join(toks[j: j + n]) for j in range(len(toks) - n + 1)}
+        out_doc.extend([ids[i]] * len(sh))
+        out_sh.extend(sh)
+    return pa.table(
+        {"doc_id": pa.array(out_doc, pa.int64()), "shingle": pa.array(out_sh, pa.string())}
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    content_col: str,
+    id_col: str,
+    n: int = 3,
+    tau: float = 0.5,
+) -> ray.data.Dataset:
+    """Exact n-gram-shingle Jaccard near-dup pairs (J ≥ tau, a < b).
+
+    Exact because any pair with J > 0 shares ≥ 1 shingle, so candidate
+    generation via groupby(shingle) has recall 1. Stages:
+    shingle explode → groupby(shingle) pair emission → groupby(pair) count
+    (= |A∩B|) → J from broadcast per-doc set sizes.
+
+    Scale note: a stop-shingle (df ≫) makes its group emit O(df²) pairs —
+    at 100 TB you cap shingle df (drop shingles with df > limit; any pair
+    J ≥ tau still shares a rarer shingle with overwhelming probability) or
+    switch to minhash_lsh_pairs below. Kept exact here to stay
+    oracle-comparable.
+    """
+    shingles = ds.map_batches(
+        _shingle_batch, batch_format="pyarrow",
+        fn_kwargs={"content_col": content_col, "id_col": id_col, "n": n})
+    sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="sz"))
+    sizes_df = sizes_ds.to_pandas()  # small: one row per doc
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["sz"])))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.sort(g["doc_id"].to_numpy())
+        if len(docs) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        a, b = zip(*combinations(docs.tolist(), 2))
+        return pd.DataFrame({"a": a, "b": b})
+
+    pairs = shingles.groupby("shingle").map_groups(emit_pairs, batch_format="pandas")
+    inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        sizes = ray.get(sizes_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = np.array([sizes[x] for x in a], dtype=np.float64)
+        sb = np.array([sizes[x] for x in b], dtype=np.float64)
+        j = it / (sa + sb - it)
+        keep = j >= tau
+        return pa.table(
+            {"a": pa.array(a[keep].astype(np.int64)),
+             "b": pa.array(b[keep].astype(np.int64))})
+
+    return inter.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+NUM_PERM = 64
+BANDS = 16  # rows per band r = NUM_PERM // BANDS = 4
+
+
+def _minhash_params(seed: int = 7):
+    rng = np.random.default_rng(seed)
+    M = int(FP_MOD)
+    a = rng.integers(1, M, size=NUM_PERM, dtype=np.uint64)
+    b = rng.integers(0, M, size=NUM_PERM, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hash_sets(batch: pa.Table, content_col: str, id_col: str, n: int):
+    occ = analyze_strings(batch[content_col])
+    doc_idx, terms = occ["doc_idx"], occ["term"]
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.bincount(doc_idx, minlength=batch.num_rows)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    out = []
+    for i in range(batch.num_rows):
+        toks = terms[offsets[i]: offsets[i + 1]]
+        if len(toks) < n:
+            out.append((int(ids[i]), np.array([], dtype=np.uint64)))
+            continue
+        sh = {" ".join(toks[j: j + n]) for j in range(len(toks) - n + 1)}
+        hs = np.unique(_token_hashes(np.array(sorted(sh), dtype=object)))
+        out.append((int(ids[i]), hs))
+    return out
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    content_col: str,
+    id_col: str,
+    n: int = 3,
+    tau: float = 0.5,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """MinHash(64 perms) + LSH(16 bands × 4 rows) near-dup candidates,
+    verified with exact shingle-hash Jaccard ≥ tau. Output: a, b, jacc.
+
+    The scale path: signature computation is embarrassingly parallel; the
+    only shuffle is groupby(band bucket); band buckets are hash-uniform.
+    Verification here broadcasts per-doc shingle-hash sets (fine at test
+    scale; at 100 TB verification joins candidates back to a
+    hash-partitioned shingle-set table instead).
+    """
+    a_p, b_p = _minhash_params(seed)
+    M = FP_MOD
+    r = NUM_PERM // BANDS
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        rows = _shingle_hash_sets(batch, content_col, id_col, n)
+        doc_out, band_out, key_out = [], [], []
+        for doc, hs in rows:
+            if len(hs) == 0:
+                continue
+            # sig[j] = min((a_j * x + b_j) mod M) — outer product, vectorized.
+            prods = (a_p[:, None] * hs[None, :]) % M
+            sig = ((prods + b_p[:, None]) % M).min(axis=1)
+            for band in range(BANDS):
+                chunk = sig[band * r: (band + 1) * r]
+                key = hashlib.blake2b(
+                    chunk.astype("<u8").tobytes(), digest_size=8).hexdigest()
+                doc_out.append(doc); band_out.append(band); key_out.append(key)
+        return pa.table(
+            {"doc_id": pa.array(doc_out, pa.int64()),
+             "band": pa.array(band_out, pa.int32()),
+             "key": pa.array(key_out, pa.string())})
+
+    sig_ds = ds.map_batches(signatures, batch_format="pyarrow")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.sort(g["doc_id"].unique())
+        if len(docs) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        a, b = zip(*combinations(docs.tolist(), 2))
+        return pd.DataFrame({"a": a, "b": b})
+
+    cand = sig_ds.groupby(["band", "key"]).map_groups(emit, batch_format="pandas")
+    cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="nbands"))
+
+    # Broadcast shingle-hash sets for exact verification.
+    sets: dict[int, np.ndarray] = {}
+    for batch in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for doc, hs in _shingle_hash_sets(batch, content_col, id_col, n):
+            sets[doc] = hs
+    sets_ref = ray.put(sets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ss = ray.get(sets_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(a, b):
+            hx, hy = ss[int(x)], ss[int(y)]
+            inter = len(np.intersect1d(hx, hy, assume_unique=True))
+            union = len(hx) + len(hy) - inter
+            j = inter / union if union else 0.0
+            if j >= tau:
+                out_a.append(int(x)); out_b.append(int(y)); out_j.append(round(j, 4))
+        return pa.table(
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+             "jacc": pa.array(out_j, pa.float64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash64(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
+    """64-bit SimHash per doc over (term, tf) — vectorized bit counting."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        occ = analyze_strings(batch[content_col])
+        doc_idx, terms = occ["doc_idx"], occ["term"]
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = batch.num_rows
+        sums = np.zeros((n_docs, 64), dtype=np.int64)
+        if len(terms):
+            uniq, inv = np.unique(terms, return_inverse=True)
+            h64 = np.array(
+                [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                 for t in uniq], dtype=np.uint64)
+            bits = np.unpackbits(
+                h64[inv].view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1, bitorder="little"
+            ).astype(np.int64)  # (n_occ, 64), bit j of the hash
+            signed = 2 * bits - 1
+            np.add.at(sums, doc_idx, signed)
+        bits_out = (sums > 0).astype(np.uint64)
+        vals = (bits_out << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {id_col: pa.array(ids), "simhash": pa.array(vals.astype(np.int64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_pairs(
+    ds: ray.data.Dataset, content_col: str, id_col: str, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation: split the 64-bit hash into 4 16-bit chunks —
+    any pair within Hamming ≤ 3 agrees on ≥ 1 chunk (pigeonhole) —
+    groupby(chunk_id, chunk_value), verify popcount on candidates.
+    """
+    sh = simhash64(ds, content_col, id_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        v = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc_out, chunk_out, val_out, hash_out = [], [], [], []
+        for c in range(4):
+            chunk = ((v >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            doc_out.append(ids); chunk_out.append(np.full(len(ids), c, np.int64))
+            val_out.append(chunk); hash_out.append(v.astype(np.int64))
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(doc_out).astype(np.int64)),
+             "chunk": pa.array(np.concatenate(chunk_out)),
+             "val": pa.array(np.concatenate(val_out)),
+             "simhash": pa.array(np.concatenate(hash_out))})
+
+    exploded = sh.map_batches(explode, batch_format="pyarrow")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        docs = g["doc_id"].to_numpy(); hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(docs) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        out_a, out_b, out_h = [], [], []
+        for i, j in combinations(range(len(docs)), 2):
+            d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+            if d <= max_hamming:
+                out_a.append(int(docs[i])); out_b.append(int(docs[j])); out_h.append(d)
+        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+
+    pairs = exploded.groupby(["chunk", "val"]).map_groups(emit, batch_format="pandas")
+    # A pair can match on several chunks — dedupe.
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

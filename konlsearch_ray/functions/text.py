@@ -1,0 +1,167 @@
+"""Text analysis over a document table — vectorized Ray Data stages.
+
+All functions take/return ``ray.data.Dataset`` and use the normative
+analyzer (analyzer.py) so results agree with the DuckDB oracle SQL that
+re-derives the same token stream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from konlsearch_ray.analyzer import analyze_strings
+
+# Small fixed stopword lists for the heuristic language-ID vote. Order of
+# ``LANG_ORDER`` is the deterministic tie-break (first wins on equal votes).
+STOPWORDS = {
+    "en": ("the", "a", "of", "to", "and", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "et", "les", "des", "une", "dans"),
+}
+LANG_ORDER = ("en", "es", "de", "fr")
+
+# Rolling-hash fingerprint parameters (spec'd; M31 keeps every product in
+# 62 bits so the whole pipeline stays in vectorized uint64 arithmetic).
+FP_MOD = np.uint64(2**31 - 1)
+FP_BASE = np.uint64(131)
+
+
+def _doc_token_arrays(batch: pa.Table, content_col: str):
+    """batch → (doc_ids np, per-doc slices of the kept token stream)."""
+    occ = analyze_strings(batch[content_col])
+    doc_idx, terms = occ["doc_idx"], occ["term"]
+    n_docs = batch.num_rows
+    counts = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    return counts, offsets, terms
+
+
+def token_counts(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
+    """Per doc: total kept tokens + distinct terms (ints only)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts, offsets, terms = _doc_token_arrays(batch, content_col)
+        distinct = np.array(
+            [len(set(terms[offsets[i]: offsets[i + 1]])) for i in range(batch.num_rows)],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(counts),
+                "n_distinct": pa.array(distinct),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_profile(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
+    """Per doc: token counts, type-token ratio, stopword ratio, mean token len.
+
+    Ratios are raw IEEE double divisions of exact integer counts — the SQL
+    oracle performs the same division on the same ints, so values match
+    bit-for-bit without rounding.
+    """
+    stop_en = set(STOPWORDS["en"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts, offsets, terms = _doc_token_arrays(batch, content_col)
+        n = batch.num_rows
+        ttr = np.zeros(n); stop_ratio = np.zeros(n); mean_len = np.zeros(n)
+        for i in range(n):
+            toks = terms[offsets[i]: offsets[i + 1]]
+            if len(toks) == 0:
+                continue
+            ttr[i] = len(set(toks)) / len(toks)
+            stop_ratio[i] = sum(t in stop_en for t in toks) / len(toks)
+            mean_len[i] = sum(len(t) for t in toks) / len(toks)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(counts),
+                "ttr": pa.array(ttr),
+                "stop_ratio": pa.array(stop_ratio),
+                "mean_token_len": pa.array(mean_len),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
+    """Heuristic language ID: stopword vote per language, deterministic
+    tie-break by ``LANG_ORDER``; zero votes → 'und'."""
+    stop = {k: set(v) for k, v in STOPWORDS.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts, offsets, terms = _doc_token_arrays(batch, content_col)
+        labels = []
+        for i in range(batch.num_rows):
+            toks = terms[offsets[i]: offsets[i + 1]]
+            votes = {lg: sum(t in stop[lg] for t in toks) for lg in LANG_ORDER}
+            best = max(votes.values())
+            labels.append(
+                "und" if best == 0
+                else next(lg for lg in LANG_ORDER if votes[lg] == best)
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "lang_guess": pa.array(labels, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _token_hashes(terms: np.ndarray) -> np.ndarray:
+    """Deterministic 31-bit hash per token (blake2b prefix mod M31)."""
+    uniq, inv = np.unique(terms, return_inverse=True) if len(terms) else (
+        np.array([], dtype=object), np.array([], dtype=np.int64))
+    hashes = np.array(
+        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "big")
+         % int(FP_MOD) for t in uniq],
+        dtype=np.uint64,
+    )
+    return hashes[inv] if len(terms) else hashes
+
+
+def fingerprints(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
+    """Rolling polynomial hash of each doc's kept token stream.
+
+    fp(doc) = Σ_i h(tok_i) · BASE^(n-1-i) mod M31 — vectorized with
+    precomputed powers + segment sums (np.add.reduceat), no per-token loop.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts, offsets, terms = _doc_token_arrays(batch, content_col)
+        h = _token_hashes(terms)
+        n_docs = batch.num_rows
+        fp = np.zeros(n_docs, dtype=np.uint64)
+        if len(h):
+            maxlen = int(counts.max())
+            powers = np.ones(maxlen, dtype=np.uint64)
+            for j in range(1, maxlen):
+                powers[j] = (powers[j - 1] * FP_BASE) % FP_MOD
+            # exponent for token at flat index t in doc i: counts[i]-1-(t-offsets[i])
+            doc_of = np.repeat(np.arange(n_docs), counts)
+            local = np.arange(len(h)) - offsets[doc_of]
+            exp = counts[doc_of] - 1 - local
+            prod = (h * powers[exp]) % FP_MOD  # ≤ (2^31)^2 < 2^62, no overflow
+            nonempty = counts > 0
+            sums = np.add.reduceat(prod, offsets[:-1][nonempty])
+            fp[nonempty] = sums % FP_MOD
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "fingerprint": pa.array(fp.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
