@@ -1,0 +1,162 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the headline build twice in fresh processes
+(num_cpus=8 vs 32) on the same input and reports both throughputs plus
+scaling efficiency (sandbox stand-in for N vs 4N nodes — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Synthetic source-code corpus size for the headline build (input_hint shape).
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "60000"))
+CORPUS_DIR = f"/tmp/konl_bench_corpus_{BENCH_DOCS}"
+N_QUERY_REPS = 200
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import shutil
+
+    import numpy as np
+
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.corpus import write_corpus
+    from konlsearch_ray.query import IndexReader
+
+    queries: dict[str, float] = {}
+
+    # Corpus generation is cached on disk and untimed (input, not pipeline).
+    write_corpus(CORPUS_DIR, BENCH_DOCS, seed=42)
+    # Warm the page cache so both scaling runs measure compute, not first read.
+    for name in sorted(os.listdir(CORPUS_DIR)):
+        if name.endswith(".parquet"):
+            with open(os.path.join(CORPUS_DIR, name), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+    # --- headline: index build over the source-code corpus ---------------
+    code_idx = f"/tmp/konl_bench_index_{NUM_CPUS}"
+    shutil.rmtree(code_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = build_index(
+        CORPUS_DIR, code_idx,
+        IndexConfig(shard_size=8192, tokenize_batch_size=1024))
+    t_build_code = time.perf_counter() - t0
+    queries["index_build_code"] = round(t_build_code, 3)
+    queries["index_build_docs_per_sec"] = round(stats["N"] / t_build_code, 1)
+
+    # --- secondary: index build over the sf documents table --------------
+    docs_idx = f"/tmp/konl_bench_docsindex_{NUM_CPUS}"
+    shutil.rmtree(docs_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(
+        os.path.join(SF_DIR, "documents.parquet"), docs_idx,
+        IndexConfig(content_col="text", id_col="doc_id", dedup=False,
+                    sort_keys=[], shard_size=4096))
+    queries["index_build_docs_table"] = round(time.perf_counter() - t0, 3)
+
+    # --- query latency over the code index --------------------------------
+    reader = IndexReader(code_idx)
+    from konlsearch_ray.corpus import HEAD_TERMS
+
+    rng = np.random.default_rng(7)
+    vocab_terms = []
+    for t, _ in zip(reader._segments[0][1].keys(), range(4000)):
+        if t:
+            vocab_terms.append(t)
+    lat = []
+    for i in range(N_QUERY_REPS):
+        toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
+                vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
+        t0 = time.perf_counter()
+        reader.bm25_topk(toks, 10)
+        lat.append(time.perf_counter() - t0)
+    queries["bm25_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
+    queries["bm25_p99_ms"] = round(float(np.percentile(lat, 99)) * 1000, 3)
+
+    lat = []
+    for i in range(N_QUERY_REPS):
+        toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
+                vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
+        t0 = time.perf_counter()
+        reader.search(toks, "AND")
+        lat.append(time.perf_counter() - t0)
+    queries["boolean_and_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
+
+    # --- one training-data pipeline for coverage --------------------------
+    import ray.data as rd
+
+    from konlsearch_ray.functions.text import token_counts
+
+    t0 = time.perf_counter()
+    token_counts(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+        "text", "doc_id").materialize()
+    queries["token_counts_docs"] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "index_build_sec_code_corpus",
+        "value": queries["index_build_code"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+        "bench_docs": BENCH_DOCS,
+        "built_docs": stats["N"],
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo, hi = one(lo_cpus), one(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    n = lo["built_docs"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "num_cpus_lo": lo_cpus,
+        "num_cpus_hi": hi_cpus,
+        "docs_per_sec_lo": round(n / t_lo, 1),
+        "docs_per_sec_hi": round(n / t_hi, 1),
+        "built_docs": n,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -301,6 +301,53 @@ def _file_sha(path: str) -> str:
 # --------------------------------------------------------------------------
 
 
+def _first_wins_dedup(ds: ray.data.Dataset, key_cols: list[str]) -> ray.data.Dataset:
+    """Exact first-wins dedup by ``content_sha256`` without a full-row shuffle.
+
+    Only *light* columns (sha + canonical key) go through the groupby; full
+    rows never move. The winner map is restricted to shas that actually have
+    duplicates (having count > 1), so the broadcast is proportional to the
+    duplicate count, not the corpus. Scale path for extreme duplicate
+    volumes: replace the broadcast with a sha-partitioned semi-join.
+
+    First-wins = keep the row with the minimum canonical key (matches the
+    reference's earliest-doc dedup, reference index.py:299-305).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Min as _Min
+
+    sep = "\x00"
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = t[key_cols[0]].cast(pa.string())
+        for k in key_cols[1:]:
+            key = pc.binary_join_element_wise(key, t[k].cast(pa.string()), sep)
+        return t.append_column("__dedup_key", key)
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    light = keyed.select_columns(["content_sha256", "__dedup_key"])
+    agg = light.groupby("content_sha256").aggregate(
+        _Min("__dedup_key", alias_name="winner"), _Count(alias_name="n"))
+    dups = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).select_columns(["content_sha256", "winner"]).to_pandas()
+    winners_ref = _ray.put(dict(zip(dups["content_sha256"], dups["winner"])))
+
+    def keep(t: pa.Table) -> pa.Table:
+        winners = _ray.get(winners_ref)
+        if winners:
+            sha = t["content_sha256"].to_pylist()
+            key = t["__dedup_key"].to_pylist()
+            mask = pa.array(
+                [winners.get(s) is None or winners[s] == k
+                 for s, k in zip(sha, key)])
+            t = t.filter(mask)
+        return t.drop_columns(["__dedup_key"])
+
+    return keyed.map_batches(keep, batch_format="pyarrow")
+
+
 def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> None:
     docs_dir = os.path.join(index_dir, "docs")
     marker = os.path.join(index_dir, "_DOCS_DONE")
@@ -312,26 +359,13 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> None:
         fn_kwargs={"content_col": cfg.content_col})
     if cfg.id_col is None:
         if cfg.dedup:
-            keys = list(cfg.sort_keys)
-
-            def first_wins(g: pa.Table) -> pa.Table:
-                idx = pc.sort_indices(
-                    g, sort_keys=[(k, "ascending") for k in keys])
-                return g.take(idx[:1])
-
-            ds = ds.groupby("content_sha256").map_groups(
-                first_wins, batch_format="pyarrow")
+            ds = _first_wins_dedup(ds, key_cols=cfg.sort_keys)
         ds = assign_doc_ids(ds, cfg.sort_keys, start=cfg.id_start)
     else:
         if cfg.id_col != "doc_id":
             ds = ds.rename_columns({cfg.id_col: "doc_id"})
         if cfg.dedup:
-            def first_wins_id(g: pa.Table) -> pa.Table:
-                idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
-                return g.take(idx[:1])
-
-            ds = ds.groupby("content_sha256").map_groups(
-                first_wins_id, batch_format="pyarrow")
+            ds = _first_wins_dedup(ds, key_cols=["doc_id"])
 
     def add_shard(batch: pa.Table) -> pa.Table:
         shard = pc.divide(pc.subtract(batch["doc_id"], 1), cfg.shard_size)

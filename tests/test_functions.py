@@ -1,0 +1,118 @@
+"""Unit tests for the training-data operators (dedup / similarity / text)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",          # exact dup of 0
+        "alpha beta gamma delta epsilon eta",           # near dup of 0
+        "totally different words here now",
+        "the quick brown fox jumps over the lazy dog",
+        "el perro de la casa y que",
+    ]
+    return ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}))
+
+
+def test_exact_dedup(docs_ds):
+    from konlsearch_ray.functions.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(docs_ds, "text", "doc_id").to_pandas()
+    dup = out[out["n"] > 1]
+    assert len(dup) == 1
+    assert int(dup.iloc[0]["keep_id"]) == 0 and int(dup.iloc[0]["n"]) == 2
+
+
+def test_ngram_jaccard(docs_ds):
+    from konlsearch_ray.functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs_ds, "text", "doc_id", n=3, tau=0.5).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs          # identical docs: J = 1
+    assert (0, 2) in pairs          # 3/5 shared trigrams = 0.6... wait 3/(4+4-3)=0.6
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(docs_ds):
+    from konlsearch_ray.functions.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(docs_ds, "text", "doc_id", n=3, tau=0.99).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs          # identical signature → same bucket, J = 1
+    assert all(j >= 0.99 for j in out["jacc"])
+
+
+def test_simhash_identical_docs_hamming_zero(docs_ds):
+    from konlsearch_ray.functions.dedup import simhash64, simhash_pairs
+
+    vals = simhash64(docs_ds, "text", "doc_id").to_pandas()
+    v = dict(zip(vals["doc_id"], vals["simhash"]))
+    assert v[0] == v[1]
+    out = simhash_pairs(docs_ds, "text", "doc_id", max_hamming=3).to_pandas()
+    assert (0, 1) in set(zip(out["a"], out["b"]))
+    assert int(out.set_index(["a", "b"]).loc[(0, 1), "hamming"]) == 0
+
+
+def test_fingerprint_order_sensitive(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.text import fingerprints
+
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array(["a b c", "c b a", "a b c"])}))
+    out = fingerprints(ds, "text", "doc_id").to_pandas().set_index("doc_id")
+    assert out.loc[0, "fingerprint"] == out.loc[2, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[1, "fingerprint"]
+
+
+def test_ann_topk_exact(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.similarity import ann_topk
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(50, 8))
+    ds = ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array(range(50), pa.int64()),
+         "embedding": pa.array([list(r) for r in mat], pa.list_(pa.float64()))}))
+    out = ann_topk(ds, [0], k=5).to_pandas()
+    # Brute-force reference.
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = m @ m[0]
+    sims[0] = -np.inf
+    exp = np.argsort(-sims)[:5]
+    assert list(out["neighbor"]) == list(exp)
+    assert list(out["rk"]) == [1, 2, 3, 4, 5]
+
+
+def test_media_stage_and_stubs(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.multimodal import (
+        MediaFeatureStage,
+        decode_image,
+        media_metadata,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    ds = ray.data.from_arrow(pa.table(
+        {"event_id": pa.array([1, 2], pa.int64()),
+         "props": pa.array(['{"k": 1}', '{"k": 22}'])}))
+    out = media_metadata(ds, "props", "event_id").to_pandas()
+    assert list(out["nbytes"]) == [8, 9]
+    assert all(len(f) == 16 for f in out["features"])
+    # Real-decode path surfaces the stub error through the stage.
+    stage = MediaFeatureStage("props", "event_id", use_real_decode=True)
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"event_id": pa.array([1], pa.int64()),
+                        "props": pa.array(["x"])}))
