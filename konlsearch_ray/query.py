@@ -85,6 +85,8 @@ class IndexReader:
             terms = t["term"].to_pylist()
             self._segments.append((t, {s: i for i, s in enumerate(terms)}))
         self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._block_ub_cache: dict[str, np.ndarray] = {}
+        self._min_dl = float(self._dl_vals.min()) if len(self._dl_vals) else 1.0
 
     # --- posting access -------------------------------------------------
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -118,6 +120,36 @@ class IndexReader:
 
     def df(self, term: str) -> int:
         return len(self.postings(term)[0])
+
+    def block_upper_tf(self, term: str) -> np.ndarray:
+        """Per-posting-entry block-max tf (block-max metadata expanded).
+
+        Entry ``i`` of term's posting list gets the max tf of the
+        BLOCK_SIZE-entry block it belongs to (within its shard segment).
+        Used for block-level score upper bounds in ``bm25_topk`` pruning.
+        """
+        hit = self._block_ub_cache.get(term)
+        if hit is not None:
+            return hit
+        from konlsearch_ray.codec import BLOCK_SIZE
+
+        parts = []
+        for t, idx in self._segments:
+            i = idx.get(term)
+            if i is None:
+                continue
+            df = t["df"][i].as_py()
+            mtf = np.asarray(t["block_max_tf"][i].as_py(), dtype=np.int64)
+            counts = np.full(len(mtf), BLOCK_SIZE, dtype=np.int64)
+            if len(mtf):
+                counts[-1] = df - BLOCK_SIZE * (len(mtf) - 1)
+            parts.append(np.repeat(mtf, counts))
+        if parts:
+            out = np.concatenate(parts)
+        else:
+            out = np.array([], dtype=np.int64)
+        self._block_ub_cache[term] = out
+        return out
 
     def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(self._dl_docs, doc_ids)
@@ -176,9 +208,30 @@ class IndexReader:
         df = self.df(term)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def bm25_topk(self, tokens: list[str], k: int = 10) -> list[tuple[int, float]]:
-        """Exact vectorized top-k: gather postings, score, accumulate."""
+    def _kernel(self, w: float, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        """BM25 term kernel — op-for-op identical to the exact path so the
+        pruned path produces bit-identical scores (ranking ties included)."""
+        tf = tf.astype(np.float64)
+        return w * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / self.avgdl))
+
+    def bm25_topk(
+        self, tokens: list[str], k: int = 10, prune: bool = True
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k, rank-identical to the exact path.
+
+        ``prune=True`` (default) runs term-at-a-time MaxScore with
+        block-max upper bounds from the segments' ``block_max_tf``
+        metadata (the block-max-WAND family — north-star requirement):
+        terms are processed in descending max-impact order; a posting
+        entry is skipped when its block's score upper bound plus the
+        remaining terms' upper bounds is strictly below the running
+        top-k threshold. Pruning is *safe*: only docs provably below
+        the k-th best score are skipped, so results (ids AND scores)
+        equal ``prune=False`` exactly (ties broken by ascending doc_id).
+        """
         toks = sorted(set(normalize_query_tokens(tokens)))
+        if prune and len(toks) > 1:
+            return self._bm25_maxscore(toks, k)
         id_parts, score_parts = [], []
         for t in toks:
             ids, tfs, _ = self.postings(t)
@@ -206,6 +259,91 @@ class IndexReader:
             cand = np.arange(n)
         order = sorted(cand.tolist(), key=lambda i: (-agg[i], uniq[i]))[:k]
         return [(int(uniq[i]), float(agg[i])) for i in order]
+
+    def _bm25_maxscore(self, toks: list[str], k: int) -> list[tuple[int, float]]:
+        """Term-at-a-time MaxScore with block-max skip (see bm25_topk).
+
+        Invariants that make this exact:
+        - A doc first added at term *i* has no postings in terms < i
+          (every doc of terms < i that could still reach the threshold
+          was added as a candidate there), so scoring it over terms
+          [i, m) is its full score... except docs block-skipped earlier;
+          those are provably strictly below the final k-th score, so an
+          underestimated score cannot promote them into the top-k.
+        - The threshold θ is the k-th best *known* score, a lower bound
+          on the final k-th best; pruning uses strict ``< θ`` so
+          boundary ties (broken by ascending doc_id) are never lost.
+        """
+        all_terms = []
+        for t in toks:
+            ids, tfs, _ = self.postings(t)
+            if len(ids):
+                all_terms.append((t, self.idf(t), ids, tfs))
+        if not all_terms:
+            return []
+        # Per-term global upper bound from block-max tf at minimal dl.
+        min_dl = np.array([self._min_dl])
+        ubs = []
+        for t, w, ids, tfs in all_terms:
+            btf = self.block_upper_tf(t)
+            mtf = np.array([btf.max() if len(btf) else 1], dtype=np.float64)
+            ubs.append(float(self._kernel(w, mtf, min_dl)[0]))
+        order = np.argsort(-np.asarray(ubs), kind="stable")
+        terms = [all_terms[i] for i in order]
+        ubs = [ubs[i] for i in order]
+        suffix = np.concatenate([np.cumsum(np.asarray(ubs)[::-1])[::-1], [0.0]])
+
+        cand_ids = np.array([], dtype=np.int64)
+        cand_scores = np.array([], dtype=np.float64)
+        theta = -np.inf
+        for i, (t, w, ids, tfs) in enumerate(terms):
+            if i > 0 and suffix[i] < theta:
+                break  # no unseen doc can reach the top-k
+            # New docs: not already candidates.
+            pos = np.searchsorted(cand_ids, ids)
+            posc = np.clip(pos, 0, max(len(cand_ids) - 1, 0))
+            is_old = (
+                (pos < len(cand_ids)) & (cand_ids[posc] == ids)
+                if len(cand_ids) else np.zeros(len(ids), dtype=bool))
+            new_mask = ~is_old
+            if theta > -np.inf:
+                # Block-max skip: entry's block ub + remaining terms' ubs.
+                ent_ub = self._kernel(
+                    w, self.block_upper_tf(t).astype(np.float64),
+                    np.full(len(ids), self._min_dl))
+                new_mask &= ent_ub + suffix[i + 1] >= theta
+            new_ids = ids[new_mask]
+            if len(new_ids) == 0:
+                continue
+            dl = self.doc_len(new_ids)
+            # Exact scores, accumulated over terms in sorted-token order —
+            # the same order the exact path's bincount adds them — so sums
+            # are bit-identical and ties order identically. Terms ahead of
+            # position i in ub order cannot contain a genuinely-new doc
+            # (their hit mask is empty); docs they block-skipped are
+            # provably below θ, so an underestimate cannot mis-rank them.
+            scores = np.zeros(len(new_ids), dtype=np.float64)
+            for tj, wj, jids, jtfs in all_terms:
+                p = np.searchsorted(jids, new_ids)
+                pc_ = np.clip(p, 0, len(jids) - 1)
+                hit = (p < len(jids)) & (jids[pc_] == new_ids)
+                if hit.any():
+                    scores[hit] += self._kernel(wj, jtfs[pc_][hit], dl[hit])
+            cand_ids = np.concatenate([cand_ids, new_ids])
+            cand_scores = np.concatenate([cand_scores, scores])
+            o = np.argsort(cand_ids, kind="stable")
+            cand_ids, cand_scores = cand_ids[o], cand_scores[o]
+            if len(cand_ids) >= k:
+                theta = -np.partition(-cand_scores, k - 1)[k - 1]
+        if len(cand_ids) == 0:
+            return []
+        sel = (np.argpartition(-cand_scores, k - 1)
+               if len(cand_ids) > k else np.arange(len(cand_ids)))
+        if len(cand_ids) > k:
+            thresh = -np.partition(-cand_scores, k - 1)[k - 1]
+            sel = np.flatnonzero(cand_scores >= thresh)
+        top = sorted(sel.tolist(), key=lambda i: (-cand_scores[i], cand_ids[i]))[:k]
+        return [(int(cand_ids[i]), float(cand_scores[i])) for i in top]
 
 
 class QueryStage:

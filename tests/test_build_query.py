@@ -108,6 +108,29 @@ def test_bm25_matches_oracle(built):
             assert math.isclose(gs, es, rel_tol=1e-12), (tokens, gd)
 
 
+def test_bm25_pruned_rank_identical(built):
+    """Block-max MaxScore pruning must be rank- AND score-identical to the
+    exact scorer for every query, including head/tail/absent term mixes."""
+    import random
+
+    _, reader, oracle, _, _ = built
+    vocab = sorted(oracle.postings)
+    rng = random.Random(7)
+    queries = [
+        ["def", "return", "import"], ["def"], ["zzznope", "def"],
+        ["마법", "소녀", "건담"], ["self", "class", "def", "return", "import"],
+    ]
+    for _ in range(40):
+        queries.append(rng.sample(vocab, rng.randint(2, 5)))
+    for tokens in queries:
+        for k in (1, 3, 10, 50):
+            exact = reader.bm25_topk(tokens, k, prune=False)
+            pruned = reader.bm25_topk(tokens, k, prune=True)
+            assert [d for d, _ in exact] == [d for d, _ in pruned], (tokens, k)
+            for (_, a), (_, b) in zip(exact, pruned):
+                assert math.isclose(a, b, rel_tol=1e-12), (tokens, k)
+
+
 def test_content_sha256_invariant(built):
     """Per-row invariant: docs/ content_sha256 equals sha256 of source content."""
     import hashlib
