@@ -129,6 +129,78 @@ def analyze_strings(col: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
     }
 
 
+def analyze_strings_coded(
+    col: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
+    """Like ``analyze_strings`` but terms come back factorized: returns
+    ``(doc_idx, term_code int32, pos, dictionary)``. Factorization uses
+    Arrow ``dictionary_encode`` (C) — an order of magnitude faster than
+    ``np.unique`` over a Python-object string array, which dominated the
+    tokenizer profile."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    sanitized = pc.replace_substring_regex(col, pattern=SANITIZE_RE, replacement="")
+    toks = pc.utf8_split_whitespace(sanitized)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    is_alpha = pc.match_substring_regex(flat, f"^{ALPHA_RE}$")
+    is_hangul = pc.match_substring_regex(flat, f"^{HANGUL_RE}$")
+    keep = pc.or_(is_alpha, is_hangul)
+    norm = pc.if_else(is_alpha, pc.utf8_lower(flat), flat)
+    kept_terms = pc.filter(norm, keep)
+    kept_parent = pc.filter(parent, keep)
+
+    denc = kept_terms.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = denc.dictionary
+
+    doc_idx = kept_parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(doc_idx)
+    pos = np.zeros(n, dtype=np.int32)
+    if n:
+        starts = np.flatnonzero(np.diff(doc_idx)) + 1
+        seq = np.arange(n, dtype=np.int32)
+        run_start = np.zeros(n, dtype=np.int32)
+        run_start[starts] = seq[starts]
+        run_start = np.maximum.accumulate(run_start)
+        pos = seq - run_start
+    return doc_idx, codes, pos, dictionary
+
+
+def analyze_batch_coded(
+    batch: pa.Table, content_col: str, id_col: str = "doc_id"
+) -> tuple[dict[str, np.ndarray], pa.Array]:
+    """Batch → grouped per-(doc, term) occurrence data with factorized
+    terms: ``({doc_id, term_code, tf, first_pos}, dictionary)``. The
+    group pass is a pure-int lexsort + run-length reduce."""
+    doc_ids_np = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx, codes, pos, dictionary = analyze_strings_coded(batch[content_col])
+    if len(doc_idx) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return ({"doc_id": z, "term_code": z, "tf": z.astype(np.int32),
+                 "first_pos": z.astype(np.int32)}, dictionary)
+    doc_id = doc_ids_np[doc_idx]
+    order = np.lexsort((pos, codes, doc_id))
+    doc_s, code_s, pos_s = doc_id[order], codes[order], pos[order]
+    new_group = np.ones(len(doc_s), dtype=bool)
+    if len(doc_s) > 1:
+        new_group[1:] = (doc_s[1:] != doc_s[:-1]) | (code_s[1:] != code_s[:-1])
+    group_start = np.flatnonzero(new_group)
+    tf = np.diff(np.append(group_start, len(doc_s))).astype(np.int32)
+    return (
+        {
+            "doc_id": doc_s[group_start],
+            "term_code": code_s[group_start],
+            "tf": tf,
+            # pos sorted ascending within group → group_start row holds min.
+            "first_pos": pos_s[group_start],
+        },
+        dictionary,
+    )
+
+
 def analyze_batch(
     batch: pa.Table, content_col: str, id_col: str = "doc_id"
 ) -> pa.Table:
@@ -138,37 +210,14 @@ def analyze_batch(
     Used by the tokenizer stage of the build pipeline; also emits nothing
     per doc — ``doc_len`` is recovered downstream as Σ tf per doc.
     """
-    occ = analyze_strings(batch[content_col])
-    doc_ids_np = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(occ["doc_idx"]) == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "term": pa.array([], pa.string()),
-                "tf": pa.array([], pa.int32()),
-                "first_pos": pa.array([], pa.int32()),
-            }
-        )
-    doc_id = doc_ids_np[occ["doc_idx"]]
-    term = occ["term"]
-    pos = occ["pos"]
-    # Group by (doc_id, term): factorize terms to int codes, sort, run-length
-    # reduce. Int lexsort is much faster than object-array comparison.
-    uniq_terms, term_code = np.unique(term, return_inverse=True)
-    order = np.lexsort((pos, term_code, doc_id))
-    doc_s, code_s, pos_s = doc_id[order], term_code[order], pos[order]
-    term_s = uniq_terms[code_s]
-    new_group = np.ones(len(doc_s), dtype=bool)
-    if len(doc_s) > 1:
-        new_group[1:] = (doc_s[1:] != doc_s[:-1]) | (code_s[1:] != code_s[:-1])
-    group_start = np.flatnonzero(new_group)
-    tf = np.diff(np.append(group_start, len(doc_s))).astype(np.int32)
+    grouped, dictionary = analyze_batch_coded(batch, content_col, id_col)
+    terms = (pc.take(dictionary, pa.array(grouped["term_code"]))
+             if len(grouped["term_code"]) else pa.array([], pa.string()))
     return pa.table(
         {
-            "doc_id": pa.array(doc_s[group_start]),
-            "term": pa.array(term_s[group_start]),
-            "tf": pa.array(tf),
-            # pos sorted ascending within group → group_start row holds min.
-            "first_pos": pa.array(pos_s[group_start]),
+            "doc_id": pa.array(grouped["doc_id"], pa.int64()),
+            "term": terms.cast(pa.string()) if len(grouped["term_code"]) else terms,
+            "tf": pa.array(grouped["tf"], pa.int32()),
+            "first_pos": pa.array(grouped["first_pos"], pa.int32()),
         }
     )

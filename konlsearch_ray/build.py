@@ -48,8 +48,7 @@ import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Sum
 
-from konlsearch_ray.analyzer import analyze_batch
-from konlsearch_ray.codec import encode_posting
+from konlsearch_ray.codec import encode_postings_grouped
 from konlsearch_ray.ids import assign_doc_ids
 
 # Sentinel "term" carrying per-doc token counts through the same exploded
@@ -114,17 +113,17 @@ class TokenizeStage:
         self.shard_size = shard_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        occ = analyze_batch(batch, self.content_col)  # doc_id, term, tf, first_pos
-        doc = occ["doc_id"].to_numpy(zero_copy_only=False)
-        term = occ["term"].to_numpy(zero_copy_only=False)
-        tf = occ["tf"].to_numpy(zero_copy_only=False)
-        fpos = occ["first_pos"].to_numpy(zero_copy_only=False)
+        from konlsearch_ray.analyzer import analyze_batch_coded
+
+        occ, dictionary = analyze_batch_coded(batch, self.content_col)
+        doc = occ["doc_id"]
+        code = occ["term_code"]
+        tf = occ["tf"].astype(np.int64)
+        fpos = occ["first_pos"].astype(np.int64)
         shard = (doc - 1) // self.shard_size if len(doc) else doc
 
-        # Group (shard, term) → lists. analyze_batch output is sorted by
-        # (doc_id, term); re-sort by (shard, term, doc_id).
-        uniq, code = (np.unique(term, return_inverse=True) if len(term)
-                      else (np.array([], dtype=object), np.array([], dtype=np.int64)))
+        # Group (shard, term_code) → lists; pure-int lexsort (term codes
+        # come factorized from the analyzer — no object-array sort here).
         order = np.lexsort((doc, code, shard))
         doc_s, code_s, tf_s, fp_s, sh_s = (
             doc[order], code[order], tf[order], fpos[order], shard[order])
@@ -135,7 +134,9 @@ class TokenizeStage:
         starts = np.flatnonzero(new)
         offsets = np.append(starts, n).astype(np.int32)
 
-        out_term = uniq[code_s[starts]] if n else np.array([], dtype=object)
+        out_term = (pc.take(dictionary, pa.array(code_s[starts]))
+                    .cast(pa.string()).to_numpy(zero_copy_only=False)
+                    if n else np.array([], dtype=object))
         out_shard = sh_s[starts] if n else np.array([], dtype=np.int64)
 
         # Sentinel doclen rows: all batch docs grouped by shard.
@@ -191,66 +192,77 @@ def _encode_shard(group: pa.Table, index_dir: str) -> pa.Table:
     arrival order is erased by the global (term, doc_id) sort.
     """
     shard = int(group["shard"][0].as_py())
-    term_l = group["term"].to_numpy(zero_copy_only=False)
-    doc_ll = group["doc_ids"].to_numpy(zero_copy_only=False)
-    tf_ll = group["tfs"].to_numpy(zero_copy_only=False)
-    pos_ll = group["poss"].to_numpy(zero_copy_only=False)
+    term_col = group["term"]
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    is_doclen_arr = pc.equal(term_col, DOCLEN_TERM)
+    dl_tab = group.filter(is_doclen_arr)
+    post_tab = group.filter(pc.invert(is_doclen_arr))
 
-    is_doclen = term_l == DOCLEN_TERM
-    # Doclens: concat sentinel lists, sort by doc_id, dedupe (a doc appears
-    # in exactly one tokenize batch, so no dupes expected).
-    dl_docs = (np.concatenate([np.asarray(x) for x in doc_ll[is_doclen]])
-               if is_doclen.any() else np.array([], dtype=np.int64))
-    dl_vals = (np.concatenate([np.asarray(x) for x in tf_ll[is_doclen]])
-               if is_doclen.any() else np.array([], dtype=np.int32))
+    def flat_list(tab: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+        arr = tab[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        return vals, lens
+
+    # Doclens: concat sentinel lists, sort by doc_id (a doc appears in
+    # exactly one tokenize batch, so no dupes).
+    dl_docs, _ = flat_list(dl_tab, "doc_ids")
+    dl_vals, _ = flat_list(dl_tab, "tfs")
     o = np.argsort(dl_docs, kind="stable")
-    dl_docs, dl_vals = dl_docs[o].astype(np.int64), dl_vals[o].astype(np.int64)
+    dl_docs, dl_vals = dl_docs[o], dl_vals[o]
 
-    # Postings: flatten partial lists with repeated terms, sort, slice.
-    post_mask = ~is_doclen
-    terms_rep, flat_doc, flat_tf, flat_pos = [], [], [], []
-    for t, dl_, tl_, pl_ in zip(
-        term_l[post_mask], doc_ll[post_mask], tf_ll[post_mask], pos_ll[post_mask]
-    ):
-        terms_rep.append(np.full(len(dl_), t, dtype=object))
-        flat_doc.append(np.asarray(dl_))
-        flat_tf.append(np.asarray(tl_))
-        flat_pos.append(np.asarray(pl_))
-    if terms_rep:
-        terms_rep = np.concatenate(terms_rep)
-        flat_doc = np.concatenate(flat_doc).astype(np.int64)
-        flat_tf = np.concatenate(flat_tf).astype(np.int64)
-        flat_pos = np.concatenate(flat_pos).astype(np.int64)
-    else:
-        terms_rep = np.array([], dtype=object)
-        flat_doc = np.array([], dtype=np.int64)
-        flat_tf = np.array([], dtype=np.int64)
-        flat_pos = np.array([], dtype=np.int64)
+    # Postings: Arrow-native flatten; factorize terms via dictionary_encode
+    # and remap codes to lexicographic rank so segment rows sort by term
+    # deterministically; one whole-shard grouped varint encode.
+    flat_doc, row_lens = flat_list(post_tab, "doc_ids")
+    flat_tf, _ = flat_list(post_tab, "tfs")
+    flat_pos, _ = flat_list(post_tab, "poss")
+    pterms = post_tab["term"]
+    if isinstance(pterms, pa.ChunkedArray):
+        pterms = pterms.combine_chunks()
+    denc = pterms.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    row_code = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_np = denc.dictionary.to_numpy(zero_copy_only=False)
+    dict_order = np.argsort(dict_np, kind="stable")
+    rank_of_code = np.empty(len(dict_order), dtype=np.int64)
+    rank_of_code[dict_order] = np.arange(len(dict_order))
+    entry_rank = np.repeat(rank_of_code[row_code], row_lens) \
+        if len(row_code) else np.zeros(0, dtype=np.int64)
 
-    uniq, code = np.unique(terms_rep, return_inverse=True)
-    order = np.lexsort((flat_doc, code))
-    code_s, doc_s, tf_s, pos_s = code[order], flat_doc[order], flat_tf[order], flat_pos[order]
-    n = len(code_s)
+    order = np.lexsort((flat_doc, entry_rank))
+    rank_s, doc_s, tf_s, pos_s = (
+        entry_rank[order], flat_doc[order], flat_tf[order], flat_pos[order])
+    n = len(rank_s)
     new = np.ones(n, dtype=bool)
     if n > 1:
-        new[1:] = code_s[1:] != code_s[:-1]
+        new[1:] = rank_s[1:] != rank_s[:-1]
     starts = np.flatnonzero(new)
-    bounds = np.append(starts, n)
 
-    rows = {k: [] for k in ("term", "df", "cf", "doc_ids_bin", "tfs_bin",
-                            "pos_bin", "block_last_doc", "block_max_tf")}
-    for i, s in enumerate(starts):
-        e = bounds[i + 1]
-        enc = encode_posting(doc_s[s:e], tf_s[s:e], pos_s[s:e])
-        rows["term"].append(str(uniq[code_s[s]]))
-        rows["df"].append(enc["df"])
-        rows["cf"].append(enc["cf"])
-        rows["doc_ids_bin"].append(enc["doc_ids_bin"])
-        rows["tfs_bin"].append(enc["tfs_bin"])
-        rows["pos_bin"].append(enc["pos_bin"])
-        rows["block_last_doc"].append(enc["block_last_doc"])
-        rows["block_max_tf"].append(enc["block_max_tf"])
-    seg_table = pa.table(rows, schema=SEGMENT_SCHEMA)
+    enc = encode_postings_grouped(starts, doc_s, tf_s, pos_s)
+    sorted_terms = dict_np[dict_order]
+    out_terms = sorted_terms[rank_s[starts]] if n else np.array([], dtype=object)
+    bl_off = pa.array(
+        np.concatenate(([0], np.cumsum(enc["nblocks"]))), pa.int32())
+    seg_table = pa.table(
+        {
+            "term": pa.array(out_terms, pa.string()),
+            "df": pa.array(enc["df"], pa.int64()),
+            "cf": pa.array(enc["cf"], pa.int64()),
+            "doc_ids_bin": pa.array(enc["doc_ids_bin"], pa.large_binary()),
+            "tfs_bin": pa.array(enc["tfs_bin"], pa.large_binary()),
+            "pos_bin": pa.array(enc["pos_bin"], pa.large_binary()),
+            "block_last_doc": pa.ListArray.from_arrays(
+                bl_off, pa.array(enc["block_last_flat"], pa.int64())),
+            "block_max_tf": pa.ListArray.from_arrays(
+                bl_off, pa.array(enc["block_max_flat"], pa.int32())),
+        },
+        schema=SEGMENT_SCHEMA,
+    )
 
     seg_dir = os.path.join(index_dir, "segments")
     dl_dir = os.path.join(index_dir, "doclens")
@@ -325,7 +337,12 @@ def _first_wins_dedup(ds: ray.data.Dataset, key_cols: list[str]) -> ray.data.Dat
             key = pc.binary_join_element_wise(key, t[k].cast(pa.string()), sep)
         return t.append_column("__dedup_key", key)
 
-    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    # The keyed dataset has two consumers (the light-column groupby and the
+    # winner filter); Ray Data re-executes lineage per consumer, which would
+    # re-read and re-hash the corpus. Materialize once at the branch point —
+    # blocks live in the object store (spilling at scale) either way, since
+    # the canonical sort right after this is an all-to-all over them.
+    keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()
     light = keyed.select_columns(["content_sha256", "__dedup_key"])
     agg = light.groupby("content_sha256").aggregate(
         _Min("__dedup_key", alias_name="winner"), _Count(alias_name="n"))

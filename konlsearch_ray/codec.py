@@ -24,14 +24,18 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized."""
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, vectorized.
+
+    Returns ``(buffer, nbytes)`` where ``nbytes[i]`` is the encoded byte
+    length of ``values[i]`` — the grouped encoder uses the per-value sizes
+    to slice one shared buffer into per-term blobs.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # Bytes needed per value: ceil(bitlen/7), min 1.
     nbits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
     # bit_length via log2 on float is unsafe near 2^53; use a loop over shifts.
     tmp = v.copy()
     while True:
@@ -52,7 +56,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
         out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized."""
+    return varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -103,6 +112,76 @@ def encode_posting(
         "pos_bin": varint_encode(positions),
         "block_last_doc": block_last,
         "block_max_tf": block_max_tf,
+    }
+
+
+def encode_postings_grouped(
+    starts: np.ndarray,
+    doc_s: np.ndarray,
+    tf_s: np.ndarray,
+    pos_s: np.ndarray,
+) -> dict:
+    """Vectorized whole-shard posting encode.
+
+    Input: the shard's posting entries sorted by (term, doc_id) —
+    ``starts`` marks each term's first entry. One varint pass runs over
+    the full concatenated streams; per-term blobs are then zero-copy-ish
+    slices of the shared buffers (the per-term ``encode_posting`` loop
+    this replaces spent ~50µs of call overhead per df=1 term).
+
+    Returns columns aligned with ``starts``: df, cf, doc_ids_bin, tfs_bin,
+    pos_bin (lists of bytes) and block metadata as flat arrays +
+    per-term block counts (``block_*_flat``, ``nblocks``) ready for
+    ``pa.ListArray.from_arrays``. Output is byte-identical to calling
+    ``encode_posting`` per term.
+    """
+    n = len(doc_s)
+    nterms = len(starts)
+    bounds = np.append(starts, n)
+    df = np.diff(bounds)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return {"df": z, "cf": z, "doc_ids_bin": [], "tfs_bin": [],
+                "pos_bin": [], "block_last_flat": z, "block_max_flat": z,
+                "nblocks": z}
+    doc_s = np.ascontiguousarray(doc_s, dtype=np.int64)
+    tf_s = np.ascontiguousarray(tf_s, dtype=np.uint64)
+    pos_s = np.ascontiguousarray(pos_s, dtype=np.uint64)
+    # Delta gaps with reset at each term's first entry.
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = doc_s[1:] - doc_s[:-1]
+    gaps[starts] = doc_s[starts]
+    cf = np.add.reduceat(tf_s.astype(np.int64), starts)
+
+    gap_buf, gap_nb = varint_encode_with_sizes(gaps.astype(np.uint64))
+    tf_buf, tf_nb = varint_encode_with_sizes(tf_s)
+    pos_buf, pos_nb = varint_encode_with_sizes(pos_s)
+
+    def slices(buf: bytes, nb: np.ndarray) -> list[bytes]:
+        off = np.concatenate(([0], np.cumsum(nb)))
+        term_beg = off[starts]
+        term_end = off[bounds[1:]]
+        return [buf[int(b):int(e)] for b, e in zip(term_beg, term_end)]
+
+    # Block metadata: per term, blocks of BLOCK_SIZE entries.
+    local = np.arange(n, dtype=np.int64) - np.repeat(starts, df)
+    is_block_start = (local % BLOCK_SIZE) == 0
+    is_block_end = ((local + 1) % BLOCK_SIZE == 0)
+    is_block_end[bounds[1:] - 1] = True
+    block_starts_idx = np.flatnonzero(is_block_start)
+    block_max = np.maximum.reduceat(tf_s.astype(np.int64), block_starts_idx) \
+        if len(block_starts_idx) else np.zeros(0, dtype=np.int64)
+    block_last = doc_s[is_block_end]
+    nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    return {
+        "df": df.astype(np.int64),
+        "cf": cf,
+        "doc_ids_bin": slices(gap_buf, gap_nb),
+        "tfs_bin": slices(tf_buf, tf_nb),
+        "pos_bin": slices(pos_buf, pos_nb),
+        "block_last_flat": block_last,
+        "block_max_flat": block_max,
+        "nblocks": nblocks.astype(np.int64),
     }
 
 

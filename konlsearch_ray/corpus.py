@@ -24,6 +24,18 @@ _HANGUL_WORDS = ["ë§ˆë²•", "ì†Œë…€", "ëª¨ëž˜", "íŠ¹ê¸‰", "íŠ¹ë³„", "ê±´ë‹´", "ì£
 _NOISE = list('@_!#$%^&*()<>?/\\|}{~:]",')
 
 
+def _alpha_suffix(i: int) -> str:
+    """Base-26 alphabetic encoding â€” keeps identifiers inside ``[A-Za-z]+``
+    so the analyzer retains them (digit-suffixed tokens would be dropped
+    by the is_alpha/is_hangul filter and collapse the corpus vocabulary)."""
+    out = []
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out.append(chr(ord("a") + r))
+    return "".join(reversed(out))
+
+
 def _vocab(size: int, rng: np.random.Generator) -> list[str]:
     syll = ["get", "set", "idx", "buf", "tok", "doc", "map", "arr", "str", "num",
             "tmp", "ctx", "cfg", "ptr", "len", "val", "key", "row", "col", "seg"]
@@ -31,7 +43,7 @@ def _vocab(size: int, rng: np.random.Generator) -> list[str]:
     for i in range(size):
         parts = rng.integers(1, 4)
         w = "".join(str(syll[int(rng.integers(0, len(syll)))]) for _ in range(parts))
-        out.append(f"{w}{i}")
+        out.append(f"{w}{_alpha_suffix(i)}")
     return out
 
 
@@ -113,7 +125,7 @@ def write_corpus(
     already exists (used by bench.py to cache the bench corpus under /tmp).
     """
     meta_path = os.path.join(out_dir, "_corpus_meta")
-    tag = f"docs={num_docs} seed={seed} v=1 {sorted(kw.items())}"
+    tag = f"docs={num_docs} seed={seed} v=2 {sorted(kw.items())}"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if f.read() == tag:

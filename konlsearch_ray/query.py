@@ -86,6 +86,20 @@ class IndexReader:
             self._segments.append((t, {s: i for i, s in enumerate(terms)}))
         self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._block_ub_cache: dict[str, np.ndarray] = {}
+        self._live_mask_cache: dict[str, np.ndarray | None] = {}
+
+        # Tombstones: deleted docs are masked out of every posting list at
+        # decode time; collection stats are recomputed over live docs so
+        # BM25 reflects deletions immediately (segment rewrite happens
+        # lazily via tombstone.compact_index — SURVEY.md SO5).
+        from konlsearch_ray.tombstone import load_tombstones
+
+        self._dead = load_tombstones(index_dir)
+        if len(self._dead):
+            live = ~np.isin(self._dl_docs, self._dead, assume_unique=True)
+            self.n_docs = int(live.sum())
+            live_tokens = float(self._dl_vals[live].sum())
+            self.avgdl = (live_tokens / self.n_docs) if self.n_docs else 1.0
         self._min_dl = float(self._dl_vals.min()) if len(self._dl_vals) else 1.0
 
     # --- posting access -------------------------------------------------
@@ -115,6 +129,13 @@ class IndexReader:
                 np.array([], dtype=np.int32),
                 np.array([], dtype=np.int32),
             )
+        mask = None
+        if len(self._dead) and len(out[0]):
+            keep = ~np.isin(out[0], self._dead, assume_unique=True)
+            if not keep.all():
+                mask = keep
+                out = (out[0][keep], out[1][keep], out[2][keep])
+        self._live_mask_cache[term] = mask
         self._cache[term] = out
         return out
 
@@ -148,6 +169,11 @@ class IndexReader:
             out = np.concatenate(parts)
         else:
             out = np.array([], dtype=np.int64)
+        # Align with postings(): apply the same tombstone mask.
+        self.postings(term)
+        mask = self._live_mask_cache.get(term)
+        if mask is not None:
+            out = out[mask]
         self._block_ub_cache[term] = out
         return out
 

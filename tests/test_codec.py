@@ -54,3 +54,38 @@ def test_encode_posting_roundtrip():
 def test_encode_posting_rejects_unsorted():
     with pytest.raises(ValueError):
         encode_posting(np.array([3, 2]), np.array([1, 1]), np.array([0, 0]))
+
+
+def test_grouped_encode_matches_per_term():
+    """encode_postings_grouped must be byte-identical to per-term
+    encode_posting over random grouped data (including df=1 and >BLOCK_SIZE
+    groups)."""
+    import numpy as np
+
+    from konlsearch_ray.codec import encode_posting, encode_postings_grouped
+
+    rng = np.random.default_rng(3)
+    doc_parts, tf_parts, pos_parts, starts = [], [], [], []
+    n = 0
+    for df in [1, 2, 5, 127, 128, 129, 1000, 1, 300]:
+        ids = np.sort(rng.choice(np.arange(1, 100000), size=df, replace=False))
+        starts.append(n)
+        n += df
+        doc_parts.append(ids)
+        tf_parts.append(rng.integers(1, 300, size=df))
+        pos_parts.append(rng.integers(0, 5000, size=df))
+    doc_s = np.concatenate(doc_parts)
+    tf_s = np.concatenate(tf_parts)
+    pos_s = np.concatenate(pos_parts)
+    g = encode_postings_grouped(np.asarray(starts), doc_s, tf_s, pos_s)
+    bl_off = np.concatenate(([0], np.cumsum(g["nblocks"])))
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else n
+        ref = encode_posting(doc_s[s:e], tf_s[s:e], pos_s[s:e])
+        assert g["df"][i] == ref["df"]
+        assert g["cf"][i] == ref["cf"]
+        assert g["doc_ids_bin"][i] == ref["doc_ids_bin"], i
+        assert g["tfs_bin"][i] == ref["tfs_bin"], i
+        assert g["pos_bin"][i] == ref["pos_bin"], i
+        assert list(g["block_last_flat"][bl_off[i]:bl_off[i + 1]]) == ref["block_last_doc"]
+        assert list(g["block_max_flat"][bl_off[i]:bl_off[i + 1]]) == ref["block_max_tf"]
