@@ -13,16 +13,18 @@ with two phases over ``ray.data.Dataset``:
   ``docs/`` partitioned by shard.
 
 **Phase B — posting segments** (resumable per shard):
-  read only incomplete shards' docs (column-pruned to doc_id + content) →
-  tokenizer stage (``map_batches``, Arrow in/out, emits per-batch partial
-  posting rows pre-combined by (shard, term) — the combiner that keeps the
-  shuffle small) → ``groupby("shard")`` (the ONE wide exchange; shards are
-  equal doc-ID ranges so the shuffle is skew-free by construction — this is
-  the "salt by doc-range" strategy of SURVEY.md §7(b): head terms are
-  split across shards into disjoint, ordered sub-lists that concatenate
-  back into a globally sorted posting list with no merge logic) →
-  per-shard encoder task: sort (term, doc_id), delta-gap + varint encode,
-  block-max metadata, atomic segment + doclens + manifest write.
+  The docstore write in phase A already hash-partitioned docs by shard on
+  disk (``docs/shard=K/``), so phase B needs NO exchange at all: one task
+  per incomplete shard reads its own partition (column-pruned to doc_id +
+  content), tokenizes in bounded sub-batches, sorts (term, doc_id),
+  delta-gap + varint encodes with block-max metadata, and atomically
+  writes segment + doclens + manifest. Shards are equal doc-ID ranges, so
+  head-term postings are split across shards into disjoint ordered
+  sub-lists that concatenate back into a globally sorted posting list with
+  no merge logic — the "salt by doc-range" skew strategy of SURVEY.md
+  §7(b), realized as physical partitioning instead of a shuffle. (An
+  earlier design shuffled exploded (term, doc, tf, pos) rows through
+  ``groupby("shard")``; the sort-exchange cost ~3x the useful compute.)
 
 **Finalize**: global ``stats.json`` (N, avgdl, total_tokens) from shard
 manifests; ``dictionary/`` = groupby(term) over the segments' (term, df,
@@ -49,7 +51,6 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from konlsearch_ray.codec import encode_postings_grouped
-from konlsearch_ray.ids import assign_doc_ids
 
 # Sentinel "term" carrying per-doc token counts through the same exploded
 # stream as real postings (kept tokens are never empty strings).
@@ -79,6 +80,12 @@ class IndexConfig:
     store_cols: list[str] | None = None  # extra columns persisted in docs/
     tokenize_batch_size: int = 512
     tokenize_concurrency: int | tuple[int, int] | None = None
+    # Actor-pool tokenizer (SURVEY.md ST1): required when the pluggable
+    # analyzer holds real per-worker state (a morpheme model / dictionary,
+    # loaded once per actor in __init__). The normative default analyzer is
+    # a stateless vectorized regex pass, so plain tasks — which reuse warm
+    # workers and skip actor-pool spin-up — are the default.
+    tokenizer_actors: bool = False
     id_start: int = 1
 
 
@@ -113,14 +120,18 @@ class TokenizeStage:
         self.shard_size = shard_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _tokenize_batch(batch, self.content_col, self.shard_size)
+
+
+def _tokenize_batch(batch: pa.Table, content_col: str, shard_size: int) -> pa.Table:
         from konlsearch_ray.analyzer import analyze_batch_coded
 
-        occ, dictionary = analyze_batch_coded(batch, self.content_col)
+        occ, dictionary = analyze_batch_coded(batch, content_col)
         doc = occ["doc_id"]
         code = occ["term_code"]
         tf = occ["tf"].astype(np.int64)
         fpos = occ["first_pos"].astype(np.int64)
-        shard = (doc - 1) // self.shard_size if len(doc) else doc
+        shard = (doc - 1) // shard_size if len(doc) else doc
 
         # Group (shard, term_code) → lists; pure-int lexsort (term codes
         # come factorized from the analyzer — no object-array sort here).
@@ -147,7 +158,7 @@ class TokenizeStage:
             o2 = np.argsort(all_doc, kind="stable")
             pos_in = np.searchsorted(all_doc[o2], doc_s)
             np.add.at(dlen, o2[pos_in], tf_s)
-        sh_all = (all_doc - 1) // self.shard_size
+        sh_all = (all_doc - 1) // shard_size
         o3 = np.lexsort((all_doc, sh_all))
         sh_sorted, doc_sorted, dlen_sorted = sh_all[o3], all_doc[o3], dlen[o3]
         s_new = np.ones(len(sh_sorted), dtype=bool)
@@ -184,14 +195,58 @@ class TokenizeStage:
         )
 
 
-def _encode_shard(group: pa.Table, index_dir: str) -> pa.Table:
+class ShardBuildStage:
+    """Actor-pool shard builder for stateful analyzers (SURVEY.md ST1):
+    the analyzer state loads once per actor in ``__init__``; each call
+    builds one shard end-to-end (tokenize sub-batches + encode + write)."""
+
+    def __init__(self, cfg: IndexConfig, index_dir: str,
+                 shard_files: dict[int, list[str]]):
+        self.cfg = cfg
+        self.index_dir = index_dir
+        self.shard_files = shard_files
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = [
+            _build_shard(int(s), self.shard_files[int(s)], self.cfg,
+                         self.index_dir)
+            for s in batch["shard"].to_pylist()
+        ]
+        return pa.concat_tables(outs)
+
+
+def _build_shard(shard: int, shard_files: list[str], cfg: IndexConfig,
+                 index_dir: str) -> pa.Table:
+    """Tokenize + encode + write ONE shard end-to-end inside a single task.
+
+    The docstore write already hash-partitioned docs by shard on disk
+    (``docs/shard=K/``), so the posting build needs NO exchange: each task
+    reads its own partition (column-pruned), tokenizes in bounded
+    sub-batches, and encodes. This replaces an earlier groupby("shard")
+    design whose sort-shuffle of the exploded (term, doc, tf, pos) stream
+    cost ~3x the useful tokenize+encode compute.
+    """
+    t = pa.concat_tables(
+        pq.read_table(f, columns=["doc_id", cfg.content_col])
+        for f in shard_files)
+    parts = [
+        _tokenize_batch(t.slice(i, cfg.tokenize_batch_size),
+                        cfg.content_col, cfg.shard_size)
+        for i in range(0, t.num_rows, cfg.tokenize_batch_size)
+    ]
+    group = pa.concat_tables(parts) if parts else _tokenize_batch(
+        t, cfg.content_col, cfg.shard_size)
+    return _encode_shard(group, index_dir, expected_shard=shard)
+
+
+def _encode_shard(group: pa.Table, index_dir: str,
+                  expected_shard: int | None = None) -> pa.Table:
     """Encode + atomically write one shard's segment, doclens and manifest.
 
-    Runs inside the groupby("shard") map task on a worker. Deterministic:
-    output depends only on the shard's (doc, term) content — partial-row
-    arrival order is erased by the global (term, doc_id) sort.
+    Deterministic: output depends only on the shard's (doc, term) content —
+    partial-row arrival order is erased by the global (term, doc_id) sort.
     """
-    shard = int(group["shard"][0].as_py())
+    shard = int(group["shard"][0].as_py()) if group.num_rows else int(expected_shard or 0)
     term_col = group["term"]
     if isinstance(term_col, pa.ChunkedArray):
         term_col = term_col.combine_chunks()
@@ -313,56 +368,262 @@ def _file_sha(path: str) -> str:
 # --------------------------------------------------------------------------
 
 
-def _first_wins_dedup(ds: ray.data.Dataset, key_cols: list[str]) -> ray.data.Dataset:
-    """Exact first-wins dedup by ``content_sha256`` without a full-row shuffle.
+_KEY_SEP = "\x00"
 
-    Only *light* columns (sha + canonical key) go through the groupby; full
-    rows never move. The winner map is restricted to shas that actually have
-    duplicates (having count > 1), so the broadcast is proportional to the
-    duplicate count, not the corpus. Scale path for extreme duplicate
-    volumes: replace the broadcast with a sha-partitioned semi-join.
+
+def _col_as_sortable_str(t: pa.Table, col: str):
+    """String projection that preserves order — integer columns are
+    zero-padded so min-by-string equals min-by-value."""
+    c = t[col]
+    if pa.types.is_integer(c.type):
+        return pc.ascii_lpad(pc.cast(c, pa.string()), 20, "0")
+    return c.cast(pa.string())
+
+
+def _add_dedup_key(t: pa.Table, key_cols: list[str]) -> pa.Table:
+    key = _col_as_sortable_str(t, key_cols[0])
+    for k in key_cols[1:]:
+        key = pc.binary_join_element_wise(
+            key, _col_as_sortable_str(t, k), _KEY_SEP)
+    return t.append_column("__dedup_key", key)
+
+
+def _dedup_winners(ds: ray.data.Dataset, key_cols: list[str]):
+    """Light-column dedup pre-pass: returns ``(dup_shas, winner_keys)`` as
+    Arrow arrays (empty when the corpus has no duplicates).
+
+    Only (sha, canonical key) go through the groupby — full rows never
+    move, and nothing is materialized. The winner set is restricted to
+    shas with count > 1, so the broadcast is proportional to the duplicate
+    volume, not the corpus. Scale path for extreme duplicate volumes:
+    replace the broadcast with a sha-partitioned semi-join.
 
     First-wins = keep the row with the minimum canonical key (matches the
     reference's earliest-doc dedup, reference index.py:299-305).
     """
-    import ray as _ray
     from ray.data.aggregate import Count as _Count
     from ray.data.aggregate import Min as _Min
 
-    sep = "\x00"
+    light = (
+        ds.map_batches(
+            lambda t: _add_dedup_key(t, key_cols)
+            .select(["content_sha256", "__dedup_key"]),
+            batch_format="pyarrow")
+        .groupby("content_sha256")
+        .aggregate(_Min("__dedup_key", alias_name="winner"),
+                   _Count(alias_name="n"))
+    )
+    dups = pa.Table.from_pandas(
+        light.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow")
+        .select_columns(["content_sha256", "winner"]).to_pandas())
+    if dups.num_rows == 0:
+        return pa.array([], pa.string()), pa.array([], pa.string())
+    return (dups["content_sha256"].combine_chunks().cast(pa.string()),
+            dups["winner"].combine_chunks().cast(pa.string()))
 
-    def add_key(t: pa.Table) -> pa.Table:
-        key = t[key_cols[0]].cast(pa.string())
-        for k in key_cols[1:]:
-            key = pc.binary_join_element_wise(key, t[k].cast(pa.string()), sep)
-        return t.append_column("__dedup_key", key)
 
-    # The keyed dataset has two consumers (the light-column groupby and the
-    # winner filter); Ray Data re-executes lineage per consumer, which would
-    # re-read and re-hash the corpus. Materialize once at the branch point —
-    # blocks live in the object store (spilling at scale) either way, since
-    # the canonical sort right after this is an all-to-all over them.
-    keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()
-    light = keyed.select_columns(["content_sha256", "__dedup_key"])
-    agg = light.groupby("content_sha256").aggregate(
-        _Min("__dedup_key", alias_name="winner"), _Count(alias_name="n"))
-    dups = agg.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-    ).select_columns(["content_sha256", "winner"]).to_pandas()
-    winners_ref = _ray.put(dict(zip(dups["content_sha256"], dups["winner"])))
+def _winner_filter(t: pa.Table, dup_shas, winner_keys, key_cols: list[str]) -> pa.Table:
+    """Vectorized first-wins filter: a row is dropped iff its sha is a
+    duplicate sha AND its canonical key is not that sha's winner."""
+    if len(dup_shas) == 0:
+        return t
+    t = _add_dedup_key(t, key_cols)
+    idx = pc.index_in(t["content_sha256"], value_set=dup_shas)
+    is_dup = pc.is_valid(idx)
+    winner = pc.take(winner_keys, pc.fill_null(idx, 0))
+    keep = pc.or_(pc.invert(is_dup), pc.equal(t["__dedup_key"], winner))
+    return t.filter(pc.fill_null(keep, True)).drop_columns(["__dedup_key"])
 
-    def keep(t: pa.Table) -> pa.Table:
-        winners = _ray.get(winners_ref)
-        if winners:
-            sha = t["content_sha256"].to_pylist()
-            key = t["__dedup_key"].to_pylist()
-            mask = pa.array(
-                [winners.get(s) is None or winners[s] == k
-                 for s, k in zip(sha, key)])
-            t = t.filter(mask)
-        return t.drop_columns(["__dedup_key"])
 
-    return keyed.map_batches(keep, batch_format="pyarrow")
+# Above this many input rows the driver-side dedup pass (which pulls one
+# light (sha) column to the driver) hands off to the shuffle-based
+# pre-pass. ~64 B/row → ~3 GB driver heap at the threshold.
+DEDUP_DRIVER_MAX_ROWS = 50_000_000
+
+
+def _estimate_rows(source) -> int:
+    """Cheap row-count estimate: Parquet footer metadata for path sources;
+    Dataset sources (tests, small ad-hoc builds) assume the driver path."""
+    try:
+        if isinstance(source, str):
+            paths = [source]
+        elif isinstance(source, (list, tuple)):
+            paths = list(source)
+        else:
+            return 0
+        total = 0
+        for p in paths:
+            if os.path.isdir(p):
+                files = [os.path.join(p, n) for n in os.listdir(p)
+                         if n.endswith(".parquet")]
+            else:
+                files = [p]
+            for f in files:
+                total += pq.ParquetFile(f).metadata.num_rows
+        return total
+    except Exception:
+        return 0
+
+
+@ray.remote
+def _block_shas(ref: pa.Table) -> pa.Array:
+    col = ref["content_sha256"]
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+@ray.remote
+def _block_light(ref: pa.Table, key_cols: list[str]) -> pa.Table:
+    keyed = _add_dedup_key(ref, key_cols)
+    sha = keyed["content_sha256"]
+    key = keyed["__dedup_key"]
+    return pa.table({
+        "sha": sha.combine_chunks() if isinstance(sha, pa.ChunkedArray) else sha,
+        "key": key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key,
+    })
+
+
+@ray.remote
+def _finish_docs_block(
+    block: pa.Table, keep: np.ndarray | None, ids: np.ndarray,
+    shard_size: int, keep_cols: list[str], docs_dir: str, block_idx: int,
+) -> int:
+    """Filter losers, attach doc_id + shard, and write this block's rows
+    into ``docs/shard=K/`` — one fused task, no follow-up write pipeline.
+
+    Rows within a shard file are NOT doc_id-sorted (blocks are in input
+    order); phase B sorts per (term, doc_id) anyway and the docstore is
+    accessed by filter, so only the partitioning matters.
+    """
+    if keep is not None and not keep.all():
+        block = block.filter(pa.array(keep))
+    block = block.append_column("doc_id", pa.array(ids, pa.int64()))
+    shard = (ids - 1) // shard_size
+    block = block.append_column("shard", pa.array(shard, pa.int64()))
+    cols = [c for c in block.schema.names if c in set(keep_cols) | {"shard"}]
+    block = block.select(cols)
+    n = 0
+    for s in np.unique(shard):
+        sub = block.filter(pa.array(shard == s)).drop_columns(["shard"])
+        d = os.path.join(docs_dir, f"shard={int(s)}")
+        os.makedirs(d, exist_ok=True)
+        _atomic_write_parquet(sub, os.path.join(d, f"block-{block_idx:05d}.parquet"))
+        n += sub.num_rows
+    return n
+
+
+def _driver_rank_docs(
+    ds: ray.data.Dataset, cfg: IndexConfig, docs_dir: str
+) -> None:
+    """Small/medium-corpus docs phase: canonical IDs by *driver-side rank*
+    instead of a full-data sort exchange.
+
+    One full-data pipeline (read → sha → materialize), then a light wave
+    collecting (sha, key) per block (~tens of bytes/row to the driver — the
+    ``DEDUP_DRIVER_MAX_ROWS`` guard keeps this bounded), a driver argsort
+    giving each row its dense rank (= doc_id) with first-wins dedup, and a
+    fused task wave that filters, attaches IDs, and writes each block's
+    rows into the shard-partitioned docstore. Full rows never shuffle at
+    all — the partitioned write is the only data movement.
+    """
+    mat = ds.materialize()
+    block_refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            block_refs.append((ref, meta.num_rows))
+    if not block_refs:
+        os.makedirs(docs_dir, exist_ok=True)
+        return
+    light = ray.get([
+        _block_light.remote(ref, cfg.sort_keys) for ref, _ in block_refs])
+    keys = np.concatenate(
+        [t["key"].to_numpy(zero_copy_only=False) for t in light])
+    shas = np.concatenate(
+        [t["sha"].to_numpy(zero_copy_only=False) for t in light])
+    order = np.argsort(keys, kind="stable")
+    import pandas as pd
+
+    if cfg.dedup:
+        keep_sorted = (~pd.Series(shas[order]).duplicated()).to_numpy()
+    else:
+        keep_sorted = np.ones(len(order), dtype=bool)
+    ids_sorted = cfg.id_start - 1 + np.cumsum(keep_sorted)
+    keep = np.empty(len(order), dtype=bool)
+    keep[order] = keep_sorted
+    ids = np.empty(len(order), dtype=np.int64)
+    ids[order] = ids_sorted  # meaningful only where keep is True
+
+    keep_cols = {"doc_id", "content_sha256", cfg.content_col}
+    keep_cols |= set(cfg.store_cols or [])
+    keep_cols |= set(cfg.sort_keys)
+    waves, off = [], 0
+    for i, (ref, n) in enumerate(block_refs):
+        k = keep[off:off + n]
+        waves.append(_finish_docs_block.remote(
+            ref, None if k.all() else k, ids[off:off + n][k],
+            cfg.shard_size, sorted(keep_cols), docs_dir, i))
+        off += n
+    ray.get(waves)
+
+
+@ray.remote
+def _filter_and_id_block(
+    block: pa.Table, mask: np.ndarray | None, offset: int
+) -> pa.Table:
+    if mask is not None and not mask.all():
+        block = block.filter(pa.array(mask))
+    ids = pa.array(np.arange(offset, offset + block.num_rows, dtype=np.int64))
+    return block.append_column("doc_id", ids)
+
+
+def _sorted_dedup_ids(
+    ds: ray.data.Dataset, sort_keys: list[str], start: int, dedup: bool
+) -> ray.data.Dataset:
+    """Canonical sort → (optional dedup) → dense 1-based doc IDs, in ONE
+    full-data pass.
+
+    After sorting by the canonical key, first-wins dedup (reference
+    index.py:299-305) is simply "keep the first occurrence of each sha in
+    sorted order": the driver scans the *light* sha column of the sorted
+    blocks (one tiny task per block), computes per-block keep-masks, and a
+    single task wave applies mask + ``doc_id = offset + arange`` per block
+    (offsets from a driver prefix-sum over post-filter counts — metadata
+    only). Above ``DEDUP_DRIVER_MAX_ROWS`` the caller should use the
+    shuffle pre-pass (``_dedup_winners``/``_winner_filter``) instead.
+    """
+    mat = ds.sort(sort_keys).materialize()
+    block_refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            block_refs.append((ref, meta.num_rows))
+    if not block_refs:
+        empty = pa.table({"doc_id": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
+
+    masks: list = [None] * len(block_refs)
+    counts = [n for _, n in block_refs]
+    if dedup:
+        sha_parts = ray.get(
+            [_block_shas.remote(ref) for ref, _ in block_refs])
+        all_sha = pa.concat_arrays(
+            [p if isinstance(p, pa.Array) else p.combine_chunks()
+             for p in sha_parts])
+        import pandas as pd
+
+        keep_all = (~pd.Series(all_sha.to_pandas()).duplicated()).to_numpy()
+        off = 0
+        for i, (_, n) in enumerate(block_refs):
+            m = keep_all[off:off + n]
+            off += n
+            if not m.all():
+                masks[i] = m
+            counts[i] = int(m.sum())
+    offsets = start + np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out_refs = [
+        _filter_and_id_block.remote(ref, masks[i], int(offsets[i]))
+        for i, (ref, _) in enumerate(block_refs)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> None:
@@ -370,19 +631,41 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> None:
     marker = os.path.join(index_dir, "_DOCS_DONE")
     if os.path.exists(marker):
         return
-    ds = source if isinstance(source, ray.data.Dataset) else ray.data.read_parquet(source)
-    ds = ds.map_batches(
-        _sha256_batch, batch_format="pyarrow",
-        fn_kwargs={"content_col": cfg.content_col})
+
+    def read():
+        ds = (source if isinstance(source, ray.data.Dataset)
+              else ray.data.read_parquet(source))
+        return ds.map_batches(
+            _sha256_batch, batch_format="pyarrow",
+            fn_kwargs={"content_col": cfg.content_col})
+
+    ds = read()
     if cfg.id_col is None:
+        small = _estimate_rows(source) <= DEDUP_DRIVER_MAX_ROWS
+        if small:
+            # Driver-rank path: one full-data pipeline, light key wave,
+            # fused filter+ids+partitioned-write task wave. No shuffle.
+            _driver_rank_docs(ds, cfg, docs_dir)
+            with open(marker, "w") as f:
+                f.write("ok")
+            return
+        # Huge-scale path: shuffle dedup pre-pass + canonical sort + ids.
         if cfg.dedup:
-            ds = _first_wins_dedup(ds, key_cols=cfg.sort_keys)
-        ds = assign_doc_ids(ds, cfg.sort_keys, start=cfg.id_start)
+            dup_shas, winner_keys = _dedup_winners(read(), cfg.sort_keys)
+            ds = ds.map_batches(
+                _winner_filter, batch_format="pyarrow",
+                fn_kwargs={"dup_shas": dup_shas, "winner_keys": winner_keys,
+                           "key_cols": cfg.sort_keys})
+        ds = _sorted_dedup_ids(ds, cfg.sort_keys, cfg.id_start, dedup=False)
     else:
+        if cfg.dedup:
+            dup_shas, winner_keys = _dedup_winners(read(), [cfg.id_col])
+            ds = ds.map_batches(
+                _winner_filter, batch_format="pyarrow",
+                fn_kwargs={"dup_shas": dup_shas, "winner_keys": winner_keys,
+                           "key_cols": [cfg.id_col]})
         if cfg.id_col != "doc_id":
             ds = ds.rename_columns({cfg.id_col: "doc_id"})
-        if cfg.dedup:
-            ds = _first_wins_dedup(ds, key_cols=["doc_id"])
 
     def add_shard(batch: pa.Table) -> pa.Table:
         shard = pc.divide(pc.subtract(batch["doc_id"], 1), cfg.shard_size)
@@ -413,38 +696,50 @@ def _completed_shards(index_dir: str) -> set[int]:
 def _postings_phase(index_dir: str, cfg: IndexConfig) -> None:
     docs_dir = os.path.join(index_dir, "docs")
     done = _completed_shards(index_dir)
-    shard_dirs = []
+    shard_files: dict[int, list[str]] = {}
     for name in sorted(os.listdir(docs_dir)):
         if not name.startswith("shard="):
             continue
         shard = int(name.split("=", 1)[1])
         if shard not in done:
             sub = os.path.join(docs_dir, name)
-            shard_dirs.extend(
+            shard_files[shard] = [
                 os.path.join(sub, f) for f in sorted(os.listdir(sub))
-                if f.endswith(".parquet"))
-    if not shard_dirs:
+                if f.endswith(".parquet")]
+    if not shard_files:
         return
-    ds = ray.data.read_parquet(shard_dirs, columns=["doc_id", cfg.content_col])
-    concurrency = cfg.tokenize_concurrency
-    if concurrency is None:
-        # Autoscaling actor pool sized to the session's CPUs, leaving head-
-        # room for the read and shuffle stages.
-        import ray as _ray
+    def build_batch(batch: pa.Table) -> pa.Table:
+        outs = [
+            _build_shard(int(s), shard_files[int(s)], cfg, index_dir)
+            for s in batch["shard"].to_pylist()
+        ]
+        return pa.concat_tables(outs)
 
-        ncpu = int(_ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, ncpu - 2))
-    exploded = ds.map_batches(
-        TokenizeStage,
-        fn_constructor_kwargs={
-            "content_col": cfg.content_col, "shard_size": cfg.shard_size},
-        batch_format="pyarrow",
-        batch_size=cfg.tokenize_batch_size,
-        concurrency=concurrency,
-    )
-    manifests = exploded.groupby("shard").map_groups(
-        _encode_shard, batch_format="pyarrow", fn_kwargs={"index_dir": index_dir})
-    manifests.materialize()  # drive the pipeline; manifest rows are tiny
+    # One block per shard — map_batches parallelism follows blocks, so a
+    # single-block from_arrow would serialize every shard into one task.
+    shard_ids = sorted(shard_files)
+    shards_ds = ray.data.from_items(
+        [{"shard": s} for s in shard_ids],
+        override_num_blocks=len(shard_ids))
+    if cfg.tokenizer_actors:
+        # Stateful-analyzer path (SURVEY.md ST1): shard tasks run on an
+        # actor pool that loads the analyzer once per worker.
+        concurrency = cfg.tokenize_concurrency
+        if concurrency is None:
+            import ray as _ray
+
+            ncpu = int(_ray.cluster_resources().get("CPU", 4))
+            concurrency = (1, max(2, ncpu - 2))
+        shards_ds.map_batches(
+            ShardBuildStage, fn_constructor_kwargs={
+                "cfg": cfg, "index_dir": index_dir,
+                "shard_files": shard_files},
+            batch_format="pyarrow", batch_size=1, concurrency=concurrency,
+        ).materialize()
+    else:
+        shards_ds.map_batches(
+            build_batch, batch_format="pyarrow", batch_size=1,
+        ).materialize()
 
 
 def _finalize(index_dir: str) -> dict:
@@ -469,17 +764,32 @@ def _finalize(index_dir: str) -> dict:
                  if n.endswith(".parquet")]
     dict_dir = os.path.join(index_dir, "dictionary")
     if seg_files:
-        dct = (
-            ray.data.read_parquet(seg_files, columns=["term", "df", "cf"])
-            .groupby("term")
-            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-        )
         tmp_dir = dict_dir + ".tmp"
         if os.path.isdir(tmp_dir):
             import shutil
 
             shutil.rmtree(tmp_dir)
-        dct.write_parquet(tmp_dir)
+        n_terms = sum(m["n_terms"] for m in manifests)
+        if n_terms <= 4_000_000:
+            # Small dictionary: merge on the driver — a Ray groupby
+            # pipeline costs seconds of fixed latency for kilobytes of
+            # stats. (Columns are pruned either way.)
+            t = pa.concat_tables(
+                pq.read_table(f, columns=["term", "df", "cf"])
+                for f in seg_files)
+            agg = (t.group_by("term")
+                   .aggregate([("df", "sum"), ("cf", "sum")])
+                   .rename_columns(["term", "df", "cf"]))
+            os.makedirs(tmp_dir, exist_ok=True)
+            pq.write_table(agg, os.path.join(tmp_dir, "dict-000000.parquet"),
+                           compression="zstd")
+        else:
+            dct = (
+                ray.data.read_parquet(seg_files, columns=["term", "df", "cf"])
+                .groupby("term")
+                .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+            )
+            dct.write_parquet(tmp_dir)
         if os.path.isdir(dict_dir):
             import shutil
 
@@ -499,8 +809,19 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None) -> dict:
     ``source`` is a Parquet path/paths or an existing ``ray.data.Dataset``.
     Ray must already be initialised by the caller (driver contract).
     """
+    import time
+
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
+    t0 = time.perf_counter()
     _docs_phase(source, index_dir, cfg)
+    t1 = time.perf_counter()
     _postings_phase(index_dir, cfg)
-    return _finalize(index_dir)
+    t2 = time.perf_counter()
+    stats = _finalize(index_dir)
+    stats["phase_sec"] = {
+        "docs": round(t1 - t0, 3),
+        "postings": round(t2 - t1, 3),
+        "finalize": round(time.perf_counter() - t2, 3),
+    }
+    return stats

@@ -89,6 +89,95 @@ def ann_topk(
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+    lloyd_iters: int = 3,
+) -> pa.Table:
+    """IVF (inverted-file) approximate top-k — the scale path for ANN.
+
+    Coarse quantizer: k-means centroids fitted on a driver-side sample
+    (a few Lloyd iterations — centroids are tiny and broadcast via
+    ``ray.put``). Every batch assigns its vectors to their nearest
+    centroid and emits per-batch partial top-k only for vectors whose
+    centroid is among each query's ``n_probe`` closest — so each batch
+    does one matmul against the queries but scores only the probed
+    subset. With ``n_probe == n_centroids`` results are exact (equal to
+    ``ann_topk``); smaller ``n_probe`` trades recall for compute. At
+    cluster scale the natural layout keys the dataset by centroid id so
+    probing reads only ``n_probe/n_centroids`` of the blocks.
+    """
+    qset = set(int(q) for q in query_ids)
+    q_rows = ds.filter(expr=f"{id_col} in {sorted(qset)}").to_pandas()
+    q_ids = q_rows[id_col].to_numpy().astype(np.int64)
+    q_mat = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in q_rows[vec_col]]))
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+
+    # Fit centroids on a sample (deterministic).
+    sample = ds.random_sample(
+        min(1.0, 4096 / max(ds.count(), 1)), seed=seed).to_pandas()
+    smat = _normalize(np.stack(
+        [np.asarray(v, np.float64) for v in sample[vec_col]]))
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(smat))
+    cent = smat[rng.choice(len(smat), size=n_centroids, replace=False)]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(smat @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = smat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    # Queries probe their n_probe closest centroids.
+    q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((q_ids, q_mat, cent, q_probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qm, ce, qp = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(batch, vec_col))
+        centroid_of = np.argmax(m @ ce.T, axis=1)
+        sims = qm @ m.T
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qi)):
+            probed = np.isin(centroid_of, qp[i]) & (ids != qi[i])
+            if not probed.any():
+                continue
+            s = sims[i][probed]
+            nid = ids[probed]
+            kk = min(k, len(s))
+            top = (np.argpartition(-s, kk - 1)[:kk]
+                   if kk < len(s) else np.arange(len(s)))
+            out_q.extend([qi[i]] * len(top))
+            out_n.extend(nid[top])
+            out_s.extend(s[top])
+        return pa.table(
+            {"qid": pa.array(out_q, pa.int64()),
+             "neighbor": pa.array(out_n, pa.int64()),
+             "cos": pa.array(out_s, pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for q in q_ids:
+        sub = parts[parts["qid"] == q]
+        idx = np.lexsort((sub["neighbor"].to_numpy(), -sub["cos"].to_numpy()))[:k]
+        sub = sub.iloc[idx].reset_index(drop=True)
+        sub["rk"] = np.arange(1, len(sub) + 1, dtype=np.int64)
+        out.append(sub)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"qid": [], "neighbor": [], "cos": [], "rk": []})
+    res["cos"] = res["cos"].round(4)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
 def cosine_pairs(
     ds: ray.data.Dataset,
     tau: float,

@@ -11,12 +11,108 @@ argument read fresh per run.
 
 from __future__ import annotations
 
+import json
+import os
+import time
+import uuid
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Count, Sum
+
+
+class SearchLog:
+    """Append-only search-token log (reference log.py:22-47).
+
+    Buffered in memory per writer; ``flush()`` writes one immutable
+    Parquet part. Keys mirror the reference's ``{ts}:{seq:04d}:{token}``
+    scheme as typed columns: ``ts`` (epoch seconds), ``seq`` (per-second
+    counter, reset each second — log.py:26-38), ``term``, ``hits``.
+    Only non-empty-posting tokens get logged by the caller (Q7,
+    inverted_index.py:108-109).
+    """
+
+    def __init__(self, log_dir: str, clock=time.time):
+        self.log_dir = log_dir
+        self._clock = clock
+        self._buf: list[tuple[int, int, str, int]] = []
+        self._last_sec = -1
+        self._seq = 0
+        os.makedirs(log_dir, exist_ok=True)
+
+    def log(self, term: str, hits: int) -> None:
+        sec = int(self._clock())
+        if sec != self._last_sec:
+            self._last_sec, self._seq = sec, 0
+        else:
+            self._seq += 1
+        self._buf.append((sec, self._seq, term, int(hits)))
+
+    def flush(self) -> str | None:
+        if not self._buf:
+            return None
+        t = pa.table({
+            "ts": pa.array([r[0] for r in self._buf], pa.int64()),
+            "seq": pa.array([r[1] for r in self._buf], pa.int32()),
+            "term": pa.array([r[2] for r in self._buf], pa.string()),
+            "hits": pa.array([r[3] for r in self._buf], pa.int64()),
+        })
+        name = f"log-{uuid.uuid4().hex[:12]}.parquet"
+        tmp = os.path.join(self.log_dir, "." + name + ".tmp")
+        pq.write_table(t, tmp)
+        path = os.path.join(self.log_dir, name)
+        os.replace(tmp, path)
+        self._buf.clear()
+        return path
+
+
+def aggregate_search_frequency(log_dir: str, freq_dir: str) -> pa.Table:
+    """Incremental per-term hit aggregation with an offset checkpoint.
+
+    The reference drains the log from a persisted offset into per-token
+    frequency counts (inverted_index.py:121-128, A3) but caches the
+    offset at construction, double-counting on a second call in the same
+    session (Q4). Fixed here: the offset (set of consumed log parts) is
+    read fresh from the manifest every run, so re-running aggregates only
+    new parts, exactly once. Returns the merged term→hits table.
+    """
+    os.makedirs(freq_dir, exist_ok=True)
+    manifest_path = os.path.join(freq_dir, "manifest.json")
+    consumed: set[str] = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            consumed = set(json.load(f)["consumed"])
+    parts = sorted(
+        n for n in os.listdir(log_dir)
+        if n.endswith(".parquet") and n not in consumed)
+    freq_path = os.path.join(freq_dir, "frequency.parquet")
+    if parts:
+        new = (ray.data.read_parquet([os.path.join(log_dir, n) for n in parts])
+               .groupby("term").aggregate(Sum("hits", alias_name="hits"))
+               .to_pandas())
+        if os.path.exists(freq_path):
+            old = pq.read_table(freq_path).to_pandas()
+            new = (pd.concat([old, new], ignore_index=True)
+                   .groupby("term", as_index=False)["hits"].sum())
+        new = new.sort_values("term").reset_index(drop=True)
+        out = pa.table({"term": pa.array(new["term"], pa.string()),
+                        "hits": pa.array(new["hits"].astype("int64"))})
+        tmp = freq_path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, freq_path)
+        consumed |= set(parts)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"consumed": sorted(consumed)}, f)
+        os.replace(tmp, manifest_path)
+    if os.path.exists(freq_path):
+        return pq.read_table(freq_path)
+    return pa.table({"term": pa.array([], pa.string()),
+                     "hits": pa.array([], pa.int64())})
 
 
 def aggregate_from_offset(

@@ -17,6 +17,41 @@ import ray.data
 
 TOP_K = 5  # the reference counter's bound (counter.py:12-18)
 
+# --- Hangul jamo decomposition (reference trie.py:29-30 uses hgtk) --------
+# Pure-arithmetic decomposition of precomposed syllables (U+AC00..U+D7A3)
+# into compatibility jamo: 마법 → ㅁㅏㅂㅓㅂ. Non-Hangul chars pass through,
+# so mixed/ASCII terms still get sensible prefixes.
+
+_CHO = "ㄱㄲㄴㄷㄸㄹㅁㅂㅃㅅㅆㅇㅈㅉㅊㅋㅌㅍㅎ"
+_JUNG = "ㅏㅐㅑㅒㅓㅔㅕㅖㅗㅘㅙㅚㅛㅜㅝㅞㅟㅠㅡㅢㅣ"
+_JONG = ["", "ㄱ", "ㄲ", "ㄳ", "ㄴ", "ㄵ", "ㄶ", "ㄷ", "ㄹ", "ㄺ", "ㄻ", "ㄼ",
+         "ㄽ", "ㄾ", "ㄿ", "ㅀ", "ㅁ", "ㅂ", "ㅄ", "ㅅ", "ㅆ", "ㅇ", "ㅈ",
+         "ㅊ", "ㅋ", "ㅌ", "ㅍ", "ㅎ"]
+
+
+def decompose_jamo(s: str) -> str:
+    """Decompose Hangul syllables to compatibility jamo (trie key space).
+
+    Equivalent role to the reference's ``hgtk.text.decompose`` minus its
+    syllable terminator chars — prefix matching over the jamo stream is
+    what the reference trie provides (trie.py:38-67), so ``마`` and even
+    the partial ``ㅁ`` match tokens starting with 마법.
+    """
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if 0xAC00 <= o <= 0xD7A3:
+            i = o - 0xAC00
+            cho, rem = divmod(i, 21 * 28)
+            jung, jong = divmod(rem, 28)
+            out.append(_CHO[cho])
+            out.append(_JUNG[jung])
+            if jong:
+                out.append(_JONG[jong])
+        else:
+            out.append(ch)
+    return "".join(out)
+
 
 def suggest(dictionary: ray.data.Dataset, prefix: str) -> ray.data.Dataset:
     """Sorted terms with the given prefix (reference trie search semantics,
@@ -26,6 +61,61 @@ def suggest(dictionary: ray.data.Dataset, prefix: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     return hits.select_columns(["term"]).sort("term")
+
+
+def suggest_jamo(dictionary: ray.data.Dataset, prefix: str) -> ray.data.Dataset:
+    """Jamo-level prefix suggestions (reference trie semantics, J5):
+    decompose every term and the query prefix to compatibility jamo and
+    prefix-match there, so partial-syllable queries (``특``, ``ㅌ``)
+    match ``특급``/``특별``; results sorted lexicographically by the
+    original term (trie.py:41)."""
+    q = decompose_jamo(prefix)
+
+    def f(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        mask = pa.array([decompose_jamo(x).startswith(q) for x in terms])
+        return t.filter(mask)
+
+    return (dictionary.map_batches(f, batch_format="pyarrow")
+            .select_columns(["term"]).sort("term"))
+
+
+def topk_per_jamo_prefix(
+    frequency: ray.data.Dataset,
+    term_col: str = "term",
+    count_col: str = "hits",
+    k: int = TOP_K,
+) -> ray.data.Dataset:
+    """Reference A4 parity: for every jamo prefix of every term, the
+    bounded top-k (term, count) by count desc / term asc — the
+    flat-table form of trie.increase_frequency + KonlCounter (trie.py:
+    207-216, counter.py:41-90). ``flat_map`` explodes term → its jamo
+    prefixes; a grouped top-k replaces the evict-min counter."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms = t[term_col].to_pylist()
+        counts = t[count_col].to_pylist()
+        p_out, t_out, c_out = [], [], []
+        for term, cnt in zip(terms, counts):
+            j = decompose_jamo(term)
+            for i in range(1, len(j) + 1):
+                p_out.append(j[:i])
+                t_out.append(term)
+                c_out.append(cnt)
+        return pa.table({
+            "prefix": pa.array(p_out, pa.string()),
+            "term": pa.array(t_out, pa.string()),
+            "hits": pa.array(c_out, pa.int64()),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hits", "term"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = pd.Series(range(1, len(g) + 1), dtype="int64")
+        return g[["prefix", "term", "hits", "rk"]]
+
+    return (frequency.map_batches(explode, batch_format="pyarrow")
+            .groupby("prefix").map_groups(topk, batch_format="pandas"))
 
 
 def topk_per_prefix(

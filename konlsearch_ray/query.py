@@ -56,8 +56,16 @@ class SearchMode(str, Enum):
 class IndexReader:
     """Loads stats + doclens eagerly, posting lists lazily (cached)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, log_dir: str | None = None):
         self.index_dir = index_dir
+        # Optional search-token log (reference log.py; Q7: only tokens
+        # with non-empty postings are logged).
+        if log_dir is not None:
+            from konlsearch_ray.pipelines.logagg import SearchLog
+
+            self.search_log = SearchLog(log_dir)
+        else:
+            self.search_log = None
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.n_docs = int(self.stats["N"])
@@ -190,6 +198,8 @@ class IndexReader:
         result: np.ndarray | None = None
         for t in toks:
             ids = self.postings(t)[0]
+            if self.search_log is not None and len(ids):
+                self.search_log.log(t, len(ids))
             if result is None:
                 result = ids
             elif mode is SearchMode.OR:

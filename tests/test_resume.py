@@ -45,6 +45,7 @@ def test_determinism_across_batch_layouts(ray_session, corpus, tmp_path):
                                             tokenize_batch_size=37))
     sb = build_index(corpus, b, IndexConfig(shard_size=SHARD_SIZE,
                                             tokenize_batch_size=250))
+    sa.pop("phase_sec", None); sb.pop("phase_sec", None)
     assert sa == sb
     ha, hb = _tree_hashes(a), _tree_hashes(b)
     assert ha == hb  # byte-identical segments + doclens
