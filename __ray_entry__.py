@@ -219,6 +219,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _ann(_embeddings(sf_dir), [0, 1, 2, 3, 4], k=ANN_K)
 
+    def ann_ivf(sf_dir):
+        # Full probing (n_probe == n_centroids) → exact; shares ann_topk's
+        # oracle. Fewer probes is the approximate scale path (rows-only
+        # recall covered in tests/test_functions.py).
+        from konlsearch_ray.functions.similarity import ivf_topk
+
+        return ivf_topk(_embeddings(sf_dir), [0, 1, 2, 3, 4], k=ANN_K,
+                        n_centroids=8, n_probe=8)
+
+    def suggest_jamo_prefix(sf_dir):  # rows-only (jamo decomposition not in SQL)
+        import ray.data
+
+        from konlsearch_ray.pipelines.suggest import suggest_jamo
+
+        d = os.path.join(_index_dir(sf_dir), "dictionary")
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        return suggest_jamo(ray.data.read_parquet(files), "s")
+
+    def freq_topk_jamo(sf_dir):  # rows-only (jamo decomposition not in SQL)
+        import ray.data
+
+        from konlsearch_ray.pipelines.suggest import topk_per_jamo_prefix
+
+        d = os.path.join(_index_dir(sf_dir), "dictionary")
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        out = topk_per_jamo_prefix(
+            ray.data.read_parquet(files), count_col="df").to_pandas()
+        out = out[out["prefix"].str.len() <= 2]
+        return pa.table({"prefix": pa.array(out["prefix"], pa.string()),
+                         "term": pa.array(out["term"], pa.string()),
+                         "hits": pa.array(out["hits"].astype("int64")),
+                         "rk": pa.array(out["rk"].astype("int64"))})
+
     def lang_id(sf_dir):
         from konlsearch_ray.functions.text import lang_id as _lid
 
@@ -317,6 +352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "embed_neardup": embed_neardup,
         "ann_topk": ann_topk,
+        "ann_ivf": ann_ivf,
+        "suggest_jamo_prefix": suggest_jamo_prefix,
+        "freq_topk_jamo": freq_topk_jamo,
         "lang_id": lang_id,
         "text_quality": text_quality,
         "token_count": token_count,
@@ -441,6 +479,18 @@ SELECT a.vec_id::BIGINT AS a, b.vec_id::BIGINT AS b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {EMBED_TAU}""",
         "ann_topk": f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+sims AS (SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+                list_cosine_similarity(q.v, e.v) AS cos
+         FROM q CROSS JOIN e WHERE e.vec_id <> q.vec_id),
+ranked AS (SELECT qid, neighbor, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rk
+           FROM sims)
+SELECT qid::BIGINT AS qid, neighbor::BIGINT AS neighbor,
+       round(cos, 4) AS cos, rk::BIGINT AS rk
+FROM ranked WHERE rk <= {ANN_K}""",
+        "ann_ivf": f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
 FROM embeddings),
 q AS (SELECT * FROM e WHERE vec_id < 5),
 sims AS (SELECT q.vec_id AS qid, e.vec_id AS neighbor,

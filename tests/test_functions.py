@@ -116,3 +116,36 @@ def test_media_stage_and_stubs(ray_session):
     with pytest.raises(NotImplementedError):
         stage(pa.table({"event_id": pa.array([1], pa.int64()),
                         "props": pa.array(["x"])}))
+
+
+def test_ivf_equals_exact_when_probing_all(ray_session):
+    """IVF with n_probe == n_centroids scores every vector → must equal the
+    exact brute-force ann_topk; with fewer probes it returns a subset-ish
+    ranking with decent recall."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from konlsearch_ray.functions.similarity import ann_topk, ivf_topk
+
+    rng = np.random.default_rng(0)
+    n, dim = 400, 16
+    vecs = rng.normal(size=(n, dim))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t)
+    exact = ann_topk(ds, [0, 1, 2], k=5).to_pandas()
+    full = ivf_topk(ds, [0, 1, 2], k=5, n_centroids=8, n_probe=8).to_pandas()
+    assert exact[["qid", "neighbor", "rk"]].values.tolist() == \
+        full[["qid", "neighbor", "rk"]].values.tolist()
+    # Partial probing: recall@5 over the 3 queries should be high.
+    part = ivf_topk(ds, [0, 1, 2], k=5, n_centroids=8, n_probe=4).to_pandas()
+    hits = 0
+    for q in (0, 1, 2):
+        e = set(exact[exact["qid"] == q]["neighbor"])
+        p = set(part[part["qid"] == q]["neighbor"])
+        hits += len(e & p)
+    assert hits >= 10  # >= 2/3 recall across 15 slots

@@ -97,3 +97,27 @@ def test_manifest_lineage_counters(ray_session, corpus, tmp_path):
             assert hashlib.sha256(f.read()).hexdigest() == m["segment_sha256"]
         total += m["n_docs"]
     assert total == stats["N"]
+
+
+def test_shuffle_scale_docs_path(ray_session, corpus, tmp_path, monkeypatch):
+    """The huge-scale docs path (shuffle dedup pre-pass + sort + ids) must
+    produce an identical index to the driver-rank path."""
+    import konlsearch_ray.build as B
+
+    a = str(tmp_path / "small")
+    build_index(corpus, a, IndexConfig(shard_size=SHARD_SIZE))
+    monkeypatch.setattr(B, "DEDUP_DRIVER_MAX_ROWS", 0)
+    b = str(tmp_path / "big")
+    build_index(corpus, b, IndexConfig(shard_size=SHARD_SIZE))
+    import os
+
+    import pyarrow.parquet as pq
+
+    for sub in ("segments", "doclens"):
+        fa = sorted(os.listdir(os.path.join(a, sub)))
+        fb = sorted(os.listdir(os.path.join(b, sub)))
+        assert fa == fb
+        for n in fa:
+            ta = pq.read_table(os.path.join(a, sub, n))
+            tb = pq.read_table(os.path.join(b, sub, n))
+            assert ta.equals(tb), (sub, n)
