@@ -4,12 +4,18 @@ Re-expresses the capabilities of the reference engine (handrake/KonlSearch,
 an embedded RocksDB per-document posting store — see SURVEY.md) as streaming
 ``ray.data.Dataset`` pipelines:
 
-- tokenization as ``map_batches`` over zero-copy Arrow batches (actor pool),
-- posting-list construction as a doc-range-sharded ``groupby`` with
-  delta-gap + varint compressed posting blobs,
-- query serving (AND/OR/PHRASE/complex boolean + BM25 top-k) from immutable
-  Parquet segment files via a read-only actor pool,
-- per-shard manifests with lineage + counters for checkpoint/resume.
+- tokenization as ``map_batches`` over zero-copy Arrow batches (tasks by
+  default; actor pool for stateful analyzers),
+- posting-list construction with NO shuffle: the docstore is physically
+  partitioned by doc-range shard, and each shard tokenizes + delta-gap /
+  varint-encodes independently,
+- query serving (AND/OR/PHRASE/complex boolean + BM25 top-k with block-max
+  MaxScore pruning) from immutable Parquet segment files via a read-only
+  actor pool,
+- per-shard manifests with lineage + counters for checkpoint/resume,
+- tombstone deletes with segment-rewrite compaction, docstore point/range
+  reads, jamo suggestions, search-log analytics, dedup/similarity/text
+  training-data operators (``functions/``, ``pipelines/``).
 
 Nothing here calls ``ray.init()`` / ``ray.shutdown()`` — sessions are owned
 by the caller (driver, bench.py, or the pytest fixture).
@@ -17,7 +23,9 @@ by the caller (driver, bench.py, or the pytest fixture).
 
 from konlsearch_ray.analyzer import tokenize, sanitize, analyze_batch
 from konlsearch_ray.build import IndexConfig, build_index
-from konlsearch_ray.query import IndexReader, SearchMode
+from konlsearch_ray.docstore import DocStore
+from konlsearch_ray.query import IndexReader, SearchMode, QueryStage
+from konlsearch_ray.tombstone import compact_index, delete_docs
 
 __all__ = [
     "tokenize",
@@ -27,4 +35,8 @@ __all__ = [
     "build_index",
     "IndexReader",
     "SearchMode",
+    "QueryStage",
+    "DocStore",
+    "delete_docs",
+    "compact_index",
 ]

@@ -626,9 +626,24 @@ def _sorted_dedup_ids(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def _write_index_meta(index_dir: str, cfg: IndexConfig) -> None:
+    meta = {
+        "shard_size": cfg.shard_size,
+        "content_col": cfg.content_col,
+        "id_col": cfg.id_col,
+        "sort_keys": cfg.sort_keys,
+        "version": 1,
+    }
+    tmp = os.path.join(index_dir, ".index_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, os.path.join(index_dir, "index_meta.json"))
+
+
 def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> None:
     docs_dir = os.path.join(index_dir, "docs")
     marker = os.path.join(index_dir, "_DOCS_DONE")
+    _write_index_meta(index_dir, cfg)
     if os.path.exists(marker):
         return
 

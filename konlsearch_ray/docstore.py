@@ -1,0 +1,99 @@
+"""Docstore point/range access — reference J3 parity.
+
+The reference exposes ``get(id)``, ``get_multi(ids)``, ``get_range(start,
+end)`` (half-open) and ``get_all`` over its RocksDB docstore (reference
+index.py:364-408). Here the docstore is the shard-partitioned Parquet
+written by the build (``docs/shard=K/``); reads prune at two levels:
+
+1. **shard pruning** — ``shard = (doc_id - 1) // shard_size`` maps an ID
+   set/range to the shard directories that can contain it;
+2. **row-group pruning** — the residual ``doc_id`` filter is pushed into
+   the Parquet read (``pyarrow.parquet`` predicate pushdown).
+
+Tombstoned (deleted) docs are excluded, matching the reference's
+delete-then-get behavior (KeyError → here: absent row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+
+class DocStore:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.docs_dir = os.path.join(index_dir, "docs")
+        with open(os.path.join(index_dir, "index_meta.json")) as f:
+            self.meta = json.load(f)
+        self.shard_size = int(self.meta["shard_size"])
+        from konlsearch_ray.tombstone import load_tombstones
+
+        self._dead = load_tombstones(index_dir)
+
+    def _shard_dirs(self, shards: set[int] | None) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self.docs_dir)):
+            if not name.startswith("shard="):
+                continue
+            if shards is None or int(name.split("=", 1)[1]) in shards:
+                out.append(os.path.join(self.docs_dir, name))
+        return out
+
+    def _read(self, shards: set[int] | None, flt) -> pa.Table:
+        files = []
+        for d in self._shard_dirs(shards):
+            files.extend(
+                os.path.join(d, n) for n in sorted(os.listdir(d))
+                if n.endswith(".parquet"))
+        if not files:
+            return pa.table({})
+        dataset = pads.dataset(files, format="parquet")
+        t = dataset.to_table(filter=flt)
+        if len(self._dead):
+            keep = ~np.isin(t["doc_id"].to_numpy(), self._dead)
+            t = t.filter(pa.array(keep))
+        return t.sort_by("doc_id")
+
+    def get(self, doc_id: int) -> dict | None:
+        """Point lookup; None when absent or deleted (reference raises
+        KeyError — callers can translate)."""
+        shard = (int(doc_id) - 1) // self.shard_size
+        t = self._read({shard}, pads.field("doc_id") == int(doc_id))
+        if t.num_rows == 0:
+            return None
+        return {c: t[c][0].as_py() for c in t.schema.names}
+
+    def get_multi(self, doc_ids: list[int]) -> pa.Table:
+        """Multi-get (reference RocksDB multiget): rows for the IDs that
+        exist, ascending doc_id."""
+        ids = sorted(set(int(x) for x in doc_ids))
+        if not ids:
+            return pa.table({})
+        shards = {(i - 1) // self.shard_size for i in ids}
+        return self._read(shards, pads.field("doc_id").isin(ids))
+
+    def get_range(self, start: int, end: int) -> pa.Table:
+        """Half-open ``[start, end)`` (reference index.py:387-395)."""
+        if end <= start:
+            return pa.table({})
+        shards = set(range((start - 1) // self.shard_size,
+                           (end - 2) // self.shard_size + 1))
+        return self._read(
+            shards,
+            (pads.field("doc_id") >= int(start))
+            & (pads.field("doc_id") < int(end)))
+
+    def get_all(self) -> pa.Table:
+        return self._read(None, None)
+
+    def __len__(self) -> int:
+        """Live doc count (reference __len__, index.py:457-463)."""
+        with open(os.path.join(self.index_dir, "stats.json")) as f:
+            n = json.load(f)["N"]
+        return int(n) - len(self._dead)

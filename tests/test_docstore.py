@@ -1,0 +1,59 @@
+"""DocStore J3 parity: get / get_multi / get_range / get_all / __len__
+(reference index.py:364-408, goldens test_konlsearch.py:308-342)."""
+
+import pytest
+
+from konlsearch_ray.build import IndexConfig, build_index
+from konlsearch_ray.corpus import write_corpus
+from konlsearch_ray.docstore import DocStore
+from konlsearch_ray.tombstone import delete_docs
+
+
+@pytest.fixture(scope="module")
+def store(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    corpus = write_corpus(str(root / "c"), 300, seed=3)
+    idx = str(root / "i")
+    stats = build_index(corpus, idx, IndexConfig(shard_size=64))
+    return DocStore(idx), stats, idx
+
+
+def test_point_get(store):
+    ds, stats, _ = store
+    row = ds.get(1)
+    assert row["doc_id"] == 1 and "content" in row and "content_sha256" in row
+    assert ds.get(stats["N"]) is not None
+    assert ds.get(stats["N"] + 1) is None  # reference: KeyError past the end
+
+
+def test_get_multi(store):
+    ds, stats, _ = store
+    t = ds.get_multi([5, 1, 200, 999999, 5])
+    got = t["doc_id"].to_pylist()
+    assert got == [1, 5, 200]  # dedup'd, sorted, missing skipped
+
+
+def test_get_range_half_open(store):
+    ds, _, _ = store
+    t = ds.get_range(100, 120)
+    assert t["doc_id"].to_pylist() == list(range(100, 120))
+    assert ds.get_range(10, 10).num_rows == 0
+    assert ds.get_range(63, 67)["doc_id"].to_pylist() == [63, 64, 65, 66]  # shard crossing
+
+
+def test_get_all_and_len(store):
+    ds, stats, _ = store
+    t = ds.get_all()
+    assert t.num_rows == stats["N"] == len(ds)
+    ids = t["doc_id"].to_pylist()
+    assert ids == list(range(1, stats["N"] + 1))
+
+
+def test_deleted_docs_absent(store):
+    _, stats, idx = store
+    delete_docs(idx, [2, 101])
+    ds = DocStore(idx)
+    assert ds.get(2) is None
+    assert ds.get_multi([1, 2, 3])["doc_id"].to_pylist() == [1, 3]
+    assert ds.get_range(100, 103)["doc_id"].to_pylist() == [100, 102]
+    assert len(ds) == stats["N"] - 2
