@@ -138,6 +138,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"doc_id": pa.array([d for d, _ in top], pa.int64()),
              "score": pa.array([round(s, 4) for _, s in top], pa.float64())})
 
+    def bm25_sharded(sf_dir):
+        # Scatter-gather serving (K actors x disjoint shard subsets) must
+        # reproduce the single-reader BM25 exactly — same oracle SQL.
+        from konlsearch_ray.query import ShardedQueryEngine
+
+        eng = ShardedQueryEngine(_index_dir(sf_dir), num_actors=3)
+        try:
+            top = eng.bm25_topk(BM25_TOKENS, BM25_K)
+        finally:
+            eng.shutdown()
+        return pa.table(
+            {"doc_id": pa.array([d for d, _ in top], pa.int64()),
+             "score": pa.array([round(s, 4) for _, s in top], pa.float64())})
+
     def term_stats(sf_dir):
         import ray.data
 
@@ -342,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase": search_phrase,
         "search_complex": search_complex,
         "bm25_topk": bm25_topk,
+        "bm25_sharded": bm25_sharded,
         "term_stats": term_stats,
         "index_stats": index_stats,
         "doc_sha256": doc_sha256,
@@ -412,7 +427,7 @@ def oracle_sql() -> dict[str, str]:
             ("fr", ("le", "et", "les", "des", "une", "dans")),
         )
     }
-    return {
+    out = {
         "search_and": _and_sql(AND_TOKENS),
         "search_or": f"""WITH {_KEPT}, {_OCC}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM occ
@@ -552,3 +567,5 @@ GROUP BY event_type ORDER BY hits DESC, event_type LIMIT 5""",
 octet_length(CAST(props AS BLOB))::BIGINT AS nbytes, md5(props) AS digest
 FROM events WHERE event_id < 200""",
     }
+    out["bm25_sharded"] = out["bm25_topk"]
+    return out

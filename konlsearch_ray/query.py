@@ -56,8 +56,17 @@ class SearchMode(str, Enum):
 class IndexReader:
     """Loads stats + doclens eagerly, posting lists lazily (cached)."""
 
-    def __init__(self, index_dir: str, log_dir: str | None = None):
+    def __init__(self, index_dir: str, log_dir: str | None = None,
+                 shards: list[int] | None = None,
+                 use_global_df: bool = False):
+        """``shards``: restrict to a subset of shard segments — the
+        scatter-gather layer gives each query actor its own subset (each
+        doc lives in exactly one shard, so per-doc BM25 scores are
+        complete within an actor). ``use_global_df=True`` loads per-term
+        global df from ``dictionary/`` so idf matches the whole-index
+        reader exactly (local df would skew scores)."""
         self.index_dir = index_dir
+        self.shards = set(shards) if shards is not None else None
         # Optional search-token log (reference log.py; Q7: only tokens
         # with non-empty postings are logged).
         if log_dir is not None:
@@ -71,11 +80,16 @@ class IndexReader:
         self.n_docs = int(self.stats["N"])
         self.avgdl = float(self.stats["avgdl"]) or 1.0
 
+        def _want(fname: str) -> bool:
+            if self.shards is None:
+                return True
+            return int(fname[len("shard-"):-len(".parquet")]) in self.shards
+
         dl_dir = os.path.join(index_dir, "doclens")
         tables = [
             pq.read_table(os.path.join(dl_dir, n))
             for n in sorted(os.listdir(dl_dir))
-            if n.endswith(".parquet")
+            if n.endswith(".parquet") and _want(n)
         ]
         dl = pa.concat_tables(tables) if tables else pa.table(
             {"doc_id": pa.array([], pa.int64()), "doc_len": pa.array([], pa.int64())})
@@ -87,11 +101,23 @@ class IndexReader:
         seg_dir = os.path.join(index_dir, "segments")
         self._segments = []
         for n in sorted(os.listdir(seg_dir)):
-            if not n.endswith(".parquet"):
+            if not n.endswith(".parquet") or not _want(n):
                 continue
             t = pq.read_table(os.path.join(seg_dir, n))
             terms = t["term"].to_pylist()
             self._segments.append((t, {s: i for i, s in enumerate(terms)}))
+
+        self._global_df: dict[str, int] | None = None
+        if use_global_df:
+            d = os.path.join(index_dir, "dictionary")
+            parts = [
+                pq.read_table(os.path.join(d, n), columns=["term", "df"])
+                for n in sorted(os.listdir(d)) if n.endswith(".parquet")
+            ]
+            if parts:
+                dt = pa.concat_tables(parts)
+                self._global_df = dict(zip(
+                    dt["term"].to_pylist(), dt["df"].to_pylist()))
         self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._block_ub_cache: dict[str, np.ndarray] = {}
         self._live_mask_cache: dict[str, np.ndarray | None] = {}
@@ -104,9 +130,23 @@ class IndexReader:
 
         self._dead = load_tombstones(index_dir)
         if len(self._dead):
-            live = ~np.isin(self._dl_docs, self._dead, assume_unique=True)
+            if self.shards is None:
+                g_docs, g_vals = self._dl_docs, self._dl_vals
+            else:
+                # Shard-subset reader: collection stats must stay GLOBAL
+                # for idf/avgdl to match the whole-index reader; read every
+                # shard's (small) doclens just for the stats.
+                tables = [
+                    pq.read_table(os.path.join(dl_dir, n))
+                    for n in sorted(os.listdir(dl_dir))
+                    if n.endswith(".parquet")
+                ]
+                g = pa.concat_tables(tables)
+                g_docs = g["doc_id"].to_numpy()
+                g_vals = g["doc_len"].to_numpy().astype(np.float64)
+            live = ~np.isin(g_docs, self._dead, assume_unique=True)
             self.n_docs = int(live.sum())
-            live_tokens = float(self._dl_vals[live].sum())
+            live_tokens = float(g_vals[live].sum())
             self.avgdl = (live_tokens / self.n_docs) if self.n_docs else 1.0
         self._min_dl = float(self._dl_vals.min()) if len(self._dl_vals) else 1.0
 
@@ -241,7 +281,10 @@ class IndexReader:
 
     # --- BM25 -----------------------------------------------------------
     def idf(self, term: str) -> float:
-        df = self.df(term)
+        if self._global_df is not None:
+            df = self._global_df.get(term, 0)
+        else:
+            df = self.df(term)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def _kernel(self, w: float, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
@@ -416,3 +459,92 @@ class QueryStage:
                 "score": pa.array(scores, pa.float64()),
             }
         )
+
+
+class ShardQueryActor:
+    """One scatter-gather worker: serves queries over its shard subset.
+
+    Plain class — wrap with ``ray.remote(ShardQueryActor)``. Raw actors
+    (not a Dataset stage) because the routed, shared, long-lived index
+    state is exactly what the Dataset API cannot express (a map_batches
+    actor pool cannot pin specific shards to specific actors).
+    """
+
+    def __init__(self, index_dir: str, shards: list[int]):
+        self.reader = IndexReader(index_dir, shards=shards, use_global_df=True)
+
+    def search(self, tokens, mode):
+        return self.reader.search(tokens, mode)
+
+    def search_complex(self, tree):
+        return self.reader.search_complex(tree)
+
+    def bm25_topk(self, tokens, k):
+        return self.reader.bm25_topk(tokens, k)
+
+
+class ShardedQueryEngine:
+    """Distributed query serving: K actors × disjoint shard subsets.
+
+    Each doc lives in exactly one shard, so: Boolean/complex results
+    concatenate (then one sort — subsets are disjoint ID sets); BM25
+    per-doc scores are complete within one actor (global N/avgdl from
+    stats.json, global df from dictionary/), so the merge is a simple
+    top-k over the per-actor partial top-k lists — rank-identical to the
+    single-reader path. This is the cluster layout of the north star: on
+    N nodes each actor owns ~num_shards/K shards; scatter-gather fan-out
+    is one RPC per actor per query.
+    """
+
+    def __init__(self, index_dir: str, num_actors: int = 4):
+        import ray as _ray
+
+        from konlsearch_ray.tombstone import load_tombstones
+
+        if len(load_tombstones(index_dir)):
+            # dictionary/ df is physical (pre-delete); a sharded reader
+            # can't recompute live df for terms outside its subset, so
+            # scores would drift from the whole-index reader.
+            raise ValueError(
+                "ShardedQueryEngine requires a compacted index — run "
+                "konlsearch_ray.tombstone.compact_index() first")
+        seg_dir = os.path.join(index_dir, "segments")
+        shard_ids = sorted(
+            int(n[len("shard-"):-len(".parquet")])
+            for n in os.listdir(seg_dir) if n.endswith(".parquet"))
+        num_actors = max(1, min(num_actors, len(shard_ids)))
+        groups = [shard_ids[i::num_actors] for i in range(num_actors)]
+        cls = _ray.remote(ShardQueryActor)
+        self._actors = [
+            cls.remote(index_dir, g) for g in groups if g]
+
+    def search(self, tokens, mode="AND"):
+        import ray as _ray
+
+        parts = _ray.get([a.search.remote(tokens, mode) for a in self._actors])
+        out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
+                                      for p in parts]))
+        return [int(x) for x in out]
+
+    def search_complex(self, tree):
+        import ray as _ray
+
+        parts = _ray.get([a.search_complex.remote(tree) for a in self._actors])
+        out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
+                                      for p in parts]))
+        return [int(x) for x in out]
+
+    def bm25_topk(self, tokens, k=10):
+        import ray as _ray
+
+        parts = _ray.get([a.bm25_topk.remote(tokens, k) for a in self._actors])
+        merged = [t for p in parts for t in p]
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return merged[:k]
+
+    def shutdown(self):
+        import ray as _ray
+
+        for a in self._actors:
+            _ray.kill(a)
+        self._actors = []

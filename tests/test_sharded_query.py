@@ -1,0 +1,75 @@
+"""Scatter-gather query serving: K actors × disjoint shard subsets must be
+rank- and score-identical to the single whole-index reader (the cluster
+layout of the north star: per-node shard ownership + top-k merge)."""
+
+import math
+import random
+
+import pytest
+
+from konlsearch_ray.build import IndexConfig, build_index
+from konlsearch_ray.corpus import write_corpus
+from konlsearch_ray.query import IndexReader, ShardedQueryEngine
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("sq")
+    corpus = write_corpus(str(root / "c"), 500, seed=11)
+    idx = str(root / "i")
+    build_index(corpus, idx, IndexConfig(shard_size=64))  # 8 shards
+    engine = ShardedQueryEngine(idx, num_actors=3)
+    reader = IndexReader(idx)
+    yield engine, reader
+    engine.shutdown()
+
+
+def test_boolean_modes_match(built):
+    engine, reader = built
+    cases = [
+        (["def", "return"], "AND"), (["def", "건담"], "OR"),
+        (["zzznope", "def"], "AND"), (["import", "self"], "PHRASE"),
+        (["마법", "소녀"], "OR"),
+    ]
+    for tokens, mode in cases:
+        assert engine.search(tokens, mode) == reader.search(tokens, mode), (tokens, mode)
+
+
+def test_complex_matches(built):
+    engine, reader = built
+    tree = (((["def"], "AND"), (["마법"], "OR"), "AND"),
+            ((["특급"], "OR"), (["건담"], "OR"), "OR"), "OR")
+    assert engine.search_complex(tree) == reader.search_complex(tree)
+
+
+def test_bm25_rank_and_score_identical(built):
+    engine, reader = built
+    vocab = []
+    for t, _ in zip(reader._segments[0][1].keys(), range(500)):
+        vocab.append(t)
+    rng = random.Random(3)
+    queries = [["def", "return", "import"], ["def"], ["마법", "건담"]]
+    for _ in range(20):
+        queries.append(rng.sample(vocab, rng.randint(1, 4)))
+    for tokens in queries:
+        for k in (1, 5, 20):
+            a = engine.bm25_topk(tokens, k)
+            b = reader.bm25_topk(tokens, k)
+            assert [d for d, _ in a] == [d for d, _ in b], (tokens, k)
+            for (_, sa), (_, sb) in zip(a, b):
+                assert math.isclose(sa, sb, rel_tol=1e-12), tokens
+
+
+def test_requires_compacted_index(ray_session, tmp_path):
+    from konlsearch_ray.tombstone import compact_index, delete_docs
+
+    corpus = write_corpus(str(tmp_path / "c"), 150, seed=2)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, IndexConfig(shard_size=64))
+    delete_docs(idx, [1])
+    with pytest.raises(ValueError):
+        ShardedQueryEngine(idx, num_actors=2)
+    compact_index(idx)
+    eng = ShardedQueryEngine(idx, num_actors=2)
+    assert 1 not in eng.search(["def"], "OR")
+    eng.shutdown()
