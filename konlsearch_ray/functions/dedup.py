@@ -204,11 +204,22 @@ def minhash_lsh_pairs(
     cand = sig_ds.groupby(["band", "key"]).map_groups(emit, batch_format="pandas")
     cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="nbands"))
 
-    # Broadcast shingle-hash sets for exact verification.
-    sets: dict[int, np.ndarray] = {}
-    for batch in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        for doc, hs in _shingle_hash_sets(batch, content_col, id_col, n):
-            sets[doc] = hs
+    # Broadcast shingle-hash sets for exact verification. Set computation
+    # runs distributed (map_batches); only the compact per-doc summaries
+    # are collected for the ray.put broadcast. At 100 TB the verification
+    # becomes a hash-partitioned semi-join of candidates against this
+    # table instead of a broadcast.
+    def to_sets(batch: pa.Table) -> pa.Table:
+        rows = _shingle_hash_sets(batch, content_col, id_col, n)
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "hs": pa.array([h.tolist() for _, h in rows],
+                           pa.list_(pa.uint64())),
+        })
+
+    sets_df = ds.map_batches(to_sets, batch_format="pyarrow").to_pandas()
+    sets = {int(d): np.asarray(h, dtype=np.uint64)
+            for d, h in zip(sets_df["doc_id"], sets_df["hs"])}
     sets_ref = ray.put(sets)
 
     def verify(batch: pa.Table) -> pa.Table:
