@@ -145,6 +145,16 @@ def run_bench() -> dict:
         lat.append(time.perf_counter() - t0)
     queries["boolean_and_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
 
+    # Exact (unpruned) BM25 for the pruning speedup ratio.
+    lat = []
+    for i in range(N_QUERY_REPS):
+        toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
+                vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
+        t0 = time.perf_counter()
+        reader.bm25_topk(toks, 10, prune=False)
+        lat.append(time.perf_counter() - t0)
+    queries["bm25_exact_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
+
     # --- one training-data pipeline for coverage --------------------------
     import ray.data as rd
 

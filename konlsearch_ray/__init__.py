@@ -22,7 +22,7 @@ by the caller (driver, bench.py, or the pytest fixture).
 """
 
 from konlsearch_ray.analyzer import tokenize, sanitize, analyze_batch
-from konlsearch_ray.build import IndexConfig, build_index
+from konlsearch_ray.build import IndexConfig, append_documents, build_index
 from konlsearch_ray.docstore import DocStore
 from konlsearch_ray.query import IndexReader, SearchMode, QueryStage
 from konlsearch_ray.tombstone import compact_index, delete_docs
@@ -33,6 +33,7 @@ __all__ = [
     "analyze_batch",
     "IndexConfig",
     "build_index",
+    "append_documents",
     "IndexReader",
     "SearchMode",
     "QueryStage",

@@ -840,3 +840,106 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None) -> dict:
         "finalize": round(time.perf_counter() - t2, 3),
     }
     return stats
+
+
+def append_documents(
+    index_dir: str, source, cfg: IndexConfig | None = None
+) -> dict:
+    """Incrementally ingest new documents into an existing index.
+
+    The reference's primary API is one-at-a-time/batch ingest with
+    arrival-order IDs and hash-dict dedup (reference index.py:299-327);
+    the batch-build equivalent:
+
+    - new docs get dense IDs ``N+1..`` in the canonical order of the
+      APPENDED batch (arrival order between batches, canonical within —
+      matching the reference's monotone counter);
+    - exact dedup is global: content whose sha256 already exists in the
+      docstore is skipped (CONFLICT, first-wins — index.py:299-305), as
+      are in-batch duplicates;
+    - appended docs extend the tail shard / open new shards; affected
+      shards' manifests are invalidated so the (idempotent, resumable)
+      postings phase rebuilds exactly those segments;
+    - dictionary and stats re-finalize from the shard manifests.
+
+    Returns the refreshed stats dict.
+    """
+    cfg = cfg or IndexConfig()
+    # shard_size / content_col are properties of the index, not the call —
+    # read them from the persisted meta so appends can't fragment layout.
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        cfg.shard_size = int(meta["shard_size"])
+        cfg.content_col = meta["content_col"]
+    docs_dir = os.path.join(index_dir, "docs")
+    # Existing state: current max doc id + known shas (light column scan).
+    import pyarrow.dataset as pads
+
+    files = []
+    for name in sorted(os.listdir(docs_dir)):
+        sub = os.path.join(docs_dir, name)
+        if os.path.isdir(sub) and name.startswith("shard="):
+            files += [os.path.join(sub, f) for f in sorted(os.listdir(sub))
+                      if f.endswith(".parquet")]
+    if files:
+        existing = pads.dataset(files, format="parquet").to_table(
+            columns=["doc_id", "content_sha256"])
+        max_id = int(pc.max(existing["doc_id"]).as_py() or 0)
+        known = set(existing["content_sha256"].to_pylist())
+    else:
+        max_id, known = 0, set()
+
+    ds = (source if isinstance(source, ray.data.Dataset)
+          else ray.data.read_parquet(source))
+    new = ds.map_batches(
+        _sha256_batch, batch_format="pyarrow",
+        fn_kwargs={"content_col": cfg.content_col}).to_arrow_refs()
+    tables = [t for t in ray.get(new) if t.num_rows]
+    batch = pa.concat_tables(tables) if tables else None
+    if batch is None or batch.num_rows == 0:
+        return _finalize(index_dir)
+
+    # Canonical order within the appended batch, then global dedup.
+    if cfg.sort_keys:
+        batch = _add_dedup_key(batch, cfg.sort_keys).sort_by("__dedup_key")
+        batch = batch.drop_columns(["__dedup_key"])
+    shas = batch["content_sha256"].to_pylist()
+    keep, seen = [], set(known)
+    for s in shas:
+        if s in seen:
+            keep.append(False)
+        else:
+            keep.append(True)
+            seen.add(s)
+    batch = batch.filter(pa.array(keep))
+    n_new = batch.num_rows
+    if n_new == 0:
+        return _finalize(index_dir)
+    ids = np.arange(max_id + 1, max_id + 1 + n_new, dtype=np.int64)
+    batch = batch.append_column("doc_id", pa.array(ids))
+    shard = (ids - 1) // cfg.shard_size
+    keep_cols = {"doc_id", "content_sha256", cfg.content_col}
+    keep_cols |= set(cfg.store_cols or []) | set(cfg.sort_keys)
+    batch = batch.select([c for c in batch.schema.names if c in keep_cols])
+
+    mf_dir = os.path.join(index_dir, "manifests")
+    touched = sorted(set(int(s) for s in np.unique(shard)))
+    for s in np.unique(shard):
+        sub = batch.filter(pa.array(shard == s))
+        d = os.path.join(docs_dir, f"shard={int(s)}")
+        os.makedirs(d, exist_ok=True)
+        import uuid as _uuid
+
+        _atomic_write_parquet(
+            sub, os.path.join(d, f"append-{_uuid.uuid4().hex[:10]}.parquet"))
+        # Invalidate the shard so the postings phase rebuilds it.
+        mf = os.path.join(mf_dir, f"shard-{int(s):06d}.json")
+        if os.path.exists(mf):
+            os.remove(mf)
+    _postings_phase(index_dir, cfg)
+    stats = _finalize(index_dir)
+    stats["appended"] = n_new
+    stats["touched_shards"] = touched
+    return stats

