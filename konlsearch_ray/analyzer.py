@@ -129,6 +129,79 @@ def analyze_strings(col: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
     }
 
 
+class KoreanLexiconAnalyzer:
+    """Stateful analyzer demo — the pluggable morpheme slot (SURVEY.md ST1).
+
+    The reference tokenizes with ``set(mecab.morphs(s)) | set(s.split())``
+    (index.py:98-102): morphemes UNION whitespace tokens. mecab/Kiwi are
+    not in this sandbox, so this analyzer reproduces the *shape* of that
+    behavior with a greedy longest-match segmentation over a loaded
+    lexicon: the ordered stream is each kept whitespace token followed by
+    its in-lexicon morphemes (when the token itself decomposes). The
+    lexicon is the per-worker state loaded once per actor in ``__init__``
+    — exactly what ``IndexConfig(analyzer_factory=..., tokenizer_actors=
+    True)`` exists for.
+    """
+
+    def __init__(self, lexicon: list[str]):
+        self.lexicon = set(lexicon)
+        self.max_len = max((len(w) for w in lexicon), default=1)
+
+    def _morphs(self, word: str) -> list[str]:
+        out, i = [], 0
+        while i < len(word):
+            for ln in range(min(self.max_len, len(word) - i), 0, -1):
+                if word[i:i + ln] in self.lexicon:
+                    out.append(word[i:i + ln])
+                    i += ln
+                    break
+            else:
+                return []  # not fully segmentable → no morpheme emission
+        return out
+
+    def tokenize_many(self, texts: list[str]) -> list[list[str]]:
+        out = []
+        for text in texts:
+            toks = []
+            for raw in sanitize(text).split():
+                t = normalize_token(raw)
+                if t is None:
+                    continue
+                toks.append(t)
+                if _HANGUL.fullmatch(t):
+                    morphs = self._morphs(t)
+                    if len(morphs) > 1:
+                        toks.extend(morphs)
+            out.append(toks)
+        return out
+
+
+def _coded_from_token_lists(
+    token_lists: list[list[str]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
+    """Adapter: per-row ordered token lists → the coded occurrence arrays
+    (doc_idx, term_code, pos, dictionary) used by the build pipeline."""
+    lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(token_lists), dtype=np.int64), lens)
+    flat = [t for row in token_lists for t in row]
+    arr = pa.array(flat, pa.string())
+    denc = arr.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = (denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+             if len(flat) else np.zeros(0, dtype=np.int64))
+    n = len(doc_idx)
+    pos = np.zeros(n, dtype=np.int32)
+    if n:
+        starts = np.flatnonzero(np.diff(doc_idx)) + 1
+        seq = np.arange(n, dtype=np.int32)
+        run_start = np.zeros(n, dtype=np.int32)
+        run_start[starts] = seq[starts]
+        run_start = np.maximum.accumulate(run_start)
+        pos = seq - run_start
+    return doc_idx, codes, pos, denc.dictionary
+
+
 def analyze_strings_coded(
     col: pa.Array | pa.ChunkedArray,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
@@ -170,13 +243,25 @@ def analyze_strings_coded(
 
 
 def analyze_batch_coded(
-    batch: pa.Table, content_col: str, id_col: str = "doc_id"
+    batch: pa.Table, content_col: str, id_col: str = "doc_id",
+    analyzer=None,
 ) -> tuple[dict[str, np.ndarray], pa.Array]:
     """Batch → grouped per-(doc, term) occurrence data with factorized
     terms: ``({doc_id, term_code, tf, first_pos}, dictionary)``. The
-    group pass is a pure-int lexsort + run-length reduce."""
+    group pass is a pure-int lexsort + run-length reduce.
+
+    ``analyzer``: optional pluggable analyzer object exposing
+    ``tokenize_many(texts) -> list[list[str]]`` (ordered kept tokens per
+    row). None → the normative vectorized regex path."""
     doc_ids_np = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_idx, codes, pos, dictionary = analyze_strings_coded(batch[content_col])
+    if analyzer is None:
+        doc_idx, codes, pos, dictionary = analyze_strings_coded(batch[content_col])
+    else:
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        doc_idx, codes, pos, dictionary = _coded_from_token_lists(
+            analyzer.tokenize_many(col.to_pylist()))
     if len(doc_idx) == 0:
         z = np.zeros(0, dtype=np.int64)
         return ({"doc_id": z, "term_code": z, "tf": z.astype(np.int32),

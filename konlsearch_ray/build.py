@@ -86,6 +86,11 @@ class IndexConfig:
     # a stateless vectorized regex pass, so plain tasks — which reuse warm
     # workers and skip actor-pool spin-up — are the default.
     tokenizer_actors: bool = False
+    # Pluggable analyzer (SURVEY.md ST1 / §2.10): a zero-arg factory whose
+    # product exposes tokenize_many(texts) -> list[list[str]]. Loaded once
+    # per worker; setting it implies the actor-pool tokenizer so the state
+    # loads once per actor, not once per batch.
+    analyzer_factory: object | None = None
     id_start: int = 1
 
 
@@ -115,18 +120,23 @@ class TokenizeStage:
     per-doc total token counts (doc_len), covering zero-token docs too.
     """
 
-    def __init__(self, content_col: str, shard_size: int):
+    def __init__(self, content_col: str, shard_size: int,
+                 analyzer_factory=None):
         self.content_col = content_col
         self.shard_size = shard_size
+        self.analyzer = analyzer_factory() if analyzer_factory else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _tokenize_batch(batch, self.content_col, self.shard_size)
+        return _tokenize_batch(batch, self.content_col, self.shard_size,
+                               analyzer=self.analyzer)
 
 
-def _tokenize_batch(batch: pa.Table, content_col: str, shard_size: int) -> pa.Table:
+def _tokenize_batch(batch: pa.Table, content_col: str, shard_size: int,
+                    analyzer=None) -> pa.Table:
         from konlsearch_ray.analyzer import analyze_batch_coded
 
-        occ, dictionary = analyze_batch_coded(batch, content_col)
+        occ, dictionary = analyze_batch_coded(batch, content_col,
+                                              analyzer=analyzer)
         doc = occ["doc_id"]
         code = occ["term_code"]
         tf = occ["tf"].astype(np.int64)
@@ -205,18 +215,20 @@ class ShardBuildStage:
         self.cfg = cfg
         self.index_dir = index_dir
         self.shard_files = shard_files
+        self.analyzer = (cfg.analyzer_factory()
+                         if cfg.analyzer_factory else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = [
             _build_shard(int(s), self.shard_files[int(s)], self.cfg,
-                         self.index_dir)
+                         self.index_dir, analyzer=self.analyzer)
             for s in batch["shard"].to_pylist()
         ]
         return pa.concat_tables(outs)
 
 
 def _build_shard(shard: int, shard_files: list[str], cfg: IndexConfig,
-                 index_dir: str) -> pa.Table:
+                 index_dir: str, analyzer=None) -> pa.Table:
     """Tokenize + encode + write ONE shard end-to-end inside a single task.
 
     The docstore write already hash-partitioned docs by shard on disk
@@ -231,11 +243,11 @@ def _build_shard(shard: int, shard_files: list[str], cfg: IndexConfig,
         for f in shard_files)
     parts = [
         _tokenize_batch(t.slice(i, cfg.tokenize_batch_size),
-                        cfg.content_col, cfg.shard_size)
+                        cfg.content_col, cfg.shard_size, analyzer=analyzer)
         for i in range(0, t.num_rows, cfg.tokenize_batch_size)
     ]
     group = pa.concat_tables(parts) if parts else _tokenize_batch(
-        t, cfg.content_col, cfg.shard_size)
+        t, cfg.content_col, cfg.shard_size, analyzer=analyzer)
     return _encode_shard(group, index_dir, expected_shard=shard)
 
 
@@ -530,7 +542,8 @@ def _driver_rank_docs(
     block_refs = []
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
-            block_refs.append((ref, meta.num_rows))
+            if meta.num_rows:  # empty split blocks may carry empty schemas
+                block_refs.append((ref, meta.num_rows))
     if not block_refs:
         os.makedirs(docs_dir, exist_ok=True)
         return
@@ -595,7 +608,8 @@ def _sorted_dedup_ids(
     block_refs = []
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
-            block_refs.append((ref, meta.num_rows))
+            if meta.num_rows:  # skip empty split blocks (empty schemas)
+                block_refs.append((ref, meta.num_rows))
     if not block_refs:
         empty = pa.table({"doc_id": pa.array([], pa.int64())})
         return ray.data.from_arrow(empty)
@@ -736,7 +750,7 @@ def _postings_phase(index_dir: str, cfg: IndexConfig) -> None:
     shards_ds = ray.data.from_items(
         [{"shard": s} for s in shard_ids],
         override_num_blocks=len(shard_ids))
-    if cfg.tokenizer_actors:
+    if cfg.tokenizer_actors or cfg.analyzer_factory is not None:
         # Stateful-analyzer path (SURVEY.md ST1): shard tasks run on an
         # actor pool that loads the analyzer once per worker.
         concurrency = cfg.tokenize_concurrency
