@@ -70,6 +70,54 @@ class SearchLog:
         return path
 
 
+def read_log_range(
+    log_dir: str,
+    ts_start: int | None = None,
+    ts_end: int | None = None,
+    seq_start: tuple[int, int] | None = None,
+    seq_end: tuple[int, int] | None = None,
+) -> pa.Table:
+    """Time- or seq-cursor range reads over the search log (reference
+    log.py:49-95): half-open on the end bound, ordered by (ts, seq).
+
+    ``ts_*`` filter on epoch seconds; ``seq_*`` are (ts, seq) cursors —
+    the reference's ``{ts}:{seq:04d}`` key order."""
+    parts = [
+        pq.read_table(os.path.join(log_dir, n))
+        for n in sorted(os.listdir(log_dir)) if n.endswith(".parquet")
+    ] if os.path.isdir(log_dir) else []
+    if not parts:
+        return pa.table({"ts": pa.array([], pa.int64()),
+                         "seq": pa.array([], pa.int32()),
+                         "term": pa.array([], pa.string()),
+                         "hits": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts).sort_by([("ts", "ascending"), ("seq", "ascending")])
+    ts = t["ts"].to_numpy()
+    seq = t["seq"].to_numpy().astype(np.int64)
+    keep = np.ones(len(ts), dtype=bool)
+    if ts_start is not None:
+        keep &= ts >= ts_start
+    if ts_end is not None:
+        keep &= ts < ts_end
+    key = ts * 10_000 + seq  # seq < 10^4 per reference key format
+    if seq_start is not None:
+        keep &= key >= seq_start[0] * 10_000 + seq_start[1]
+    if seq_end is not None:
+        keep &= key < seq_end[0] * 10_000 + seq_end[1]
+    return t.filter(pa.array(keep))
+
+
+def log_cursors(log_dir: str) -> tuple[tuple[int, int], tuple[int, int]] | None:
+    """First/last (ts, seq) cursor in the log (reference log.py:97-120);
+    None when empty."""
+    t = read_log_range(log_dir)
+    if t.num_rows == 0:
+        return None
+    first = (int(t["ts"][0].as_py()), int(t["seq"][0].as_py()))
+    last = (int(t["ts"][-1].as_py()), int(t["seq"][-1].as_py()))
+    return first, last
+
+
 def aggregate_search_frequency(log_dir: str, freq_dir: str) -> pa.Table:
     """Incremental per-term hit aggregation with an offset checkpoint.
 

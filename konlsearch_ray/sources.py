@@ -1,0 +1,68 @@
+"""Input sources beyond Parquet — reference S5 parity.
+
+The reference's integration corpus is a titles file read line by line with
+``_`` → space and newline strip (reference test/kowiki.py:19-33). The Ray
+mapping: ``ray.data.read_text`` → a vectorized normalizer batch, yielding
+the ``content`` column the build pipeline expects (plus synthesized
+``repo``/``path``/``commit`` keys so canonical ID assignment works on
+line corpora too).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def read_line_corpus(
+    path: str,
+    repo: str = "lines",
+    commit: str = "0" * 40,
+) -> ray.data.Dataset:
+    """Line-per-document corpus → Dataset with the build input schema.
+
+    Each line is one document; ``_`` becomes a space (kowiki.py:27-30).
+    ``path`` is the 1-based line number (zero-padded so canonical sort
+    order == file order), giving deterministic doc IDs.
+    """
+    ds = ray.data.read_text(path)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        text = pc.replace_substring(batch["text"], "_", " ")
+        n = batch.num_rows
+        return pa.table({
+            "repo": pa.array([repo] * n),
+            "path": pa.array([""] * n),  # filled below with line numbers
+            "commit": pa.array([commit] * n),
+            "lang": pa.array(["text"] * n),
+            "content": text.cast(pa.large_string()),
+        })
+
+    normed = ds.map_batches(norm, batch_format="pyarrow")
+
+    # Line numbers need a global offset — reuse the driver-rank trick:
+    # materialize, then per-block offset from metadata (cheap, no shuffle).
+    import numpy as np
+    import ray as _ray
+
+    mat = normed.materialize()
+    refs, counts = [], []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+                counts.append(meta.num_rows)
+
+    @_ray.remote
+    def add_path(block: pa.Table, offset: int) -> pa.Table:
+        nums = [f"line-{offset + i:012d}" for i in range(block.num_rows)]
+        return block.set_column(
+            block.schema.get_field_index("path"), "path",
+            pa.array(nums, pa.string()))
+
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts else []
+    out = [add_path.remote(r, int(o) + 1) for r, o in zip(refs, offsets)]
+    if not out:
+        return normed
+    return ray.data.from_arrow_refs(out)

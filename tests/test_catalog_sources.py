@@ -1,0 +1,73 @@
+"""Catalog S1-S4, line-corpus source S5, search-log range reads (§2.9)."""
+
+import os
+
+import pytest
+
+from konlsearch_ray.build import IndexConfig, build_index
+from konlsearch_ray.catalog import create_index, destroy_index, get_all_indexes
+from konlsearch_ray.pipelines.logagg import SearchLog, log_cursors, read_log_range
+from konlsearch_ray.query import IndexReader
+from konlsearch_ray.sources import read_line_corpus
+
+
+def test_catalog_lifecycle(ray_session, tmp_path):
+    root = str(tmp_path / "db")
+    assert get_all_indexes(root) == []
+    p = create_index(root, "alpha")
+    # Registered only once a build starts (index_meta.json exists).
+    assert get_all_indexes(root) == []
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "repo": ["r"], "path": ["p"], "commit": ["c" * 40],
+        "lang": ["text"], "content": pa.array(["hello world"], pa.large_string()),
+    })
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(docs, src)
+    build_index(src, p, IndexConfig(shard_size=16))
+    create_index(root, "beta")  # empty, never built
+    assert get_all_indexes(root) == ["alpha"]
+    with pytest.raises(ValueError):
+        create_index(root, "../evil")
+    assert destroy_index(root, "alpha") is True
+    assert get_all_indexes(root) == []
+    assert destroy_index(root, "alpha") is False
+
+
+def test_line_corpus_source(ray_session, tmp_path):
+    # kowiki.py semantics: line per doc, _ → space (reference kowiki.py:19-33).
+    lines = ["mobile_suit gundam", "magical_girl story", "plain title"]
+    src = str(tmp_path / "titles.txt")
+    with open(src, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    ds = read_line_corpus(src)
+    rows = sorted(ds.to_pandas()["content"])
+    assert rows == ["magical girl story", "mobile suit gundam", "plain title"]
+
+    # End-to-end: build + search over the line corpus; doc IDs = file order.
+    idx = str(tmp_path / "i")
+    build_index(ds, idx, IndexConfig(shard_size=16))
+    r = IndexReader(idx)
+    assert r.search(["gundam"], "OR") == [1]
+    assert r.search(["magical", "girl"], "AND") == [2]
+    assert r.n_docs == 3
+
+
+def test_log_range_reads(tmp_path):
+    log_dir = str(tmp_path / "log")
+    clock = [100.0]
+    log = SearchLog(log_dir, clock=lambda: clock[0])
+    for term, t in [("a", 100), ("b", 100), ("c", 101), ("d", 103)]:
+        clock[0] = float(t)
+        log.log(term, 1)
+    log.flush()
+    # Time range [100, 103) — half-open.
+    t = read_log_range(log_dir, ts_start=100, ts_end=103)
+    assert t["term"].to_pylist() == ["a", "b", "c"]
+    # Seq-cursor range: from (100, 1) up to (103, 0) exclusive.
+    t = read_log_range(log_dir, seq_start=(100, 1), seq_end=(103, 0))
+    assert t["term"].to_pylist() == ["b", "c"]
+    assert log_cursors(log_dir) == ((100, 0), (103, 0))
+    assert log_cursors(str(tmp_path / "nope")) is None
