@@ -100,9 +100,24 @@ class IndexConfig:
 
 
 def _sha256_batch(batch: pa.Table, content_col: str) -> pa.Table:
-    vals = batch[content_col].to_pylist()
-    hashes = [hashlib.sha256(v.encode("utf-8")).hexdigest() if v is not None else None
-              for v in vals]
+    """Per-row sha256 over the Arrow string buffer directly — no Python
+    string materialization (hashlib accepts the memoryview slices)."""
+    col = batch[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bin_col = col.cast(pa.large_binary())
+    # buffers(): [validity, offsets(int64), data]
+    bufs = bin_col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64,
+                         count=len(bin_col) + 1 + bin_col.offset)
+    offs = offs[bin_col.offset:]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    valid = (np.ones(len(bin_col), dtype=bool) if bin_col.null_count == 0
+             else pc.is_valid(bin_col).to_numpy(zero_copy_only=False))
+    hashes = [
+        hashlib.sha256(data[offs[i]:offs[i + 1]]).hexdigest() if valid[i] else None
+        for i in range(len(bin_col))
+    ]
     return batch.append_column("content_sha256", pa.array(hashes, pa.string()))
 
 
