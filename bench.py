@@ -155,6 +155,32 @@ def run_bench() -> dict:
         lat.append(time.perf_counter() - t0)
     queries["bm25_exact_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
 
+    # --- distributed query serving throughput -----------------------------
+    import pyarrow as pa
+
+    from konlsearch_ray.query import QueryStage
+
+    n_q = 2000
+    qt = pa.table({
+        "qid": pa.array(range(n_q), pa.int64()),
+        "tokens": pa.array(
+            [[HEAD_TERMS[i % len(HEAD_TERMS)],
+              vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
+             for i in range(n_q)], pa.list_(pa.string())),
+        "mode": pa.array(["BM25"] * n_q),
+        "k": pa.array([10] * n_q, pa.int64()),
+    })
+    import ray.data as rd
+
+    pool = max(2, NUM_CPUS // 4)
+    t0 = time.perf_counter()
+    (rd.from_arrow(qt).repartition(pool * 4)
+     .map_batches(QueryStage, fn_constructor_kwargs={"index_dir": code_idx},
+                  batch_format="pyarrow", concurrency=pool)
+     .materialize())
+    dt = time.perf_counter() - t0
+    queries["bm25_distributed_qps"] = round(n_q / dt, 1)
+
     # --- one training-data pipeline for coverage --------------------------
     import ray.data as rd
 

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) — randomized invariants the
+reference's example-based suite never had (SURVEY.md §5).
+
+No Ray needed: these cover the pure kernels (codec, analyzer, oracle
+agreement) that everything else is built on.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from konlsearch_ray.analyzer import analyze_batch, tokenize
+from konlsearch_ray.codec import (
+    BLOCK_SIZE,
+    decode_doc_ids,
+    decode_positions,
+    decode_tfs,
+    encode_posting,
+    varint_decode,
+    varint_encode,
+)
+
+uint64s = st.integers(min_value=0, max_value=2**64 - 1)
+
+
+@given(st.lists(uint64s, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    buf = varint_encode(arr)
+    out = varint_decode(buf, len(arr))
+    assert out.tolist() == values
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**12), min_size=1,
+             max_size=400, unique=True),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_posting_roundtrip(ids, data):
+    ids = np.array(sorted(ids), dtype=np.int64)
+    tfs = np.array(
+        data.draw(st.lists(st.integers(1, 10**6), min_size=len(ids),
+                           max_size=len(ids))), dtype=np.int64)
+    poss = np.array(
+        data.draw(st.lists(st.integers(0, 10**6), min_size=len(ids),
+                           max_size=len(ids))), dtype=np.int64)
+    enc = encode_posting(ids, tfs, poss)
+    assert enc["df"] == len(ids)
+    assert enc["cf"] == int(tfs.sum())
+    assert decode_doc_ids(enc["doc_ids_bin"], len(ids)).tolist() == ids.tolist()
+    assert decode_tfs(enc["tfs_bin"], len(ids)).tolist() == tfs.astype(np.int32).tolist()
+    assert decode_positions(enc["pos_bin"], len(ids)).tolist() == \
+        poss.astype(np.int32).tolist()
+    # Block metadata invariants.
+    nblocks = (len(ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert len(enc["block_last_doc"]) == nblocks == len(enc["block_max_tf"])
+    assert enc["block_last_doc"][-1] == int(ids[-1])
+    for b in range(nblocks):
+        blk = tfs[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE]
+        assert enc["block_max_tf"][b] == int(blk.max())
+
+
+# Text strategy: mix of ASCII words, Hangul, sanitize-set noise, digits.
+_chars = st.sampled_from(
+    list("abcXYZ 가나다맣법소녀 \t\n01_@!#$%^&*()<>?/\\|}{~:]\",.;'+-=")
+)
+texts = st.lists(st.text(_chars, max_size=60), max_size=8)
+
+
+@given(texts)
+@settings(max_examples=150, deadline=None)
+def test_analyze_batch_agrees_with_row_oracle(docs):
+    """The vectorized Arrow batch analyzer and the pure-Python row path
+    must produce identical (term, tf, first_pos) groups for ANY input."""
+    import pyarrow as pa
+
+    batch = pa.table({
+        "doc_id": pa.array(range(1, len(docs) + 1), pa.int64()),
+        "content": pa.array(docs, pa.large_string()),
+    })
+    got = analyze_batch(batch, "content")
+    rows = {}
+    for i, (d, t, tf, fp) in enumerate(zip(
+            got["doc_id"].to_pylist(), got["term"].to_pylist(),
+            got["tf"].to_pylist(), got["first_pos"].to_pylist())):
+        rows[(d, t)] = (tf, fp)
+    exp = {}
+    for did, text in enumerate(docs, start=1):
+        toks = tokenize(text)
+        for pos, t in enumerate(toks):
+            if (did, t) not in exp:
+                exp[(did, t)] = [0, pos]
+            exp[(did, t)][0] += 1
+    exp = {k: tuple(v) for k, v in exp.items()}
+    assert rows == exp
+
+
+@given(texts)
+@settings(max_examples=50, deadline=None)
+def test_oracle_boolean_invariants(docs):
+    """Set-algebra invariants of the oracle itself: AND ⊆ OR; empty first
+    posting ⇒ empty AND; PHRASE ⊆ AND."""
+    from konlsearch_ray.oracle import build_oracle
+
+    o = build_oracle({i + 1: t for i, t in enumerate(docs)})
+    vocab = sorted(o.postings)[:3] + ["zzznope"]
+    for a in vocab:
+        for b in vocab:
+            and_r = set(o.search([a, b], "AND"))
+            or_r = set(o.search([a, b], "OR"))
+            ph_r = set(o.search([a, b], "PHRASE"))
+            assert and_r <= or_r
+            assert ph_r <= and_r
+            if not o.postings.get(a):
+                assert and_r == set()
