@@ -123,7 +123,7 @@ def run_bench() -> dict:
 
     rng = np.random.default_rng(7)
     vocab_terms = []
-    for t, _ in zip(reader._segments[0][1].keys(), range(4000)):
+    for t, _ in zip(reader._term_locs.keys(), range(4000)):
         if t:
             vocab_terms.append(t)
     lat = []

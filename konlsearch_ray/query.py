@@ -100,12 +100,18 @@ class IndexReader:
         # term -> row-index map gives O(1) posting lookup.
         seg_dir = os.path.join(index_dir, "segments")
         self._segments = []
+        # One global term → [(segment_idx, row)] map: a query term costs a
+        # single dict probe instead of one per shard (shard counts grow
+        # with the corpus; per-term probe cost must not).
+        self._term_locs: dict[str, list[tuple[int, int]]] = {}
         for n in sorted(os.listdir(seg_dir)):
             if not n.endswith(".parquet") or not _want(n):
                 continue
             t = pq.read_table(os.path.join(seg_dir, n))
-            terms = t["term"].to_pylist()
-            self._segments.append((t, {s: i for i, s in enumerate(terms)}))
+            si = len(self._segments)
+            self._segments.append((t, None))
+            for i, s in enumerate(t["term"].to_pylist()):
+                self._term_locs.setdefault(s, []).append((si, i))
 
         self._global_df: dict[str, int] | None = None
         if use_global_df:
@@ -157,10 +163,8 @@ class IndexReader:
         if hit is not None:
             return hit
         ids_parts, tf_parts, pos_parts = [], [], []
-        for t, idx in self._segments:
-            i = idx.get(term)
-            if i is None:
-                continue
+        for si, i in self._term_locs.get(term, ()):
+            t = self._segments[si][0]
             df = t["df"][i].as_py()
             ids_parts.append(decode_doc_ids(t["doc_ids_bin"][i].as_py(), df))
             tf_parts.append(decode_tfs(t["tfs_bin"][i].as_py(), df))
@@ -203,10 +207,8 @@ class IndexReader:
         from konlsearch_ray.codec import BLOCK_SIZE
 
         parts = []
-        for t, idx in self._segments:
-            i = idx.get(term)
-            if i is None:
-                continue
+        for si, i in self._term_locs.get(term, ()):
+            t = self._segments[si][0]
             df = t["df"][i].as_py()
             mtf = np.asarray(t["block_max_tf"][i].as_py(), dtype=np.int64)
             counts = np.full(len(mtf), BLOCK_SIZE, dtype=np.int64)

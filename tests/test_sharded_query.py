@@ -45,7 +45,7 @@ def test_complex_matches(built):
 def test_bm25_rank_and_score_identical(built):
     engine, reader = built
     vocab = []
-    for t, _ in zip(reader._segments[0][1].keys(), range(500)):
+    for t, _ in zip(reader._term_locs.keys(), range(500)):
         vocab.append(t)
     rng = random.Random(3)
     queries = [["def", "return", "import"], ["def"], ["마법", "건담"]]
