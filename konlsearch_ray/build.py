@@ -789,7 +789,7 @@ def _postings_phase(index_dir: str, cfg: IndexConfig) -> None:
 def _finalize(index_dir: str) -> dict:
     mf_dir = os.path.join(index_dir, "manifests")
     manifests = []
-    for name in sorted(os.listdir(mf_dir)):
+    for name in sorted(os.listdir(mf_dir)) if os.path.isdir(mf_dir) else []:
         if name.startswith("shard-") and name.endswith(".json"):
             with open(os.path.join(mf_dir, name)) as f:
                 manifests.append(json.load(f))
@@ -804,7 +804,9 @@ def _finalize(index_dir: str) -> dict:
     }
     # Global dictionary: column-pruned groupby over segment stats.
     seg_dir = os.path.join(index_dir, "segments")
-    seg_files = [os.path.join(seg_dir, n) for n in sorted(os.listdir(seg_dir))
+    seg_files = [os.path.join(seg_dir, n)
+                 for n in (sorted(os.listdir(seg_dir))
+                           if os.path.isdir(seg_dir) else [])
                  if n.endswith(".parquet")]
     dict_dir = os.path.join(index_dir, "dictionary")
     if seg_files:

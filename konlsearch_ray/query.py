@@ -88,7 +88,8 @@ class IndexReader:
         dl_dir = os.path.join(index_dir, "doclens")
         tables = [
             pq.read_table(os.path.join(dl_dir, n))
-            for n in sorted(os.listdir(dl_dir))
+            for n in (sorted(os.listdir(dl_dir))
+                      if os.path.isdir(dl_dir) else [])
             if n.endswith(".parquet") and _want(n)
         ]
         dl = pa.concat_tables(tables) if tables else pa.table(
@@ -104,7 +105,8 @@ class IndexReader:
         # single dict probe instead of one per shard (shard counts grow
         # with the corpus; per-term probe cost must not).
         self._term_locs: dict[str, list[tuple[int, int]]] = {}
-        for n in sorted(os.listdir(seg_dir)):
+        for n in (sorted(os.listdir(seg_dir))
+                  if os.path.isdir(seg_dir) else []):
             if not n.endswith(".parquet") or not _want(n):
                 continue
             t = pq.read_table(os.path.join(seg_dir, n))
@@ -118,7 +120,8 @@ class IndexReader:
             d = os.path.join(index_dir, "dictionary")
             parts = [
                 pq.read_table(os.path.join(d, n), columns=["term", "df"])
-                for n in sorted(os.listdir(d)) if n.endswith(".parquet")
+                for n in (sorted(os.listdir(d)) if os.path.isdir(d) else [])
+                if n.endswith(".parquet")
             ]
             if parts:
                 dt = pa.concat_tables(parts)
