@@ -376,9 +376,11 @@ def _encode_shard(group: pa.Table, index_dir: str,
                      if k in ("shard", "n_docs", "n_terms", "total_tokens")})
 
 
-def _atomic_write_parquet(table: pa.Table, path: str) -> None:
+def _atomic_write_parquet(
+    table: pa.Table, path: str, compression: str = "zstd"
+) -> None:
     tmp = path + ".tmp"
-    pq.write_table(table, tmp, compression="zstd")
+    pq.write_table(table, tmp, compression=compression)
     os.replace(tmp, path)
 
 
