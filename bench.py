@@ -107,6 +107,25 @@ def run_bench() -> dict:
             "calib_sort10m_sec": _calibrate(),
         }
 
+    # --- reference-shape workload: kowiki-style short docs ----------------
+    # The reference's published number is 1,490,043 title docs in ~280 s
+    # (single process). Same doc count, short synthetic docs (>= 8 tokens —
+    # heavier than real titles, conservative in the reference's favor).
+    n_titles = int(os.environ.get("GRAFT_BENCH_TITLES", "1490000"))
+    if n_titles:
+        titles_dir = f"/tmp/konl_bench_titles_{n_titles}"
+        write_corpus(titles_dir, n_titles, seed=5, mean_tokens=3,
+                     vocab_size=30000)
+        titles_idx = f"/tmp/konl_bench_titlesidx_{NUM_CPUS}"
+        shutil.rmtree(titles_idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        tstats = build_index(
+            titles_dir, titles_idx,
+            IndexConfig(shard_size=32768, tokenize_batch_size=8192))
+        dt = time.perf_counter() - t0
+        queries["index_build_titles_sec"] = round(dt, 3)
+        queries["index_build_titles_docs_per_sec"] = round(tstats["N"] / dt, 1)
+
     # --- secondary: index build over the sf documents table --------------
     docs_idx = f"/tmp/konl_bench_docsindex_{NUM_CPUS}"
     shutil.rmtree(docs_idx, ignore_errors=True)
