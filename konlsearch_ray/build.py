@@ -570,7 +570,10 @@ def _driver_rank_docs(
         [t["key"].to_numpy(zero_copy_only=False) for t in light])
     shas = np.concatenate(
         [t["sha"].to_numpy(zero_copy_only=False) for t in light])
-    order = np.argsort(keys, kind="stable")
+    # Fixed-width unicode sort: same code-point order as Python str
+    # comparison, but C memcmp speed — an object-array argsort over
+    # millions of keys would serialize the phase on the driver.
+    order = np.argsort(keys.astype("U"), kind="stable")
     import pandas as pd
 
     if cfg.dedup:
