@@ -402,8 +402,15 @@ _KEY_SEP = "\x00"
 
 def _col_as_sortable_str(t: pa.Table, col: str):
     """String projection that preserves order — integer columns are
-    zero-padded so min-by-string equals min-by-value."""
+    bias-encoded (x + 2^63 as uint64) then zero-padded, so min-by-string
+    equals min-by-value for signed values too (plain zero-padding would
+    sort '-5' before '-7')."""
     c = t[col]
+    if pa.types.is_integer(c.type) and c.null_count == 0:
+        v = (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        v = v.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        biased = v.view(np.uint64) + np.uint64(1 << 63)  # wraps: order-preserving
+        return pc.ascii_lpad(pc.cast(pa.array(biased), pa.string()), 20, "0")
     if pa.types.is_integer(c.type):
         return pc.ascii_lpad(pc.cast(c, pa.string()), 20, "0")
     return c.cast(pa.string())
@@ -472,9 +479,13 @@ DEDUP_DRIVER_MAX_ROWS = 50_000_000
 
 
 def _estimate_rows(source) -> int:
-    """Cheap row-count estimate: Parquet footer metadata for path sources;
-    Dataset sources (tests, small ad-hoc builds) assume the driver path."""
+    """Cheap row-count estimate: Parquet footer metadata for path sources,
+    ``ds.count()`` for Dataset sources (metadata-cheap for read_parquet /
+    from_arrow; an already-transformed Dataset pays one pass, which a
+    correct path choice at scale is worth)."""
     try:
+        if isinstance(source, ray.data.Dataset):
+            return int(source.count())
         if isinstance(source, str):
             paths = [source]
         elif isinstance(source, (list, tuple)):
@@ -680,6 +691,14 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> None:
     _write_index_meta(index_dir, cfg)
     if os.path.exists(marker):
         return
+    if os.path.isdir(docs_dir):
+        # A prior run died after writing part of docs/ but before the
+        # marker. Block names are not stable across runs (UUIDs on the
+        # write_parquet path, block splits on the driver-rank path), so a
+        # rewrite over stale files would duplicate the corpus — clear it.
+        import shutil
+
+        shutil.rmtree(docs_dir)
 
     def read():
         ds = (source if isinstance(source, ray.data.Dataset)

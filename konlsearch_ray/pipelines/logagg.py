@@ -99,11 +99,15 @@ def read_log_range(
         keep &= ts >= ts_start
     if ts_end is not None:
         keep &= ts < ts_end
-    key = ts * 10_000 + seq  # seq < 10^4 per reference key format
+    # Lexicographic (ts, seq) comparison — a composite ts*10^4+seq key
+    # would overflow into the next second past 10,000 entries/sec (the
+    # per-second seq is unbounded here, unlike the reference's :04d key).
     if seq_start is not None:
-        keep &= key >= seq_start[0] * 10_000 + seq_start[1]
+        a, b = seq_start
+        keep &= (ts > a) | ((ts == a) & (seq >= b))
     if seq_end is not None:
-        keep &= key < seq_end[0] * 10_000 + seq_end[1]
+        a, b = seq_end
+        keep &= (ts < a) | ((ts == a) & (seq < b))
     return t.filter(pa.array(keep))
 
 

@@ -55,3 +55,38 @@ def test_query_normalization_edge(ray_session, tmp_path):
     assert r.search(["123"], "OR") == []  # filtered token → no postings
     assert r.search([], "OR") == []
     assert r.bm25_topk([], 5) == []
+
+
+def test_sortable_str_negative_ints():
+    """Signed keys order correctly after bias encoding (-7 < -5 < 0 < 3)."""
+    import pyarrow as pa
+
+    from konlsearch_ray.build import _col_as_sortable_str
+
+    t = pa.table({"k": pa.array([-5, -7, 0, 3], pa.int64())})
+    s = _col_as_sortable_str(t, "k").to_pylist()
+    order = sorted(range(4), key=lambda i: s[i])
+    assert order == [1, 0, 2, 3]  # -7, -5, 0, 3
+
+
+def test_log_cursor_over_10k_per_second(tmp_path):
+    """(ts, seq) cursors compare lexicographically — no composite-key
+    overflow when >10,000 entries land in one second."""
+    from konlsearch_ray.pipelines.logagg import SearchLog, read_log_range
+
+    log_dir = str(tmp_path / "biglog")
+    log = SearchLog(log_dir, clock=lambda: 500.0)
+    for i in range(10_050):
+        log.log("t", 1)
+    log._clock = lambda: 501.0
+    log.log("next", 1)
+    log.flush()
+    # Cursor just below the 10k boundary: must include the tail of second
+    # 500 AND second 501 (composite ts*1e4+seq would misplace seq>=10000).
+    t = read_log_range(log_dir, seq_start=(500, 9_999))
+    got = list(zip(t["ts"].to_pylist(), t["seq"].to_pylist()))
+    assert (500, 9_999) in got and (500, 10_049) in got and (501, 0) in got
+    assert (500, 9_998) not in got
+    t2 = read_log_range(log_dir, seq_end=(500, 10_049))
+    got2 = list(zip(t2["ts"].to_pylist(), t2["seq"].to_pylist()))
+    assert (500, 10_048) in got2 and (500, 10_049) not in got2

@@ -121,3 +121,19 @@ def test_shuffle_scale_docs_path(ray_session, corpus, tmp_path, monkeypatch):
             ta = pq.read_table(os.path.join(a, sub, n))
             tb = pq.read_table(os.path.join(b, sub, n))
             assert ta.equals(tb), (sub, n)
+
+
+def test_docs_phase_restart_does_not_duplicate(ray_session, corpus, tmp_path):
+    """A run that dies after writing docs/ but before _DOCS_DONE must not
+    double-ingest on re-run (stale docs/ is cleared)."""
+    idx = str(tmp_path / "dup")
+    cfg = IndexConfig(shard_size=SHARD_SIZE)
+    stats = build_index(corpus, idx, cfg)
+    os.remove(os.path.join(idx, "_DOCS_DONE"))
+    # Invalidate postings so the rebuild actually re-runs both phases.
+    import shutil
+    for sub in ("manifests", "segments", "doclens"):
+        shutil.rmtree(os.path.join(idx, sub))
+    stats2 = build_index(corpus, idx, cfg)
+    assert stats2["N"] == stats["N"]
+    assert stats2["total_tokens"] == stats["total_tokens"]
