@@ -45,7 +45,7 @@ def _index_dir(sf_dir: str) -> str:
 
     # Version salt: bump when the on-disk index layout changes so a stale
     # /tmp cache from an older build can never be picked up.
-    tag = hashlib.md5(f"{sf_dir}:layout-v2".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}:layout-v3".encode()).hexdigest()[:10]
     out = f"/tmp/konl_entry_index/{tag}"
     cfg = IndexConfig(
         content_col="text", id_col="doc_id", dedup=False, sort_keys=[],

@@ -267,7 +267,17 @@ def analyze_batch_coded(
         return ({"doc_id": z, "term_code": z, "tf": z.astype(np.int32),
                  "first_pos": z.astype(np.int32)}, dictionary)
     doc_id = doc_ids_np[doc_idx]
-    order = np.lexsort((pos, codes, doc_id))
+    # Group sort by (doc_id, term_code): a single combined-key stable
+    # argsort is ~2x the speed of a 3-key lexsort at equal order — the
+    # stream is doc-contiguous with ascending pos, so stability preserves
+    # the within-group pos order the lexsort's tertiary key provided.
+    dmin = doc_id.min()
+    drel = doc_id - dmin
+    nvocab = int(codes.max()) + 1 if len(codes) else 1
+    if int(drel.max()) < (1 << 62) // (nvocab + 1):
+        order = np.argsort(drel * (nvocab + 1) + codes, kind="stable")
+    else:  # overflow-safe fallback for pathological doc-id spans
+        order = np.lexsort((pos, codes, doc_id))
     doc_s, code_s, pos_s = doc_id[order], codes[order], pos[order]
     new_group = np.ones(len(doc_s), dtype=bool)
     if len(doc_s) > 1:

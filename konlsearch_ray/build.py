@@ -52,10 +52,6 @@ from ray.data.aggregate import Sum
 
 from konlsearch_ray.codec import encode_postings_grouped
 
-# Sentinel "term" carrying per-doc token counts through the same exploded
-# stream as real postings (kept tokens are never empty strings).
-DOCLEN_TERM = ""
-
 SEGMENT_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
@@ -121,105 +117,6 @@ def _sha256_batch(batch: pa.Table, content_col: str) -> pa.Table:
     return batch.append_column("content_sha256", pa.array(hashes, pa.string()))
 
 
-class TokenizeStage:
-    """Actor-pool tokenizer: Arrow batch of docs → partial posting rows.
-
-    Stands in for the reference's module-level mecab singleton (reference
-    index.py:24 — state loaded once per process, SURVEY.md ST1). The
-    analyzer slot is pluggable; the normative default is the deterministic
-    regex analyzer (analyzer.py). Emits rows
-    ``(shard, term, doc_ids: list<int64>, tfs: list<int32>,
-    poss: list<int32>)`` pre-combined per batch — the partial-aggregation
-    combiner that keeps the groupby("shard") exchange small — plus one
-    sentinel row per (batch, shard) with ``term == ""`` whose tfs carry
-    per-doc total token counts (doc_len), covering zero-token docs too.
-    """
-
-    def __init__(self, content_col: str, shard_size: int,
-                 analyzer_factory=None):
-        self.content_col = content_col
-        self.shard_size = shard_size
-        self.analyzer = analyzer_factory() if analyzer_factory else None
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return _tokenize_batch(batch, self.content_col, self.shard_size,
-                               analyzer=self.analyzer)
-
-
-def _tokenize_batch(batch: pa.Table, content_col: str, shard_size: int,
-                    analyzer=None) -> pa.Table:
-        from konlsearch_ray.analyzer import analyze_batch_coded
-
-        occ, dictionary = analyze_batch_coded(batch, content_col,
-                                              analyzer=analyzer)
-        doc = occ["doc_id"]
-        code = occ["term_code"]
-        tf = occ["tf"].astype(np.int64)
-        fpos = occ["first_pos"].astype(np.int64)
-        shard = (doc - 1) // shard_size if len(doc) else doc
-
-        # Group (shard, term_code) → lists; pure-int lexsort (term codes
-        # come factorized from the analyzer — no object-array sort here).
-        order = np.lexsort((doc, code, shard))
-        doc_s, code_s, tf_s, fp_s, sh_s = (
-            doc[order], code[order], tf[order], fpos[order], shard[order])
-        n = len(doc_s)
-        new = np.ones(n, dtype=bool)
-        if n > 1:
-            new[1:] = (sh_s[1:] != sh_s[:-1]) | (code_s[1:] != code_s[:-1])
-        starts = np.flatnonzero(new)
-        offsets = np.append(starts, n).astype(np.int32)
-
-        out_term = (pc.take(dictionary, pa.array(code_s[starts]))
-                    .cast(pa.string()).to_numpy(zero_copy_only=False)
-                    if n else np.array([], dtype=object))
-        out_shard = sh_s[starts] if n else np.array([], dtype=np.int64)
-
-        # Sentinel doclen rows: all batch docs grouped by shard.
-        all_doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dlen = np.zeros(len(all_doc), dtype=np.int64)
-        if n:
-            # Σ tf per doc (dense within batch via searchsorted on sorted ids).
-            o2 = np.argsort(all_doc, kind="stable")
-            pos_in = np.searchsorted(all_doc[o2], doc_s)
-            np.add.at(dlen, o2[pos_in], tf_s)
-        sh_all = (all_doc - 1) // shard_size
-        o3 = np.lexsort((all_doc, sh_all))
-        sh_sorted, doc_sorted, dlen_sorted = sh_all[o3], all_doc[o3], dlen[o3]
-        s_new = np.ones(len(sh_sorted), dtype=bool)
-        if len(sh_sorted) > 1:
-            s_new[1:] = sh_sorted[1:] != sh_sorted[:-1]
-        s_starts = np.flatnonzero(s_new)
-        s_offsets = np.append(s_starts, len(sh_sorted)).astype(np.int32)
-
-        def list_arr(values: np.ndarray, offs: np.ndarray, typ) -> pa.ListArray:
-            return pa.ListArray.from_arrays(
-                pa.array(offs, pa.int32()), pa.array(values, typ))
-
-        terms = pa.array(
-            np.concatenate([out_term, np.full(len(s_starts), DOCLEN_TERM, object)]),
-            pa.string(),
-        )
-        shards = pa.array(
-            np.concatenate([out_shard, sh_sorted[s_starts]]).astype(np.int64))
-        doc_lists = pa.concat_arrays([
-            list_arr(doc_s.astype(np.int64), offsets, pa.int64()),
-            list_arr(doc_sorted, s_offsets, pa.int64()),
-        ])
-        tf_lists = pa.concat_arrays([
-            list_arr(tf_s.astype(np.int32), offsets, pa.int32()),
-            list_arr(dlen_sorted.astype(np.int32), s_offsets, pa.int32()),
-        ])
-        pos_lists = pa.concat_arrays([
-            list_arr(fp_s.astype(np.int32), offsets, pa.int32()),
-            list_arr(np.zeros(len(doc_sorted), np.int32), s_offsets, pa.int32()),
-        ])
-        return pa.table(
-            {"shard": shards, "term": terms, "doc_ids": doc_lists,
-             "tfs": tf_lists, "poss": pos_lists}
-        )
-
-
 class ShardBuildStage:
     """Actor-pool shard builder for stateful analyzers (SURVEY.md ST1):
     the analyzer state loads once per actor in ``__init__``; each call
@@ -252,73 +149,88 @@ def _build_shard(shard: int, shard_files: list[str], cfg: IndexConfig,
     sub-batches, and encodes. This replaces an earlier groupby("shard")
     design whose sort-shuffle of the exploded (term, doc, tf, pos) stream
     cost ~3x the useful tokenize+encode compute.
+
+    Per-batch occurrence rows stay FLAT: term codes are carried as Arrow
+    dictionary chunks whose dictionaries unify in C on ``combine_chunks``,
+    so the shard pays exactly ONE (term-rank, doc) sort — an earlier
+    version also grouped+sorted every batch into list columns and then
+    flattened them back, roughly doubling the memory traffic of the
+    postings phase (the limiting factor for on-node scaling).
     """
+    from konlsearch_ray.analyzer import analyze_batch_coded
+
     t = pa.concat_tables(
-        pq.read_table(f, columns=["doc_id", cfg.content_col])
+        pq.read_table(f, columns=["doc_id", cfg.content_col],
+                      use_threads=False)
         for f in shard_files)
-    parts = [
-        _tokenize_batch(t.slice(i, cfg.tokenize_batch_size),
-                        cfg.content_col, cfg.shard_size, analyzer=analyzer)
-        for i in range(0, t.num_rows, cfg.tokenize_batch_size)
-    ]
-    group = pa.concat_tables(parts) if parts else _tokenize_batch(
-        t, cfg.content_col, cfg.shard_size, analyzer=analyzer)
-    return _encode_shard(group, index_dir, expected_shard=shard)
+    term_chunks: list[pa.DictionaryArray] = []
+    doc_parts, tf_parts, pos_parts = [], [], []
+    dl_doc_parts, dl_val_parts = [], []
+    step = cfg.tokenize_batch_size
+    for i in range(0, max(t.num_rows, 1), step):
+        sub = t.slice(i, step)
+        occ, dictionary = analyze_batch_coded(sub, cfg.content_col,
+                                              analyzer=analyzer)
+        term_chunks.append(pa.DictionaryArray.from_arrays(
+            pa.array(occ["term_code"].astype(np.int32)), dictionary))
+        doc_parts.append(occ["doc_id"])
+        tf_parts.append(occ["tf"])
+        pos_parts.append(occ["first_pos"])
+        # Doclens: every doc of the sub-batch (zero-token docs included).
+        all_doc = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dlen = np.zeros(len(all_doc), dtype=np.int64)
+        if len(occ["doc_id"]):
+            o2 = np.argsort(all_doc, kind="stable")
+            pos_in = np.searchsorted(all_doc[o2], occ["doc_id"])
+            np.add.at(dlen, o2[pos_in], occ["tf"].astype(np.int64))
+        dl_doc_parts.append(all_doc)
+        dl_val_parts.append(dlen)
+    denc = pa.chunked_array(term_chunks).combine_chunks()
+    flat_doc = np.concatenate(doc_parts)
+    flat_tf = np.concatenate(tf_parts)
+    flat_pos = np.concatenate(pos_parts)
+    dl_docs = np.concatenate(dl_doc_parts)
+    dl_vals = np.concatenate(dl_val_parts)
+    # A doc appears in exactly one sub-batch, so sort-by-doc has no dupes.
+    o = np.argsort(dl_docs, kind="stable")
+    return _encode_shard(shard, denc, flat_doc, flat_tf, flat_pos,
+                         dl_docs[o], dl_vals[o], index_dir)
 
 
-def _encode_shard(group: pa.Table, index_dir: str,
-                  expected_shard: int | None = None) -> pa.Table:
+def _encode_shard(shard: int, denc: pa.DictionaryArray, flat_doc: np.ndarray,
+                  flat_tf: np.ndarray, flat_pos: np.ndarray,
+                  dl_docs: np.ndarray, dl_vals: np.ndarray,
+                  index_dir: str) -> pa.Table:
     """Encode + atomically write one shard's segment, doclens and manifest.
 
-    Deterministic: output depends only on the shard's (doc, term) content —
-    partial-row arrival order is erased by the global (term, doc_id) sort.
+    Input: the flat per-(doc, term) occurrence stream (terms as one
+    unified-dictionary array) plus doc_id-sorted doclens. Deterministic:
+    output depends only on the shard's (doc, term) content — batch layout
+    is erased by the global (term-rank, doc_id) sort.
     """
-    shard = int(group["shard"][0].as_py()) if group.num_rows else int(expected_shard or 0)
-    term_col = group["term"]
-    if isinstance(term_col, pa.ChunkedArray):
-        term_col = term_col.combine_chunks()
-    is_doclen_arr = pc.equal(term_col, DOCLEN_TERM)
-    dl_tab = group.filter(is_doclen_arr)
-    post_tab = group.filter(pc.invert(is_doclen_arr))
-
-    def flat_list(tab: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
-        arr = tab[col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
-        return vals, lens
-
-    # Doclens: concat sentinel lists, sort by doc_id (a doc appears in
-    # exactly one tokenize batch, so no dupes).
-    dl_docs, _ = flat_list(dl_tab, "doc_ids")
-    dl_vals, _ = flat_list(dl_tab, "tfs")
-    o = np.argsort(dl_docs, kind="stable")
-    dl_docs, dl_vals = dl_docs[o], dl_vals[o]
-
-    # Postings: Arrow-native flatten; factorize terms via dictionary_encode
-    # and remap codes to lexicographic rank so segment rows sort by term
-    # deterministically; one whole-shard grouped varint encode.
-    flat_doc, row_lens = flat_list(post_tab, "doc_ids")
-    flat_tf, _ = flat_list(post_tab, "tfs")
-    flat_pos, _ = flat_list(post_tab, "poss")
-    pterms = post_tab["term"]
-    if isinstance(pterms, pa.ChunkedArray):
-        pterms = pterms.combine_chunks()
-    denc = pterms.dictionary_encode()
-    if isinstance(denc, pa.ChunkedArray):
-        denc = denc.combine_chunks()
-    row_code = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_code = (denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(denc) else np.zeros(0, dtype=np.int64))
     dict_np = denc.dictionary.to_numpy(zero_copy_only=False)
     dict_order = np.argsort(dict_np, kind="stable")
     rank_of_code = np.empty(len(dict_order), dtype=np.int64)
     rank_of_code[dict_order] = np.arange(len(dict_order))
-    entry_rank = np.repeat(rank_of_code[row_code], row_lens) \
-        if len(row_code) else np.zeros(0, dtype=np.int64)
+    entry_rank = (rank_of_code[row_code]
+                  if len(row_code) else np.zeros(0, dtype=np.int64))
 
-    order = np.lexsort((flat_doc, entry_rank))
-    rank_s, doc_s, tf_s, pos_s = (
-        entry_rank[order], flat_doc[order], flat_tf[order], flat_pos[order])
+    # Single combined-key sort by (term rank, doc): doc ids within a shard
+    # span at most shard_size, so rank * span + doc_offset fits int64 with
+    # huge margin — one argsort pass instead of a 2-key lexsort.
+    base = flat_doc.min() if len(flat_doc) else 0
+    span = int(flat_doc.max()) - int(base) + 1 if len(flat_doc) else 1
+    if not len(entry_rank) or int(entry_rank.max()) < (1 << 62) // span:
+        order = np.argsort(entry_rank * span + (flat_doc - base),
+                           kind="stable")
+    else:  # overflow-safe fallback (absurd shard_size)
+        order = np.lexsort((flat_doc, entry_rank))
+    rank_s = entry_rank[order]
+    doc_s = flat_doc[order]
+    tf_s = flat_tf[order].astype(np.int64)
+    pos_s = flat_pos[order].astype(np.int64)
     n = len(rank_s)
     new = np.ones(n, dtype=bool)
     if n > 1:
@@ -380,7 +292,7 @@ def _atomic_write_parquet(
     table: pa.Table, path: str, compression: str = "zstd"
 ) -> None:
     tmp = path + ".tmp"
-    pq.write_table(table, tmp, compression=compression)
+    pq.write_table(table, tmp, compression=compression, use_dictionary=False)
     os.replace(tmp, path)
 
 
@@ -513,14 +425,25 @@ def _block_shas(ref: pa.Table) -> pa.Array:
 
 
 @ray.remote
-def _block_light(ref: pa.Table, key_cols: list[str]) -> pa.Table:
+def _block_light(ref: pa.Table, key_cols: list[str]) -> dict:
+    """Per-block (sha, key) as fixed-width numpy byte arrays.
+
+    Keys ship as UTF-8 bytes in numpy "S" form so the expensive
+    object→fixed-width conversion runs IN the task; the driver only
+    concatenates (numpy pads narrower blocks to the widest) and argsorts
+    — memcmp over UTF-8 == code-point order, at 1/4 the memory of a
+    fixed-width unicode cast."""
     keyed = _add_dedup_key(ref, key_cols)
-    sha = keyed["content_sha256"]
-    key = keyed["__dedup_key"]
-    return pa.table({
-        "sha": sha.combine_chunks() if isinstance(sha, pa.ChunkedArray) else sha,
-        "key": key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key,
-    })
+    # Null content/keys normalize to "" (null shas compared equal under
+    # the previous pandas-duplicated dedup as well).
+    sha = pc.fill_null(keyed["content_sha256"], "")
+    sha = sha.combine_chunks() if isinstance(sha, pa.ChunkedArray) else sha
+    key = pc.fill_null(keyed["__dedup_key"].cast(pa.large_binary()), b"")
+    key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+    return {
+        "sha": sha.to_numpy(zero_copy_only=False).astype("S64"),
+        "key": key.to_numpy(zero_copy_only=False).astype("S"),
+    }
 
 
 @ray.remote
@@ -554,40 +477,46 @@ def _finish_docs_block(
 
 def _driver_rank_docs(
     ds: ray.data.Dataset, cfg: IndexConfig, docs_dir: str
-) -> None:
+) -> dict:
     """Small/medium-corpus docs phase: canonical IDs by *driver-side rank*
     instead of a full-data sort exchange.
 
-    One full-data pipeline (read → sha → materialize), then a light wave
-    collecting (sha, key) per block (~tens of bytes/row to the driver — the
-    ``DEDUP_DRIVER_MAX_ROWS`` guard keeps this bounded), a driver argsort
-    giving each row its dense rank (= doc_id) with first-wins dedup, and a
-    fused task wave that filters, attaches IDs, and writes each block's
-    rows into the shard-partitioned docstore. Full rows never shuffle at
-    all — the partitioned write is the only data movement.
+    The read→sha pipeline is consumed as a STREAM of blocks: each block's
+    light (sha, key) extraction task launches the moment the block exists
+    (overlapped with the read — no ``materialize()`` barrier), while the
+    driver holds the block refs for the second wave. After the light wave,
+    a driver argsort over the keys as fixed-width *UTF-8 bytes* (numpy "S"
+    memcmp == code-point order, 1/4 the memory of a "U" cast; the
+    ``DEDUP_DRIVER_MAX_ROWS`` guard bounds the footprint) gives each row
+    its dense rank (= doc_id) with first-wins dedup, and a fused task wave
+    filters, attaches IDs, and writes each block's rows into the
+    shard-partitioned docstore. Full rows never shuffle at all — the
+    partitioned write is the only data movement. Returns sub-phase timings.
     """
-    mat = ds.materialize()
-    block_refs = []
-    for bundle in mat.iter_internal_ref_bundles():
+    import time
+
+    t0 = time.perf_counter()
+    block_refs: list[tuple] = []
+    light_futs = []
+    for bundle in ds.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             if meta.num_rows:  # empty split blocks may carry empty schemas
                 block_refs.append((ref, meta.num_rows))
+                light_futs.append(_block_light.remote(ref, cfg.sort_keys))
     if not block_refs:
         os.makedirs(docs_dir, exist_ok=True)
-        return
-    light = ray.get([
-        _block_light.remote(ref, cfg.sort_keys) for ref, _ in block_refs])
-    keys = np.concatenate(
-        [t["key"].to_numpy(zero_copy_only=False) for t in light])
-    shas = np.concatenate(
-        [t["sha"].to_numpy(zero_copy_only=False) for t in light])
-    # Fixed-width unicode sort: same code-point order as Python str
-    # comparison, but C memcmp speed — an object-array argsort over
-    # millions of keys would serialize the phase on the driver.
-    order = np.argsort(keys.astype("U"), kind="stable")
-    import pandas as pd
-
+        return {}
+    light = ray.get(light_futs)
+    t1 = time.perf_counter()
+    keys = np.concatenate([d["key"] for d in light])
+    shas = np.concatenate([d["sha"] for d in light])
+    order = np.argsort(keys, kind="stable")
     if cfg.dedup:
+        # First-wins: first occurrence of each sha in canonical key order.
+        # Hash-based duplicated() beats a sort-based np.unique ~5x on the
+        # fixed-width sha bytes.
+        import pandas as pd
+
         keep_sorted = (~pd.Series(shas[order]).duplicated()).to_numpy()
     else:
         keep_sorted = np.ones(len(order), dtype=bool)
@@ -597,6 +526,7 @@ def _driver_rank_docs(
     ids = np.empty(len(order), dtype=np.int64)
     ids[order] = ids_sorted  # meaningful only where keep is True
 
+    t2 = time.perf_counter()
     keep_cols = {"doc_id", "content_sha256", cfg.content_col}
     keep_cols |= set(cfg.store_cols or [])
     keep_cols |= set(cfg.sort_keys)
@@ -608,6 +538,11 @@ def _driver_rank_docs(
             cfg.shard_size, sorted(keep_cols), docs_dir, i))
         off += n
     ray.get(waves)
+    return {
+        "read_sha_light": round(t1 - t0, 3),
+        "rank": round(t2 - t1, 3),
+        "write": round(time.perf_counter() - t2, 3),
+    }
 
 
 @ray.remote
@@ -685,12 +620,12 @@ def _write_index_meta(index_dir: str, cfg: IndexConfig) -> None:
     os.replace(tmp, os.path.join(index_dir, "index_meta.json"))
 
 
-def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> None:
+def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
     docs_dir = os.path.join(index_dir, "docs")
     marker = os.path.join(index_dir, "_DOCS_DONE")
     _write_index_meta(index_dir, cfg)
     if os.path.exists(marker):
-        return
+        return {}
     if os.path.isdir(docs_dir):
         # A prior run died after writing part of docs/ but before the
         # marker. Block names are not stable across runs (UUIDs on the
@@ -711,12 +646,13 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> None:
     if cfg.id_col is None:
         small = _estimate_rows(source) <= DEDUP_DRIVER_MAX_ROWS
         if small:
-            # Driver-rank path: one full-data pipeline, light key wave,
-            # fused filter+ids+partitioned-write task wave. No shuffle.
-            _driver_rank_docs(ds, cfg, docs_dir)
+            # Driver-rank path: one streamed full-data pipeline with
+            # overlapped light key wave, then a fused
+            # filter+ids+partitioned-write task wave. No shuffle.
+            sub = _driver_rank_docs(ds, cfg, docs_dir)
             with open(marker, "w") as f:
                 f.write("ok")
-            return
+            return sub
         # Huge-scale path: shuffle dedup pre-pass + canonical sort + ids.
         if cfg.dedup:
             dup_shas, winner_keys = _dedup_winners(read(), cfg.sort_keys)
@@ -748,6 +684,7 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> None:
     ds.select_columns(cols).write_parquet(docs_dir, partition_cols=["shard"])
     with open(marker, "w") as f:
         f.write("ok")
+    return {}
 
 
 def _completed_shards(index_dir: str) -> set[int]:
@@ -884,7 +821,7 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None) -> dict:
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.perf_counter()
-    _docs_phase(source, index_dir, cfg)
+    docs_sub = _docs_phase(source, index_dir, cfg)
     t1 = time.perf_counter()
     _postings_phase(index_dir, cfg)
     t2 = time.perf_counter()
@@ -893,6 +830,7 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None) -> dict:
         "docs": round(t1 - t0, 3),
         "postings": round(t2 - t1, 3),
         "finalize": round(time.perf_counter() - t2, 3),
+        "docs_sub": docs_sub or None,
     }
     return stats
 
