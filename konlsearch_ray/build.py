@@ -450,6 +450,7 @@ def _block_light(ref: pa.Table, key_cols: list[str]) -> dict:
 def _finish_docs_block(
     block: pa.Table, keep: np.ndarray | None, ids: np.ndarray,
     shard_size: int, keep_cols: list[str], docs_dir: str, block_idx: int,
+    name_prefix: str = "block",
 ) -> int:
     """Filter losers, attach doc_id + shard, and write this block's rows
     into ``docs/shard=K/`` — one fused task, no follow-up write pipeline.
@@ -470,7 +471,8 @@ def _finish_docs_block(
         sub = block.filter(pa.array(shard == s)).drop_columns(["shard"])
         d = os.path.join(docs_dir, f"shard={int(s)}")
         os.makedirs(d, exist_ok=True)
-        _atomic_write_parquet(sub, os.path.join(d, f"block-{block_idx:05d}.parquet"))
+        _atomic_write_parquet(
+            sub, os.path.join(d, f"{name_prefix}-{block_idx:05d}.parquet"))
         n += sub.num_rows
     return n
 
@@ -835,28 +837,94 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None) -> dict:
     return stats
 
 
+def _docstore_files(docs_dir: str) -> list[str]:
+    files = []
+    for name in sorted(os.listdir(docs_dir)) if os.path.isdir(docs_dir) else []:
+        sub = os.path.join(docs_dir, name)
+        if os.path.isdir(sub) and name.startswith("shard="):
+            files += [os.path.join(sub, f) for f in sorted(os.listdir(sub))
+                      if f.endswith(".parquet")]
+    return files
+
+
+def _max_doc_id(index_dir: str, docs_dir: str) -> int:
+    """Highest ever-assigned doc id: the persisted monotone counter
+    (reference's id counter, index.py:20-23 — survives compaction of the
+    top shard so deleted ids are never reused), falling back to the top
+    shard's doc_id column for pre-counter indexes."""
+    counter_path = os.path.join(index_dir, "id_counter.json")
+    persisted = 0
+    if os.path.exists(counter_path):
+        with open(counter_path) as f:
+            persisted = int(json.load(f)["max_id"])
+    shard_dirs = [n for n in os.listdir(docs_dir)
+                  if n.startswith("shard=")] if os.path.isdir(docs_dir) else []
+    scanned = 0
+    if shard_dirs:
+        top = max(shard_dirs, key=lambda n: int(n.split("=", 1)[1]))
+        sub = os.path.join(docs_dir, top)
+        parts = [
+            pq.read_table(os.path.join(sub, f), columns=["doc_id"])
+            for f in sorted(os.listdir(sub)) if f.endswith(".parquet")]
+        if parts:
+            scanned = int(pc.max(pa.concat_tables(parts)["doc_id"]).as_py() or 0)
+    return max(persisted, scanned)
+
+
+def _write_id_counter(index_dir: str, max_id: int) -> None:
+    tmp = os.path.join(index_dir, ".id_counter.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"max_id": int(max_id)}, f)
+    os.replace(tmp, os.path.join(index_dir, "id_counter.json"))
+
+
+# Ingest status codes (reference index.py:36-45, IndexingStatusCode).
+STATUS_SUCCESS = "SUCCESS"
+STATUS_CONFLICT = "CONFLICT"
+STATUS_ERROR = "ERROR"
+
+
 def append_documents(
     index_dir: str, source, cfg: IndexConfig | None = None
 ) -> dict:
     """Incrementally ingest new documents into an existing index.
 
     The reference's primary API is one-at-a-time/batch ingest with
-    arrival-order IDs and hash-dict dedup (reference index.py:299-327);
-    the batch-build equivalent:
+    arrival-order IDs, hash-dict CONFLICT dedup and per-document statuses
+    (reference index.py:36-90, 299-327); the batch-build equivalent:
 
     - new docs get dense IDs ``N+1..`` in the canonical order of the
       APPENDED batch (arrival order between batches, canonical within —
-      matching the reference's monotone counter);
-    - exact dedup is global: content whose sha256 already exists in the
-      docstore is skipped (CONFLICT, first-wins — index.py:299-305), as
-      are in-batch duplicates;
+      matching the reference's monotone counter, which is persisted in
+      ``id_counter.json`` so compacted-away ids are never reused);
+    - exact dedup is global against LIVE docs: content whose sha256
+      already exists in the docstore (excluding tombstoned doc ids — Q3:
+      deleted content re-ingests under a fresh id) is skipped with
+      ``CONFLICT`` carrying the existing doc's id (index.py:55-63,
+      test_konlsearch.py:345-356); in-batch duplicates get ``CONFLICT``
+      with the batch winner's id; null content rows get ``ERROR``;
     - appended docs extend the tail shard / open new shards; affected
       shards' manifests are invalidated so the (idempotent, resumable)
       postings phase rebuilds exactly those segments;
     - dictionary and stats re-finalize from the shard manifests.
 
-    Returns the refreshed stats dict.
+    Scale shape (no driver materialization of data): the new batch
+    streams block-by-block with a light (sha, key) wave exactly like the
+    build's docs phase; dedup against the docstore is a broadcast
+    semi-join — the NEW batch's distinct shas broadcast once via
+    ``ray.put``, the docstore scanned distributed and column-pruned, and
+    only matching (sha, doc_id) pairs return to the driver (bounded by
+    the append size, not the index size); appended rows write into shard
+    partitions in a parallel fused task wave. For appends so large their
+    sha set cannot broadcast, run a fresh ``build_index`` over the union
+    instead — the hash-partitioned-join variant buys nothing over it.
+
+    Returns the refreshed stats dict plus ``statuses`` (one row per input
+    row, canonical order: content_sha256, status, doc_id), also persisted
+    under ``append_log/``.
     """
+    import uuid as _uuid
+
     cfg = cfg or IndexConfig()
     # shard_size / content_col are properties of the index, not the call —
     # read them from the persisted meta so appends can't fragment layout.
@@ -867,72 +935,149 @@ def append_documents(
         cfg.shard_size = int(meta["shard_size"])
         cfg.content_col = meta["content_col"]
     docs_dir = os.path.join(index_dir, "docs")
-    # Existing state: current max doc id + known shas (light column scan).
-    import pyarrow.dataset as pads
+    max_id = _max_doc_id(index_dir, docs_dir)
 
-    files = []
-    for name in sorted(os.listdir(docs_dir)):
-        sub = os.path.join(docs_dir, name)
-        if os.path.isdir(sub) and name.startswith("shard="):
-            files += [os.path.join(sub, f) for f in sorted(os.listdir(sub))
-                      if f.endswith(".parquet")]
-    if files:
-        existing = pads.dataset(files, format="parquet").to_table(
-            columns=["doc_id", "content_sha256"])
-        max_id = int(pc.max(existing["doc_id"]).as_py() or 0)
-        known = set(existing["content_sha256"].to_pylist())
-    else:
-        max_id, known = 0, set()
-
+    # --- stream the new batch; light (sha, key) wave overlapped ---------
     ds = (source if isinstance(source, ray.data.Dataset)
           else ray.data.read_parquet(source))
-    new = ds.map_batches(
+    ds = ds.map_batches(
         _sha256_batch, batch_format="pyarrow",
-        fn_kwargs={"content_col": cfg.content_col}).to_arrow_refs()
-    tables = [t for t in ray.get(new) if t.num_rows]
-    batch = pa.concat_tables(tables) if tables else None
-    if batch is None or batch.num_rows == 0:
-        return _finalize(index_dir)
+        fn_kwargs={"content_col": cfg.content_col})
+    key_cols = cfg.sort_keys or ["content_sha256"]
+    block_refs: list[tuple] = []
+    light_futs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta_b in bundle.blocks:
+            if meta_b.num_rows:
+                block_refs.append((ref, meta_b.num_rows))
+                light_futs.append(_block_light.remote(ref, key_cols))
+    if not block_refs:
+        stats = _finalize(index_dir)
+        stats["appended"] = 0
+        stats["statuses"] = _empty_status_table()
+        return stats
+    light = ray.get(light_futs)
+    keys = np.concatenate([d["key"] for d in light])
+    shas = np.concatenate([d["sha"] for d in light])
+    n_in = len(shas)
 
-    # Canonical order within the appended batch, then global dedup.
-    if cfg.sort_keys:
-        batch = _add_dedup_key(batch, cfg.sort_keys).sort_by("__dedup_key")
-        batch = batch.drop_columns(["__dedup_key"])
-    shas = batch["content_sha256"].to_pylist()
-    keep, seen = [], set(known)
-    for s in shas:
-        if s in seen:
-            keep.append(False)
-        else:
-            keep.append(True)
-            seen.add(s)
-    batch = batch.filter(pa.array(keep))
-    n_new = batch.num_rows
+    # --- conflicts vs live docstore: broadcast semi-join ----------------
+    from konlsearch_ray.tombstone import load_tombstones
+
+    dead = load_tombstones(index_dir)
+    uniq_shas = np.unique(shas)
+    cand_ref = ray.put(pa.array(np.char.decode(uniq_shas.astype("S64"))))
+
+    def _match(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["content_sha256"], value_set=ray.get(cand_ref))
+        return t.filter(pc.fill_null(m, False))
+
+    files = _docstore_files(docs_dir)
+    conflict_of: dict[bytes, int] = {}
+    if files:
+        hits = (ray.data.read_parquet(
+                    files, columns=["doc_id", "content_sha256"])
+                .map_batches(_match, batch_format="pyarrow")
+                .to_pandas())  # bounded by append size, not index size
+        if len(hits):  # empty to_pandas drops the schema entirely
+            if len(dead):
+                hits = hits[~np.isin(hits["doc_id"].to_numpy(), dead)]
+            for sha_s, did in zip(hits["content_sha256"], hits["doc_id"]):
+                b = sha_s.encode()
+                prev = conflict_of.get(b)
+                if prev is None or did < prev:  # first-wins: lowest live id
+                    conflict_of[b] = int(did)
+
+    # --- canonical order, statuses, dense tail ids ----------------------
+    order = np.argsort(keys, kind="stable")
+    sh_sorted = shas[order]
+    is_err_sorted = sh_sorted == b""  # null content (sha filled to "")
+    import pandas as pd
+
+    first_sorted = (~pd.Series(sh_sorted).duplicated()).to_numpy()
+    conf_arr = (np.array(sorted(conflict_of), dtype="S64")
+                if conflict_of else np.array([], dtype="S64"))
+    existing_sorted = np.isin(sh_sorted, conf_arr)
+    keep_sorted = first_sorted & ~existing_sorted & ~is_err_sorted
+    ids_sorted = max_id + np.cumsum(keep_sorted)
+    n_new = int(keep_sorted.sum())
+
+    # Status doc_id per row: kept → its new id; existing-conflict → the
+    # live doc's id; in-batch dup → the batch winner's id (which is the
+    # existing id when the winner itself conflicted); error → null.
+    codes, uniq_first = pd.factorize(pd.Series(sh_sorted))
+    winner_id_by_code = np.zeros(len(uniq_first), dtype=np.int64)
+    winner_pos = np.flatnonzero(first_sorted)
+    winner_id_by_code[codes[winner_pos]] = np.where(
+        keep_sorted[winner_pos], ids_sorted[winner_pos],
+        [conflict_of.get(bytes(s), 0) for s in sh_sorted[winner_pos]])
+    status_doc_sorted = winner_id_by_code[codes]
+    status_sorted = np.where(
+        is_err_sorted, STATUS_ERROR,
+        np.where(keep_sorted, STATUS_SUCCESS, STATUS_CONFLICT))
+
+    statuses = pa.table({
+        "content_sha256": pa.array(
+            np.char.decode(sh_sorted.astype("S64")), pa.string()),
+        "status": pa.array(status_sorted, pa.string()),
+        "doc_id": pa.array(
+            np.where(status_sorted == STATUS_ERROR, 0, status_doc_sorted),
+            pa.int64()),
+    })
+    statuses = statuses.set_column(
+        2, "doc_id",
+        pc.if_else(pc.equal(statuses["status"], STATUS_ERROR),
+                   pa.scalar(None, pa.int64()), statuses["doc_id"]))
+
+    log_dir = os.path.join(index_dir, "append_log")
+    os.makedirs(log_dir, exist_ok=True)
+    run_id = _uuid.uuid4().hex[:10]
+    _atomic_write_parquet(
+        statuses, os.path.join(log_dir, f"append-{run_id}.parquet"))
+
     if n_new == 0:
-        return _finalize(index_dir)
-    ids = np.arange(max_id + 1, max_id + 1 + n_new, dtype=np.int64)
-    batch = batch.append_column("doc_id", pa.array(ids))
-    shard = (ids - 1) // cfg.shard_size
+        stats = _finalize(index_dir)
+        stats["appended"] = 0
+        stats["statuses"] = statuses
+        return stats
+
+    # --- parallel fused write wave (same shape as the build docs phase) -
+    keep = np.empty(n_in, dtype=bool)
+    keep[order] = keep_sorted
+    ids = np.empty(n_in, dtype=np.int64)
+    ids[order] = ids_sorted
     keep_cols = {"doc_id", "content_sha256", cfg.content_col}
     keep_cols |= set(cfg.store_cols or []) | set(cfg.sort_keys)
-    batch = batch.select([c for c in batch.schema.names if c in keep_cols])
+    waves, off = [], 0
+    for i, (ref, n) in enumerate(block_refs):
+        k = keep[off:off + n]
+        if k.any():
+            waves.append(_finish_docs_block.remote(
+                ref, None if k.all() else k, ids[off:off + n][k],
+                cfg.shard_size, sorted(keep_cols), docs_dir, i,
+                name_prefix=f"append-{run_id}"))
+        off += n
+    ray.get(waves)
+    _write_id_counter(index_dir, max_id + n_new)
 
+    new_ids = ids_sorted[keep_sorted]
+    touched = sorted(set(((new_ids - 1) // cfg.shard_size).tolist()))
     mf_dir = os.path.join(index_dir, "manifests")
-    touched = sorted(set(int(s) for s in np.unique(shard)))
-    for s in np.unique(shard):
-        sub = batch.filter(pa.array(shard == s))
-        d = os.path.join(docs_dir, f"shard={int(s)}")
-        os.makedirs(d, exist_ok=True)
-        import uuid as _uuid
-
-        _atomic_write_parquet(
-            sub, os.path.join(d, f"append-{_uuid.uuid4().hex[:10]}.parquet"))
-        # Invalidate the shard so the postings phase rebuilds it.
+    for s in touched:
         mf = os.path.join(mf_dir, f"shard-{int(s):06d}.json")
         if os.path.exists(mf):
             os.remove(mf)
     _postings_phase(index_dir, cfg)
     stats = _finalize(index_dir)
     stats["appended"] = n_new
-    stats["touched_shards"] = touched
+    stats["touched_shards"] = [int(s) for s in touched]
+    stats["statuses"] = statuses
     return stats
+
+
+def _empty_status_table() -> pa.Table:
+    return pa.table({
+        "content_sha256": pa.array([], pa.string()),
+        "status": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+    })

@@ -122,11 +122,16 @@ def compact_index(index_dir: str) -> dict:
     import ray
     import ray.data
 
-    from konlsearch_ray.build import _finalize
+    from konlsearch_ray.build import _finalize, _max_doc_id, _write_id_counter
 
     dead = load_tombstones(index_dir)
     if len(dead) == 0:
         return _finalize(index_dir)
+    # Persist the id high-water mark BEFORE rows leave the docstore, so a
+    # compacted-away top shard can never cause doc-id reuse on append
+    # (the reference's counter is monotone, index.py:20-23).
+    _write_id_counter(index_dir, _max_doc_id(
+        index_dir, os.path.join(index_dir, "docs")))
     seg_dir = os.path.join(index_dir, "segments")
     shards = sorted(
         int(n[len("shard-"):-len(".parquet")])

@@ -89,3 +89,83 @@ def test_delete_then_reappend_gets_new_id(base):
     row = DS(idx).get(n0 + 1)
     assert row is not None and row["content"] == content
     assert DS(idx).get(7) is None
+
+
+def test_append_statuses(base):
+    """Per-document ingest statuses (reference index.py:36-90:
+    SUCCESS / CONFLICT-with-existing-id / ERROR)."""
+    import ray.data
+
+    from konlsearch_ray.docstore import DocStore
+
+    idx, stats = base
+    n0 = stats["N"]
+    existing = DocStore(idx).get(5)["content"]
+    new = _mini_corpus([
+        existing,                      # conflict with existing doc 5
+        "zzstat fresh alpha",          # success
+        "zzstat fresh alpha",          # in-batch dup of the winner
+        None,                          # error (null content)
+    ])
+    out = append_documents(idx, ray.data.from_arrow(new))
+    assert out["appended"] == 1
+    st = out["statuses"].to_pandas()
+    assert len(st) == 4
+    by_status = st.groupby("status").size().to_dict()
+    assert by_status == {"SUCCESS": 1, "CONFLICT": 2, "ERROR": 1}
+    # CONFLICT with pre-existing content carries the EXISTING doc id.
+    import hashlib
+
+    sha5 = hashlib.sha256(existing.encode()).hexdigest()
+    row = st[st["content_sha256"] == sha5].iloc[0]
+    assert row["status"] == "CONFLICT" and row["doc_id"] == 5
+    # In-batch duplicate points at the batch winner's NEW id.
+    fresh = st[(st["status"] == "SUCCESS")].iloc[0]
+    assert fresh["doc_id"] == n0 + 1
+    dup = st[(st["status"] == "CONFLICT") & (st["content_sha256"] != sha5)].iloc[0]
+    assert dup["doc_id"] == n0 + 1
+    assert st[st["status"] == "ERROR"]["doc_id"].isna().all()
+    # Statuses are persisted under append_log/.
+    import os
+
+    assert any(n.endswith(".parquet")
+               for n in os.listdir(os.path.join(idx, "append_log")))
+
+
+def test_append_after_delete_without_compact(base):
+    """ADVICE fix: content of a deleted (tombstoned, NOT yet compacted)
+    doc must re-ingest with a fresh id, not be silently skipped."""
+    import ray.data
+
+    from konlsearch_ray.docstore import DocStore
+    from konlsearch_ray.query import IndexReader
+    from konlsearch_ray.tombstone import delete_docs
+
+    idx, stats = base
+    n0 = stats["N"]
+    content = DocStore(idx).get(7)["content"]
+    delete_docs(idx, [7])  # tombstone only — no compaction
+    out = append_documents(idx, ray.data.from_arrow(_mini_corpus([content])))
+    assert out["appended"] == 1
+    st = out["statuses"].to_pandas()
+    assert list(st["status"]) == ["SUCCESS"] and st["doc_id"].iloc[0] == n0 + 1
+    r = IndexReader(idx)
+    assert r.n_docs == n0  # 7 masked out, new doc live
+
+
+def test_no_id_reuse_after_top_shard_compaction(ray_session, tmp_path):
+    """Deleting + compacting the max-id doc must not recycle its id."""
+    import ray.data
+
+    from konlsearch_ray.tombstone import compact_index, delete_docs
+
+    corpus = write_corpus(str(tmp_path / "c2"), 100, seed=33)
+    idx = str(tmp_path / "i2")
+    stats = build_index(corpus, idx, IndexConfig(shard_size=64))
+    n0 = stats["N"]
+    delete_docs(idx, [n0])
+    compact_index(idx)
+    out = append_documents(
+        idx, ray.data.from_arrow(_mini_corpus(["zz reuse probe"])))
+    st = out["statuses"].to_pandas()
+    assert st["doc_id"].iloc[0] == n0 + 1  # not n0 again
