@@ -1,9 +1,10 @@
 """Deduplication pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
 All Dataset-first. The wide steps are groupbys over content-derived keys
-(hash / shingle / band / simhash-chunk); candidate verification broadcasts
-the small per-doc summaries with ``ray.put`` instead of a second shuffle.
-Scale notes per function docstring.
+(hash / shingle / band / simhash-chunk); MinHash candidate verification is
+a hash-partitioned join against the distributed shingle-set table — no
+per-doc state ever lands on the driver. Scale notes per function
+docstring.
 """
 
 from __future__ import annotations
@@ -71,6 +72,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     tau: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> ray.data.Dataset:
     """Exact n-gram-shingle Jaccard near-dup pairs (J ≥ tau, a < b).
 
@@ -79,11 +81,15 @@ def ngram_jaccard_pairs(
     shingle explode → groupby(shingle) pair emission → groupby(pair) count
     (= |A∩B|) → J from broadcast per-doc set sizes.
 
-    Scale note: a stop-shingle (df ≫) makes its group emit O(df²) pairs —
-    at 100 TB you cap shingle df (drop shingles with df > limit; any pair
-    J ≥ tau still shares a rarer shingle with overwhelming probability) or
-    switch to minhash_lsh_pairs below. Kept exact here to stay
-    oracle-comparable.
+    ``max_shingle_df`` is the stop-shingle guard for scale: a shingle
+    whose group exceeds it emits NO pairs, clipping the O(df²) blow-up at
+    the source. The cap is conservative, never wrong: capped shingles
+    also drop out of the |A∩B| count, so the computed J only ever
+    UNDERestimates — every emitted pair truly satisfies J ≥ tau (no
+    false positives), and a pair can be missed only if its qualifying
+    overlap consists entirely of stop-shingles (vanishing at J ≥ tau,
+    where ≥ tau/(1+tau) of the union is shared). ``None`` (default) =
+    exact, the oracle-comparable configuration.
     """
     shingles = ds.map_batches(
         _shingle_batch, batch_format="pyarrow",
@@ -94,8 +100,9 @@ def ngram_jaccard_pairs(
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         docs = np.sort(g["doc_id"].to_numpy())
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+        if len(docs) < 2 or (max_shingle_df is not None
+                             and len(docs) > max_shingle_df):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
         a, b = zip(*combinations(docs.tolist(), 2))
         return pd.DataFrame({"a": a, "b": b})
 
@@ -116,6 +123,27 @@ def ngram_jaccard_pairs(
              "b": pa.array(b[keep].astype(np.int64))})
 
     return inter.map_batches(score, batch_format="pyarrow")
+
+
+def _nonempty_blocks(
+    ds: ray.data.Dataset, cols: tuple[str, ...]
+) -> ray.data.Dataset:
+    """Rebuild a dataset from its non-empty Arrow block refs.
+
+    Workaround for empty shuffle/aggregate partitions: their 0-row blocks
+    skip map UDFs entirely, so they reach downstream operators with empty
+    (or stale upstream) schemas, which the hash-join operator rejects.
+    Only refs move to the driver; the blocks stay put. Falls back to one
+    empty int64-typed block when nothing survives."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([], pa.int64()) for c in cols}))
+    return ray.data.from_arrow_refs(refs)
 
 
 # --------------------------------------------------------------------------
@@ -163,11 +191,13 @@ def minhash_lsh_pairs(
     """MinHash(64 perms) + LSH(16 bands × 4 rows) near-dup candidates,
     verified with exact shingle-hash Jaccard ≥ tau. Output: a, b, jacc.
 
-    The scale path: signature computation is embarrassingly parallel; the
-    only shuffle is groupby(band bucket); band buckets are hash-uniform.
-    Verification here broadcasts per-doc shingle-hash sets (fine at test
-    scale; at 100 TB verification joins candidates back to a
-    hash-partitioned shingle-set table instead).
+    Scale shape end-to-end: signature computation is embarrassingly
+    parallel; candidate generation shuffles once on the hash-uniform
+    (band, key) bucket; verification joins candidates against the
+    DISTRIBUTED per-doc shingle-set table with Ray's hash-partitioned
+    join (once per pair side) — data moved is proportional to the
+    candidate volume plus one pass over the set table, and nothing
+    materializes on the driver.
     """
     a_p, b_p = _minhash_params(seed)
     M = FP_MOD
@@ -197,48 +227,70 @@ def minhash_lsh_pairs(
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         docs = np.sort(g["doc_id"].unique())
         if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
         a, b = zip(*combinations(docs.tolist(), 2))
         return pd.DataFrame({"a": a, "b": b})
 
     cand = sig_ds.groupby(["band", "key"]).map_groups(emit, batch_format="pandas")
     cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="nbands"))
 
-    # Broadcast shingle-hash sets for exact verification. Set computation
-    # runs distributed (map_batches); only the compact per-doc summaries
-    # are collected for the ray.put broadcast. At 100 TB the verification
-    # becomes a hash-partitioned semi-join of candidates against this
-    # table instead of a broadcast.
+    def _norm_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"].cast(pa.int64()),
+                         "b": t["b"].cast(pa.int64())})
+
+    cand = cand.map_batches(_norm_pairs, batch_format="pyarrow")
+
+    # Exact-Jaccard verification WITHOUT driver state: the per-doc
+    # shingle-hash sets stay a distributed Dataset, and candidates join
+    # against it twice with Ray's hash-partitioned join (once per side).
+    # Everything that moves is proportional to the candidate volume plus
+    # one pass over the set table — no ``to_pandas``/``ray.put`` of
+    # per-doc state, so the verify half scales like the bucket half.
     def to_sets(batch: pa.Table) -> pa.Table:
         rows = _shingle_hash_sets(batch, content_col, id_col, n)
+        # Sets serialize to little-endian uint64 bytes: Acero hash joins
+        # carry binary payloads but not nested list columns.
         return pa.table({
             "doc_id": pa.array([d for d, _ in rows], pa.int64()),
-            "hs": pa.array([h.tolist() for _, h in rows],
-                           pa.list_(pa.uint64())),
+            "hs": pa.array([h.astype("<u8").tobytes() for _, h in rows],
+                           pa.large_binary()),
         })
 
-    sets_df = ds.map_batches(to_sets, batch_format="pyarrow").to_pandas()
-    sets = {int(d): np.asarray(h, dtype=np.uint64)
-            for d, h in zip(sets_df["doc_id"], sets_df["hs"])}
-    sets_ref = ray.put(sets)
+    sets_ds = ds.map_batches(to_sets, batch_format="pyarrow")
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    # Empty upstream partitions emit 0-row blocks that BYPASS map UDFs and
+    # so carry stale or empty schemas; Ray's hash join rejects them. Drop
+    # them by rebuilding from the non-empty block refs (refs only — no
+    # data moves, blocks stay in the object store).
+    cand = _nonempty_blocks(cand, ("a", "b"))
+    sets_ds = _nonempty_blocks(sets_ds, ("doc_id", "hs"))
+    j = cand.join(sets_ds, "inner", num_partitions=nparts,
+                  on=("a",), right_on=("doc_id",))
+    j = _nonempty_blocks(j.rename_columns({"hs": "hs_a"}),
+                         ("a", "b", "hs_a"))
+    j = j.join(sets_ds, "inner", num_partitions=nparts,
+               on=("b",), right_on=("doc_id",))
+    j = j.rename_columns({"hs": "hs_b"})
 
     def verify(batch: pa.Table) -> pa.Table:
-        ss = ray.get(sets_ref)
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
+        hs_a = batch["hs_a"].to_pylist()
+        hs_b = batch["hs_b"].to_pylist()
         out_a, out_b, out_j = [], [], []
-        for x, y in zip(a, b):
-            hx, hy = ss[int(x)], ss[int(y)]
+        for x, y, hx, hy in zip(a, b, hs_a, hs_b):
+            hx = np.frombuffer(hx, dtype="<u8")
+            hy = np.frombuffer(hy, dtype="<u8")
             inter = len(np.intersect1d(hx, hy, assume_unique=True))
             union = len(hx) + len(hy) - inter
-            j = inter / union if union else 0.0
-            if j >= tau:
-                out_a.append(int(x)); out_b.append(int(y)); out_j.append(round(j, 4))
+            jac = inter / union if union else 0.0
+            if jac >= tau:
+                out_a.append(int(x)); out_b.append(int(y)); out_j.append(round(jac, 4))
         return pa.table(
             {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
              "jacc": pa.array(out_j, pa.float64())})
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -304,7 +356,7 @@ def simhash_pairs(
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         docs = g["doc_id"].to_numpy(); hs = g["simhash"].to_numpy().astype(np.uint64)
         if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
         out_a, out_b, out_h = [], [], []
         for i, j in combinations(range(len(docs)), 2):
             d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))

@@ -178,34 +178,58 @@ def ivf_topk(
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
+@ray.remote
+def _block_pair_cos(
+    ta: pa.Table, tb: pa.Table, same: bool, tau: float,
+    id_col: str, vec_col: str,
+) -> pa.Table:
+    ids_a = ta[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_b = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ma = _normalize(_matrix(ta, vec_col))
+    mb = ma if same else _normalize(_matrix(tb, vec_col))
+    sims = ma @ mb.T
+    rows, cols = np.nonzero(sims >= tau)
+    if same:
+        tri = rows < cols  # upper triangle once; diagonal (self) dropped
+        rows, cols = rows[tri], cols[tri]
+    a, b = ids_a[rows], ids_b[cols]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo < hi  # orients each cross-block pair; drops equal ids
+    return pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
+
+
 def cosine_pairs(
     ds: ray.data.Dataset,
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> ray.data.Dataset:
-    """Exact all-pairs cosine ≥ tau (a < b): broadcast full normalized
-    matrix once, blocked matmul per batch. Exact baseline for the LSH
-    variant; fine while the matrix fits a worker (N·dim·8 bytes)."""
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = full[id_col].to_numpy().astype(np.int64)
-    mat = _normalize(np.stack([np.asarray(v, np.float64) for v in full[vec_col]]))
-    order = np.argsort(ids_all)
-    ids_all, mat = ids_all[order], mat[order]
-    ref = ray.put((ids_all, mat))
+    """Exact all-pairs cosine ≥ tau (a < b) as a blocked self-join.
 
-    def block(batch: pa.Table) -> pa.Table:
-        aids, amat = ray.get(ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(_matrix(batch, vec_col))
-        sims = m @ amat.T  # (nb, N)
-        rows, cols = np.nonzero(sims >= tau)
-        a, b = ids[rows], aids[cols]
-        keep = a < b
-        return pa.table(
-            {"a": pa.array(a[keep]), "b": pa.array(b[keep])})
-
-    return ds.map_batches(block, batch_format="pyarrow")
+    The dataset's blocks pair up (i ≤ j); one task per block pair loads
+    exactly two blocks from the object store and emits its qualifying
+    pairs. The driver holds only block refs — no full-table
+    materialization anywhere — and per-task memory is two blocks, so the
+    exact O(N²/2) similarity join distributes over B(B+1)/2 tasks on any
+    cluster size. A pair spanning two blocks is emitted exactly once
+    (its block pair), within-block pairs once via the diagonal task.
+    ``lsh_bucketed_pairs`` is the subquadratic approximate path.
+    """
+    light = ds.select_columns([id_col, vec_col])
+    refs = []
+    for bundle in light.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    futs = [
+        _block_pair_cos.remote(refs[i], refs[j], i == j, tau, id_col, vec_col)
+        for i in range(len(refs)) for j in range(i, len(refs))
+    ]
+    if not futs:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())}))
+    return ray.data.from_arrow_refs(futs)
 
 
 def lsh_bucketed_pairs(
@@ -214,31 +238,40 @@ def lsh_bucketed_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 11,
 ) -> ray.data.Dataset:
     """Scale path: random-hyperplane sign buckets → within-bucket exact
-    cosine. Approximate (pairs straddling a bucket boundary are missed —
-    use multiple tables for recall); the all-to-all is groupby(bucket)."""
+    cosine. Approximate — a pair whose vectors straddle a plane in EVERY
+    table is missed; per-table collision probability for angle θ is
+    (1-θ/π)^n_planes, so recall = 1-(1-p)^n_tables rises quickly with
+    ``n_tables`` (OR-amplification). The all-to-all is one
+    groupby(table, bucket); a pair found in several tables dedups in the
+    final (a, b) groupby."""
     first = ds.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = rng.normal(size=(n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         m = _matrix(batch, vec_col)
-        signs = (m @ pl.T) > 0
-        bucket = signs @ (1 << np.arange(n_planes))
-        return pa.table(
-            {id_col: batch[id_col].cast(pa.int64()),
-             vec_col: batch[vec_col],
-             "bucket": pa.array(bucket.astype(np.int64))})
+        parts = []
+        for t in range(pl.shape[0]):
+            signs = (m @ pl[t].T) > 0
+            bucket = signs @ (1 << np.arange(n_planes))
+            parts.append(pa.table(
+                {id_col: batch[id_col].cast(pa.int64()),
+                 vec_col: batch[vec_col],
+                 "table": pa.array(np.full(len(m), t, np.int64)),
+                 "bucket": pa.array(bucket.astype(np.int64))}))
+        return pa.concat_tables(parts)
 
     def within(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy().astype(np.int64)
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
         m = _normalize(np.stack([np.asarray(v, np.float64) for v in g[vec_col]]))
         sims = m @ m.T
         rows, cols = np.nonzero(sims >= tau)
@@ -247,7 +280,8 @@ def lsh_bucketed_pairs(
         return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    pairs = bucketed.groupby("bucket").map_groups(within, batch_format="pandas")
+    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
+        within, batch_format="pandas")
     from ray.data.aggregate import Count
 
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="nb")).select_columns(["a", "b"])

@@ -149,3 +149,115 @@ def test_ivf_equals_exact_when_probing_all(ray_session):
         p = set(part[part["qid"] == q]["neighbor"])
         hits += len(e & p)
     assert hits >= 10  # >= 2/3 recall across 15 slots
+
+
+def test_minhash_distributed_verify_at_scale(ray_session):
+    """MinHash+LSH at 10x the entry's doc cap: candidate verification is a
+    hash-partitioned join (no driver materialization of per-doc state) and
+    every emitted pair truly satisfies J >= tau; planted exact dups found."""
+    import ray.data
+
+    from konlsearch_ray.analyzer import tokenize
+    from konlsearch_ray.functions.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{chr(97+i)}{chr(97+j)}" for i in range(26) for j in range(20)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(1450)]
+    planted = [(1450 + 2 * i, 1450 + 2 * i + 1) for i in range(25)]
+    for a, b in planted:
+        t = " ".join(rng.choice(vocab, size=30))
+        texts += [t, t]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)})).repartition(8)
+    out = minhash_lsh_pairs(ds, "text", "doc_id", n=3, tau=0.9).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    for a, b in planted:
+        assert (a, b) in pairs
+    # Spot-verify emitted jaccards against a direct computation.
+    txt = {i: texts[i] for i in range(len(texts))}
+    for _, row in out.head(20).iterrows():
+        ta, tb = tokenize(txt[row["a"]]), tokenize(txt[row["b"]])
+        sa = {" ".join(ta[i:i+3]) for i in range(len(ta) - 2)}
+        sb = {" ".join(tb[i:i+3]) for i in range(len(tb) - 2)}
+        j = len(sa & sb) / len(sa | sb)
+        assert j >= 0.9 and abs(j - row["jacc"]) < 1e-3
+
+
+def test_ngram_shingle_df_cap(docs_ds, ray_session):
+    """The stop-shingle cap: identical output when no shingle exceeds it;
+    a blow-up corpus is clipped without false positives."""
+    import ray.data
+
+    from konlsearch_ray.functions.dedup import ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(docs_ds, "text", "doc_id", n=3, tau=0.5).to_pandas()
+    capped = ngram_jaccard_pairs(docs_ds, "text", "doc_id", n=3, tau=0.5,
+                                 max_shingle_df=10).to_pandas()
+    assert (set(zip(exact["a"], exact["b"]))
+            == set(zip(capped["a"], capped["b"])))
+    # Blow-up corpus: every doc shares one stop shingle; only 0/1 are
+    # genuinely similar. Cap clips the stop group: no O(n^2) pairs, the
+    # true pair survives through its rare shingles.
+    n = 60
+    texts = [f"common stop shingle unique{i} filler{i} tail{i}" for i in range(n)]
+    texts[0] = "common stop shingle alpha beta gamma delta"
+    texts[1] = "common stop shingle alpha beta gamma epsilon"
+    big = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)}))
+    out = ngram_jaccard_pairs(big, "text", "doc_id", n=3, tau=0.4,
+                              max_shingle_df=20).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs
+    assert len(pairs) < 10  # the 60-doc stop group (1770 pairs) was clipped
+
+
+def test_cosine_pairs_blocked_exact(ray_session):
+    """Blocked exact pair join equals the brute-force N^2 reference and
+    never materializes the table on the driver."""
+    import ray.data
+
+    from konlsearch_ray.functions.similarity import cosine_pairs
+
+    rng = np.random.default_rng(5)
+    n, dim = 300, 12
+    mat = rng.normal(size=(n, dim))
+    ds = ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array(range(n), pa.int64()),
+         "embedding": pa.array([list(r) for r in mat], pa.list_(pa.float64()))})
+    ).repartition(7)
+    out = cosine_pairs(ds, 0.5).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = m @ m.T
+    exp = {(i, j) for i in range(n) for j in range(i + 1, n) if sims[i, j] >= 0.5}
+    assert got == exp
+
+
+def test_lsh_multi_table_recall(ray_session):
+    """OR-amplification: multi-table LSH recall vs the exact blocked join
+    rises with table count; all emitted pairs are true positives."""
+    import ray.data
+
+    from konlsearch_ray.functions.similarity import cosine_pairs, lsh_bucketed_pairs
+
+    rng = np.random.default_rng(9)
+    n, dim = 400, 16
+    base = rng.normal(size=(n, dim))
+    # Plant tight near-dup pairs (high cosine) so LSH has real targets.
+    for i in range(0, 60, 2):
+        base[i + 1] = base[i] + rng.normal(scale=0.05, size=dim)
+    ds = ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array(range(n), pa.int64()),
+         "embedding": pa.array([list(r) for r in base], pa.list_(pa.float64()))})
+    ).repartition(4)
+    tau = 0.95
+    exact = set(map(tuple, cosine_pairs(ds, tau).to_pandas()[["a", "b"]].values))
+    assert len(exact) >= 30
+    r1 = set(map(tuple, lsh_bucketed_pairs(ds, tau, n_planes=8, n_tables=1)
+                 .to_pandas()[["a", "b"]].values))
+    r8 = set(map(tuple, lsh_bucketed_pairs(ds, tau, n_planes=8, n_tables=8)
+                 .to_pandas()[["a", "b"]].values))
+    assert r1 <= exact and r8 <= exact  # no false positives ever
+    assert len(r8 & exact) >= len(r1 & exact)
+    assert len(r8 & exact) / len(exact) >= 0.9  # 8 tables: high recall
