@@ -95,10 +95,9 @@ class IndexConfig:
 # --------------------------------------------------------------------------
 
 
-def _sha256_batch(batch: pa.Table, content_col: str) -> pa.Table:
-    """Per-row sha256 over the Arrow string buffer directly — no Python
-    string materialization (hashlib accepts the memoryview slices)."""
-    col = batch[content_col]
+def hash_hex_column(col, algo: str = "sha256") -> pa.Array:
+    """Per-row hex digest over the Arrow string buffer directly — no
+    Python string materialization (hashlib accepts memoryview slices)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     bin_col = col.cast(pa.large_binary())
@@ -110,11 +109,17 @@ def _sha256_batch(batch: pa.Table, content_col: str) -> pa.Table:
     data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
     valid = (np.ones(len(bin_col), dtype=bool) if bin_col.null_count == 0
              else pc.is_valid(bin_col).to_numpy(zero_copy_only=False))
+    ctor = getattr(hashlib, algo)
     hashes = [
-        hashlib.sha256(data[offs[i]:offs[i + 1]]).hexdigest() if valid[i] else None
+        ctor(data[offs[i]:offs[i + 1]]).hexdigest() if valid[i] else None
         for i in range(len(bin_col))
     ]
-    return batch.append_column("content_sha256", pa.array(hashes, pa.string()))
+    return pa.array(hashes, pa.string())
+
+
+def _sha256_batch(batch: pa.Table, content_col: str) -> pa.Table:
+    return batch.append_column(
+        "content_sha256", hash_hex_column(batch[content_col], "sha256"))
 
 
 class ShardBuildStage:

@@ -24,9 +24,10 @@ from konlsearch_ray.functions.text import FP_MOD, _token_hashes
 
 
 def _md5_batch(batch: pa.Table, content_col: str) -> pa.Table:
-    vals = batch[content_col].to_pylist()
+    from konlsearch_ray.build import hash_hex_column
+
     return batch.append_column(
-        "h", pa.array([hashlib.md5(v.encode()).hexdigest() for v in vals]))
+        "h", hash_hex_column(batch[content_col], "md5"))
 
 
 def exact_dedup_groups(

@@ -11,9 +11,10 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
-from konlsearch_ray.analyzer import analyze_strings
+from konlsearch_ray.analyzer import analyze_strings, analyze_strings_coded
 
 # Small fixed stopword lists for the heuristic language-ID vote. Order of
 # ``LANG_ORDER`` is the deterministic tie-break (first wins on equal votes).
@@ -41,20 +42,34 @@ def _doc_token_arrays(batch: pa.Table, content_col: str):
     return counts, offsets, terms
 
 
+def _doc_coded_arrays(batch: pa.Table, content_col: str):
+    """batch → (per-doc counts, occ doc_idx, occ term codes, dictionary).
+
+    The factorized-code form: per-token work happens once per DISTINCT
+    term (over the dictionary) and fans out via codes — no Python loop
+    ever touches the occurrence stream."""
+    doc_idx, codes, _pos, dictionary = analyze_strings_coded(batch[content_col])
+    counts = np.bincount(doc_idx, minlength=batch.num_rows).astype(np.int64)
+    return counts, doc_idx, codes, dictionary
+
+
 def token_counts(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
-    """Per doc: total kept tokens + distinct terms (ints only)."""
+    """Per doc: total kept tokens + distinct terms — one combined-key
+    np.unique over (doc, code), no per-doc Python sets."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        counts, offsets, terms = _doc_token_arrays(batch, content_col)
-        distinct = np.array(
-            [len(set(terms[offsets[i]: offsets[i + 1]])) for i in range(batch.num_rows)],
-            dtype=np.int64,
-        )
+        counts, doc_idx, codes, dictionary = _doc_coded_arrays(batch, content_col)
+        nvocab = len(dictionary) + 1
+        if len(codes):
+            uniq = np.unique(doc_idx * nvocab + codes)
+            distinct = np.bincount(uniq // nvocab, minlength=batch.num_rows)
+        else:
+            distinct = np.zeros(batch.num_rows, dtype=np.int64)
         return pa.table(
             {
                 id_col: batch[id_col].cast(pa.int64()),
                 "n_tokens": pa.array(counts),
-                "n_distinct": pa.array(distinct),
+                "n_distinct": pa.array(distinct.astype(np.int64)),
             }
         )
 
@@ -66,21 +81,31 @@ def quality_profile(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.
 
     Ratios are raw IEEE double divisions of exact integer counts — the SQL
     oracle performs the same division on the same ints, so values match
-    bit-for-bit without rounding.
+    bit-for-bit without rounding. Fully vectorized: stopword membership
+    and token length are computed once per distinct term (``pc.is_in`` /
+    ``pc.utf8_length`` over the dictionary) and per-doc sums are
+    ``np.bincount`` over the code stream.
     """
-    stop_en = set(STOPWORDS["en"])
+    stop_en = pa.array(list(STOPWORDS["en"]), pa.string())
 
     def fn(batch: pa.Table) -> pa.Table:
-        counts, offsets, terms = _doc_token_arrays(batch, content_col)
+        counts, doc_idx, codes, dictionary = _doc_coded_arrays(batch, content_col)
         n = batch.num_rows
+        nvocab = len(dictionary) + 1
         ttr = np.zeros(n); stop_ratio = np.zeros(n); mean_len = np.zeros(n)
-        for i in range(n):
-            toks = terms[offsets[i]: offsets[i + 1]]
-            if len(toks) == 0:
-                continue
-            ttr[i] = len(set(toks)) / len(toks)
-            stop_ratio[i] = sum(t in stop_en for t in toks) / len(toks)
-            mean_len[i] = sum(len(t) for t in toks) / len(toks)
+        if len(codes):
+            uniq = np.unique(doc_idx * nvocab + codes)
+            distinct = np.bincount(uniq // nvocab, minlength=n)
+            is_stop = pc.is_in(dictionary, value_set=stop_en).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            tok_len = pc.utf8_length(dictionary.cast(pa.string())).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            stop_sum = np.bincount(doc_idx, weights=is_stop[codes], minlength=n)
+            len_sum = np.bincount(doc_idx, weights=tok_len[codes], minlength=n)
+            nz = counts > 0
+            ttr[nz] = distinct[nz] / counts[nz]
+            stop_ratio[nz] = stop_sum[nz] / counts[nz]
+            mean_len[nz] = len_sum[nz] / counts[nz]
         return pa.table(
             {
                 id_col: batch[id_col].cast(pa.int64()),
@@ -96,20 +121,25 @@ def quality_profile(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.
 
 def lang_id(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
     """Heuristic language ID: stopword vote per language, deterministic
-    tie-break by ``LANG_ORDER``; zero votes → 'und'."""
-    stop = {k: set(v) for k, v in STOPWORDS.items()}
+    tie-break by ``LANG_ORDER`` (argmax over columns in that order picks
+    the first maximum); zero votes → 'und'. Votes are per-distinct-term
+    ``pc.is_in`` fanned out through ``np.bincount`` — no Python loops."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        counts, offsets, terms = _doc_token_arrays(batch, content_col)
-        labels = []
-        for i in range(batch.num_rows):
-            toks = terms[offsets[i]: offsets[i + 1]]
-            votes = {lg: sum(t in stop[lg] for t in toks) for lg in LANG_ORDER}
-            best = max(votes.values())
-            labels.append(
-                "und" if best == 0
-                else next(lg for lg in LANG_ORDER if votes[lg] == best)
-            )
+        counts, doc_idx, codes, dictionary = _doc_coded_arrays(batch, content_col)
+        n = batch.num_rows
+        votes = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+        if len(codes):
+            for li, lg in enumerate(LANG_ORDER):
+                is_stop = pc.is_in(
+                    dictionary, value_set=pa.array(list(STOPWORDS[lg]))
+                ).to_numpy(zero_copy_only=False).astype(np.float64)
+                votes[:, li] = np.bincount(
+                    doc_idx, weights=is_stop[codes], minlength=n).astype(np.int64)
+        best = votes.max(axis=1)
+        pick = np.argmax(votes, axis=1)  # first max in LANG_ORDER
+        langs = np.array(LANG_ORDER, dtype=object)
+        labels = np.where(best == 0, "und", langs[pick])
         return pa.table(
             {
                 id_col: batch[id_col].cast(pa.int64()),
