@@ -245,14 +245,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         n_centroids=8, n_probe=8)
 
     def suggest_jamo_prefix(sf_dir):  # rows-only (jamo decomposition not in SQL)
-        import ray.data
+        # Range scan over the finalize-time sorted (jamo_key, term) table
+        # — per-query cost tracks the match range, not the vocabulary.
+        from konlsearch_ray.pipelines.suggest import suggest_jamo_indexed
 
-        from konlsearch_ray.pipelines.suggest import suggest_jamo
-
-        d = os.path.join(_index_dir(sf_dir), "dictionary")
-        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
-                 if f.endswith(".parquet")]
-        return suggest_jamo(ray.data.read_parquet(files), "s")
+        return suggest_jamo_indexed(_index_dir(sf_dir), "s")
 
     def freq_topk_jamo(sf_dir):  # rows-only (jamo decomposition not in SQL)
         import ray.data
@@ -323,14 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "rk": pa.array(out["rk"].astype("int64"))})
 
     def suggest_prefix(sf_dir):
-        import ray.data
+        from konlsearch_ray.pipelines.suggest import suggest_indexed
 
-        from konlsearch_ray.pipelines.suggest import suggest as _sg
-
-        d = os.path.join(_index_dir(sf_dir), "dictionary")
-        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
-                 if f.endswith(".parquet")]
-        return _sg(ray.data.read_parquet(files), "s")
+        return suggest_indexed(_index_dir(sf_dir), "s")
 
     def freq_topk(sf_dir):
         from ray.data.aggregate import Count

@@ -229,6 +229,17 @@ def run_bench() -> dict:
     dt = time.perf_counter() - t0
     queries["bm25_distributed_qps"] = round(n_q / dt, 1)
 
+    # Scatter-gather serving in the Dataset API: same total actor count,
+    # but each actor holds only index/num_subsets (the cluster layout).
+    from konlsearch_ray.query import sharded_query_pipeline
+
+    t0 = time.perf_counter()
+    sharded_query_pipeline(
+        code_idx, rd.from_arrow(qt).repartition(pool * 4), num_subsets=4,
+        concurrency_per_subset=max(1, pool // 4)).materialize()
+    dt = time.perf_counter() - t0
+    queries["bm25_sharded_qps"] = round(n_q / dt, 1)
+
     # --- one training-data pipeline for coverage --------------------------
     import ray.data as rd
 

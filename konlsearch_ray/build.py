@@ -810,6 +810,12 @@ def _finalize(index_dir: str) -> dict:
             shutil.rmtree(dict_dir)
         os.replace(tmp_dir, dict_dir)
     stats["vocab"] = int(pq.ParquetDataset(dict_dir).read(["term"]).num_rows) if seg_files else 0
+    if seg_files:
+        # Sorted (jamo_key, term) suggestion table — the trie equivalent
+        # (range scans replace full-dictionary filters; SURVEY.md J5/O2).
+        from konlsearch_ray.pipelines.suggest import build_suggest_table
+
+        build_suggest_table(index_dir)
     tmp = os.path.join(index_dir, ".stats.json.tmp")
     with open(tmp, "w") as f:
         json.dump(stats, f, sort_keys=True)

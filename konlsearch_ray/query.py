@@ -437,13 +437,26 @@ class QueryStage:
     k: int64`` (k ignored for Boolean modes). Output rows: one per result
     doc — ``qid, doc_id, rank, score`` (score 0.0, rank = position for
     Boolean modes).
+
+    ``shards`` + ``partial=True`` turn the stage into one leg of the
+    scatter-gather layout (``sharded_query_pipeline``): the actor holds
+    only its shard subset (actor-pool memory = index/K, the
+    ShardedQueryEngine layout behind the Dataset API) and emits per-doc
+    PARTIAL rows (mode + k carried through) for a downstream per-qid
+    merge. Per-doc BM25 scores are complete within a subset (a doc lives
+    in exactly one shard; idf/N/avgdl are global via ``use_global_df``),
+    so the merged top-k is bit-identical to a whole-index reader.
     """
 
-    def __init__(self, index_dir: str):
-        self.reader = IndexReader(index_dir)
+    def __init__(self, index_dir: str, shards: list[int] | None = None,
+                 partial: bool = False):
+        self.reader = IndexReader(index_dir, shards=shards,
+                                  use_global_df=shards is not None)
+        self.partial = partial
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, docs, ranks, scores = [], [], [], []
+        modes, ks = [], []
         for qid, tokens, mode, k in zip(
             batch["qid"].to_pylist(),
             batch["tokens"].to_pylist(),
@@ -453,17 +466,83 @@ class QueryStage:
             if mode == "BM25":
                 for r, (d, s) in enumerate(self.reader.bm25_topk(tokens, int(k))):
                     qids.append(qid); docs.append(d); ranks.append(r); scores.append(s)
+                    modes.append(mode); ks.append(int(k))
             else:
                 for r, d in enumerate(self.reader.search(tokens, mode)):
                     qids.append(qid); docs.append(d); ranks.append(r); scores.append(0.0)
-        return pa.table(
-            {
-                "qid": pa.array(qids, pa.int64()),
-                "doc_id": pa.array(docs, pa.int64()),
-                "rank": pa.array(ranks, pa.int64()),
-                "score": pa.array(scores, pa.float64()),
-            }
-        )
+                    modes.append(mode); ks.append(int(k))
+        out = {
+            "qid": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+        if self.partial:
+            out["mode"] = pa.array(modes, pa.string())
+            out["k"] = pa.array(ks, pa.int64())
+        return pa.table(out)
+
+
+def sharded_query_pipeline(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    num_subsets: int = 4,
+    concurrency_per_subset: int | tuple[int, int] = 1,
+):
+    """Scatter-gather query serving entirely in the Dataset API.
+
+    The index's shards split into ``num_subsets`` disjoint groups; the
+    query stream fans out through one ``map_batches(QueryStage)`` actor
+    pool per group (each actor holds ONLY its group — memory per actor =
+    index/K instead of the whole index), the partial streams union, and a
+    per-qid grouped merge produces final ranks. Results are identical to
+    a whole-index ``QueryStage``: Boolean partials concatenate over
+    disjoint doc sets; BM25 per-doc scores are complete within a group
+    and global-df idf keeps scores equal, so the merged top-k (ties by
+    ascending doc_id) matches bit-for-bit.
+    """
+    import pandas as pd
+    import ray as _ray
+    import ray.data  # noqa: F401
+
+    from konlsearch_ray.tombstone import load_tombstones
+
+    if len(load_tombstones(index_dir)):
+        # dictionary/ df is physical (pre-delete); subset readers cannot
+        # recompute live df for terms outside their subset.
+        raise ValueError(
+            "sharded_query_pipeline requires a compacted index — run "
+            "konlsearch_ray.tombstone.compact_index() first")
+    seg_dir = os.path.join(index_dir, "segments")
+    shard_ids = sorted(
+        int(n[len("shard-"):-len(".parquet")])
+        for n in os.listdir(seg_dir) if n.endswith(".parquet"))
+    num_subsets = max(1, min(num_subsets, len(shard_ids)))
+    groups = [shard_ids[i::num_subsets] for i in range(num_subsets)]
+
+    parts = [
+        queries.map_batches(
+            QueryStage,
+            fn_constructor_kwargs={"index_dir": index_dir, "shards": g,
+                                   "partial": True},
+            batch_format="pyarrow", concurrency=concurrency_per_subset)
+        for g in groups if g
+    ]
+    u = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        mode = g["mode"].iloc[0]
+        if mode == "BM25":
+            k = int(g["k"].iloc[0])
+            g = g.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(k)
+        else:
+            g = g.sort_values("doc_id")
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["qid", "doc_id", "rank", "score"]]
+
+    return u.groupby("qid").map_groups(merge, batch_format="pandas")
 
 
 class ShardQueryActor:

@@ -73,3 +73,35 @@ def test_requires_compacted_index(ray_session, tmp_path):
     eng = ShardedQueryEngine(idx, num_actors=2)
     assert 1 not in eng.search(["def"], "OR")
     eng.shutdown()
+
+
+def test_sharded_query_pipeline_matches_whole_index(ray_session, tmp_path):
+    """Dataset-API scatter-gather (per-actor shard-subset readers) must be
+    row-identical to the whole-index QueryStage path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.corpus import write_corpus
+    from konlsearch_ray.query import QueryStage, sharded_query_pipeline
+
+    corpus = write_corpus(str(tmp_path / "qc"), 400, seed=17)
+    idx = str(tmp_path / "qi")
+    build_index(corpus, idx, IndexConfig(shard_size=64))
+    qt = pa.table({
+        "qid": pa.array(range(6), pa.int64()),
+        "tokens": pa.array(
+            [["def", "return"], ["import"], ["def"], ["class", "self"],
+             ["getidx", "return"], ["zznothing"]], pa.list_(pa.string())),
+        "mode": pa.array(["BM25", "AND", "BM25", "OR", "BM25", "AND"]),
+        "k": pa.array([10, 0, 5, 0, 10, 0], pa.int64()),
+    })
+    whole = (rd.from_arrow(qt).map_batches(
+        QueryStage, fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow", concurrency=2).to_pandas()
+        .sort_values(["qid", "rank"]).reset_index(drop=True))
+    shard = (sharded_query_pipeline(idx, rd.from_arrow(qt), num_subsets=3)
+             .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    assert whole[["qid", "doc_id", "rank"]].values.tolist() == \
+        shard[["qid", "doc_id", "rank"]].values.tolist()
+    assert (whole["score"].to_numpy() == shard["score"].to_numpy()).all()  # bit-identical

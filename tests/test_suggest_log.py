@@ -108,3 +108,91 @@ def test_topk_per_jamo_prefix(ray_session):
     row2 = out[out["prefix"] == "ㅁㅏㅂㅓㅂ"].sort_values("rk")
     assert list(row2["term"])[0] == "마법소녀"
     assert "모래" not in set(row2["term"])
+
+
+def test_indexed_suggest_matches_dataset_path(ray_session, tmp_path):
+    """The finalize-time (jamo_key, term) range-scan path returns exactly
+    what the full-dictionary filter path returns, for plain and jamo
+    prefixes, including partial-syllable queries."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.corpus import write_corpus
+    from konlsearch_ray.pipelines.suggest import (
+        suggest,
+        suggest_indexed,
+        suggest_jamo,
+        suggest_jamo_indexed,
+    )
+
+    corpus = write_corpus(str(tmp_path / "c"), 300, seed=4)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, IndexConfig(shard_size=64))
+    assert os.path.isdir(os.path.join(idx, "suggest"))
+    d = os.path.join(idx, "dictionary")
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    dict_ds = ray.data.read_parquet(files)
+    for prefix in ["s", "de", "마", "ㅁ", "특"]:
+        slow = [r["term"] for r in suggest(dict_ds, prefix).take_all()]
+        fast = suggest_indexed(idx, prefix)["term"].to_pylist()
+        assert fast == slow, prefix
+        slow_j = [r["term"] for r in suggest_jamo(dict_ds, prefix).take_all()]
+        fast_j = suggest_jamo_indexed(idx, prefix)["term"].to_pylist()
+        assert fast_j == slow_j, prefix
+    # Range scan prunes: the table is sorted with small row groups.
+    t = pq.read_metadata(os.path.join(idx, "suggest", "keys.parquet"))
+    assert t.num_rows > 0
+
+
+def test_decompose_jamo_bulk():
+    from konlsearch_ray.pipelines.suggest import decompose_jamo, decompose_jamo_bulk
+
+    terms = ["마법", "특급", "abc마", "", "seed"]
+    assert decompose_jamo_bulk(terms) == [decompose_jamo(t) for t in terms]
+
+
+def test_search_log_flow_end_to_end(ray_session, tmp_path):
+    """The composed reference chain (inverted_index.py:108-128 ->
+    trie.py:183-216): serve real queries with a live log, flush,
+    aggregate frequencies, feed the per-jamo-prefix top-k."""
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.corpus import write_corpus
+    from konlsearch_ray.pipelines.logagg import aggregate_search_frequency
+    from konlsearch_ray.pipelines.suggest import topk_per_jamo_prefix
+    from konlsearch_ray.query import IndexReader
+
+    corpus = write_corpus(str(tmp_path / "c"), 250, seed=6)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, IndexConfig(shard_size=64))
+    log_dir = str(tmp_path / "log")
+    freq_dir = str(tmp_path / "freq")
+    r = IndexReader(idx, log_dir=log_dir)
+    # Serve queries: "def" three times, "return" twice, "deadbeefzz" never
+    # hits (Q7: not logged).
+    r.search(["def", "return"], "AND")
+    r.search(["def"], "OR")
+    r.search(["def", "deadbeefzz"], "OR")
+    r.search(["return"], "OR")
+    r.search_log.flush()
+    freq = aggregate_search_frequency(log_dir, freq_dir)
+    got = dict(zip(freq["term"].to_pylist(), freq["hits"].to_pylist()))
+    hits_def = r.df("def")
+    assert got["def"] == 3 * hits_def
+    assert "deadbeefzz" not in got
+    # Feed the aggregated frequency into the per-prefix top-k (the
+    # reference's trie.increase_frequency consumer).
+    top = topk_per_jamo_prefix(
+        ray.data.from_arrow(freq), count_col="hits").to_pandas()
+    row = top[(top["prefix"] == "d") & (top["rk"] == 1)]
+    assert list(row["term"]) == ["def"]
+    # Incremental: more traffic, re-aggregate, counts move, top-k follows.
+    r.search(["return"], "OR")
+    r.search(["return"], "OR")
+    r.search(["return"], "OR")
+    r.search_log.flush()
+    freq2 = aggregate_search_frequency(log_dir, freq_dir)
+    got2 = dict(zip(freq2["term"].to_pylist(), freq2["hits"].to_pylist()))
+    assert got2["return"] == 5 * r.df("return")
