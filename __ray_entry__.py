@@ -31,6 +31,10 @@ OR_TOKENS = ["spark", "vector"]
 PHRASE_TOKENS = ["batch", "window"]
 BM25_TOKENS = ["table", "merge", "fast"]
 BM25_K = 10
+# Morpheme-analyzer entry: these terms exist in the index ONLY as
+# morphemes of compound surface tokens ("window" → win+dow, "table" →
+# ta+ble under the bundled lexicon's greedy segmentation).
+MORPH_TOKENS = ["win", "ble"]
 NGRAM_TAU = 0.03
 NGRAM_MAXDOC = 150
 EMBED_TAU = 0.4
@@ -60,6 +64,27 @@ def _reader(sf_dir: str):
     from konlsearch_ray.query import IndexReader
 
     return IndexReader(_index_dir(sf_dir))
+
+
+def _morph_index_dir(sf_dir: str) -> str:
+    """Index built END-TO-END through the bundled-lexicon morpheme
+    analyzer (reference's mecab-union semantics, index.py:98-102): the
+    actor-pool tokenizer loads the lexicon once per actor."""
+    key = f"morph:{sf_dir}"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    from konlsearch_ray.analyzer import KoreanLexiconAnalyzer
+    from konlsearch_ray.build import IndexConfig, build_index
+
+    tag = hashlib.md5(f"{sf_dir}:morph-v1".encode()).hexdigest()[:10]
+    out = f"/tmp/konl_entry_index/{tag}"
+    cfg = IndexConfig(
+        content_col="text", id_col="doc_id", dedup=False, sort_keys=[],
+        shard_size=4096, analyzer_factory=KoreanLexiconAnalyzer,
+    )
+    build_index(os.path.join(sf_dir, "documents.parquet"), out, cfg)
+    _INDEX_CACHE[key] = out
+    return out
 
 
 def _docs(sf_dir: str):
@@ -153,6 +178,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table(
             {"doc_id": pa.array([d for d, _ in top], pa.int64()),
              "score": pa.array([round(s, 4) for _, s in top], pa.float64())})
+
+    def search_morph(sf_dir):
+        # Terms findable only through morpheme segmentation — exercises
+        # the pluggable analyzer through build AND query.
+        from konlsearch_ray.query import IndexReader
+
+        return _ids_table(
+            IndexReader(_morph_index_dir(sf_dir)).search(MORPH_TOKENS, "AND"))
 
     def term_stats(sf_dir):
         import ray.data
@@ -349,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_and_absent": search_and_absent,
         "search_phrase": search_phrase,
         "search_complex": search_complex,
+        "search_morph": search_morph,
         "bm25_topk": bm25_topk,
         "bm25_sharded": bm25_sharded,
         "term_stats": term_stats,
@@ -421,7 +455,31 @@ def oracle_sql() -> dict[str, str]:
             ("fr", ("le", "et", "les", "des", "une", "dans")),
         )
     }
+    from konlsearch_ray.data.lexicon import DEFAULT_LEXICON
+
+    lex_vals = ", ".join(f"('{w}')" for w in DEFAULT_LEXICON)
+    morph_terms = _sql_in(MORPH_TOKENS)
     out = {
+        "search_morph": f"""WITH RECURSIVE {_KEPT}, {_OCC},
+d AS (SELECT DISTINCT doc_id, term FROM occ),
+vocab(term) AS (SELECT DISTINCT term FROM d),
+lex(w) AS (VALUES {lex_vals}),
+seg(term, pos, morph) AS (
+  SELECT term, 1, CAST(NULL AS VARCHAR) FROM vocab
+  UNION ALL
+  SELECT s.term, s.pos + length(l.w), l.w
+  FROM seg s JOIN lex l ON substr(s.term, s.pos, length(l.w)) = l.w
+  QUALIFY row_number() OVER (PARTITION BY s.term, s.pos
+                             ORDER BY length(l.w) DESC) = 1),
+ok(term) AS (SELECT term FROM seg GROUP BY term
+  HAVING max(pos) = max(length(term)) + 1 AND count(morph) >= 2),
+morphs AS (SELECT DISTINCT s.term, s.morph FROM seg s JOIN ok USING (term)
+  WHERE s.morph IS NOT NULL),
+full_occ AS (SELECT doc_id, term FROM d
+  UNION SELECT dd.doc_id, m.morph AS term FROM d dd JOIN morphs m USING (term))
+SELECT doc_id::BIGINT AS doc_id FROM full_occ WHERE term IN {morph_terms}
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(MORPH_TOKENS)}
+ORDER BY doc_id""",
         "search_and": _and_sql(AND_TOKENS),
         "search_or": f"""WITH {_KEPT}, {_OCC}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM occ

@@ -130,24 +130,36 @@ def analyze_strings(col: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
 
 
 class KoreanLexiconAnalyzer:
-    """Stateful analyzer demo — the pluggable morpheme slot (SURVEY.md ST1).
+    """Bundled-lexicon morpheme analyzer — the pluggable slot (SURVEY.md ST1).
 
     The reference tokenizes with ``set(mecab.morphs(s)) | set(s.split())``
     (index.py:98-102): morphemes UNION whitespace tokens. mecab/Kiwi are
-    not in this sandbox, so this analyzer reproduces the *shape* of that
-    behavior with a greedy longest-match segmentation over a loaded
-    lexicon: the ordered stream is each kept whitespace token followed by
-    its in-lexicon morphemes (when the token itself decomposes). The
-    lexicon is the per-worker state loaded once per actor in ``__init__``
-    — exactly what ``IndexConfig(analyzer_factory=..., tokenizer_actors=
-    True)`` exists for.
+    not in this sandbox, so the normative stand-in is deterministic
+    greedy longest-match segmentation over a lexicon (default: the
+    bundled Korean morpheme + identifier-atom lexicon,
+    data/lexicon.py): every kept token is emitted as-is, followed by its
+    morphemes when the WHOLE token segments into ≥2 lexicon entries
+    (greedy, full-or-nothing — the same rule the DuckDB oracle
+    re-derives with a recursive CTE, so the analyzer is oracle-gated
+    end-to-end). Applies to Hangul and ASCII tokens alike (compound
+    identifiers segment the way compound nouns do). Memoized per worker;
+    the lexicon is the per-worker state loaded once per actor in
+    ``__init__`` — what ``IndexConfig(analyzer_factory=...)`` exists for.
     """
 
-    def __init__(self, lexicon: list[str]):
+    def __init__(self, lexicon: list[str] | None = None):
+        if lexicon is None:
+            from konlsearch_ray.data.lexicon import DEFAULT_LEXICON
+
+            lexicon = DEFAULT_LEXICON
         self.lexicon = set(lexicon)
         self.max_len = max((len(w) for w in lexicon), default=1)
+        self._memo: dict[str, list[str]] = {}
 
     def _morphs(self, word: str) -> list[str]:
+        hit = self._memo.get(word)
+        if hit is not None:
+            return hit
         out, i = [], 0
         while i < len(word):
             for ln in range(min(self.max_len, len(word) - i), 0, -1):
@@ -156,7 +168,12 @@ class KoreanLexiconAnalyzer:
                     i += ln
                     break
             else:
-                return []  # not fully segmentable → no morpheme emission
+                out = []  # not fully segmentable → no morpheme emission
+                break
+        if len(out) < 2:
+            out = []  # single-morpheme segmentation adds nothing
+        if len(self._memo) < 1_000_000:  # bounded per-worker cache
+            self._memo[word] = out
         return out
 
     def tokenize_many(self, texts: list[str]) -> list[list[str]]:
@@ -168,10 +185,7 @@ class KoreanLexiconAnalyzer:
                 if t is None:
                     continue
                 toks.append(t)
-                if _HANGUL.fullmatch(t):
-                    morphs = self._morphs(t)
-                    if len(morphs) > 1:
-                        toks.extend(morphs)
+                toks.extend(self._morphs(t))
             out.append(toks)
         return out
 

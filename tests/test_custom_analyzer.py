@@ -55,3 +55,28 @@ def test_build_with_custom_analyzer(ray_session, tmp_path):
     assert r.search(["소녀"], "OR") == [1, 3]
     assert r.search(["마법소녀"], "OR") == [1]
     assert r.search(["alpha", "마법"], "AND") == [1]
+
+
+def test_bundled_lexicon_korean_morphology():
+    """The bundled lexicon segments real Korean morphology: noun+josa,
+    compounds, verb forms — greedy longest-match, full-or-nothing."""
+    a = KoreanLexiconAnalyzer()  # bundled default
+    assert a.tokenize_many(["마법을 봤다"])[0][:2] == ["마법을", "마법"]
+    out = a.tokenize_many(["함수세계 검색은"])[0]
+    assert out == ["함수세계", "함수", "세계", "검색은", "검색", "은"]
+    # ASCII compounds segment with the same rule (identifier atoms).
+    assert a.tokenize_many(["window table"])[0] == [
+        "window", "win", "dow", "table", "ta", "ble"]
+    # Whole-token lexicon hits add nothing; unsegmentable stays whole.
+    assert a.tokenize_many(["scan stream"])[0] == ["scan", "stream"]
+
+
+def test_morph_entry_matches_oracle(ray_session):
+    """The end-to-end analyzer entry (build + query through the bundled
+    lexicon) hash-matches its recursive-CTE DuckDB oracle."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from entry_harness import run
+
+    assert run("/root/testdata/sf0.001", only=["search_morph"]) == 0
