@@ -78,6 +78,26 @@ class DocStore:
         shards = {(i - 1) // self.shard_size for i in ids}
         return self._read(shards, pads.field("doc_id").isin(ids))
 
+    def get_multi_status(self, doc_ids: list[int]) -> pa.Table:
+        """Multi-get with per-id statuses (reference GetStatusCode,
+        index.py:41-63): one row per REQUESTED id in ascending order —
+        ``doc_id, status`` where status ∈ {FOUND, NOT_FOUND} — so callers
+        can tell a miss from a deleted/never-ingested id instead of
+        silently losing it. Pair with ``get_multi`` for the payloads."""
+        ids = sorted(set(int(x) for x in doc_ids))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "status": pa.array([], pa.string())})
+        found_t = self.get_multi(ids)
+        found = (set(found_t["doc_id"].to_pylist())
+                 if found_t.num_rows else set())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "status": pa.array(
+                ["FOUND" if i in found else "NOT_FOUND" for i in ids],
+                pa.string()),
+        })
+
     def get_range(self, start: int, end: int) -> pa.Table:
         """Half-open ``[start, end)`` (reference index.py:387-395)."""
         if end <= start:

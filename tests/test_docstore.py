@@ -57,3 +57,12 @@ def test_deleted_docs_absent(store):
     assert ds.get_multi([1, 2, 3])["doc_id"].to_pylist() == [1, 3]
     assert ds.get_range(100, 103)["doc_id"].to_pylist() == [100, 102]
     assert len(ds) == stats["N"] - 2
+
+
+def test_get_multi_status(store):
+    """Reference GetStatusCode parity (index.py:41-63): per-id
+    FOUND/NOT_FOUND instead of silently omitting misses."""
+    ds, stats, _ = store
+    st = ds.get_multi_status([2, 999999, 5]).to_pandas()
+    assert list(st["doc_id"]) == [2, 5, 999999]
+    assert list(st["status"]) == ["FOUND", "FOUND", "NOT_FOUND"]
