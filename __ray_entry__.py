@@ -300,6 +300,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "hits": pa.array(out["hits"].astype("int64")),
                          "rk": pa.array(out["rk"].astype("int64"))})
 
+    def curate(sf_dir):
+        # Composed curation chain (quality gate + language gate + exact
+        # first-wins dedup), all hash-partitioned joins/groupbys.
+        from konlsearch_ray.pipelines.curate import curate_documents
+
+        out = curate_documents(_docs(sf_dir), "text", "doc_id",
+                               min_tokens=40, langs=["en"])
+        return out.select_columns(["doc_id"]).sort("doc_id")
+
+    def curate_neardup(sf_dir):  # rows-only (MinHash recall < 1 by design)
+        from konlsearch_ray.pipelines.curate import curate_documents
+
+        ds = _docs(sf_dir).map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], NGRAM_MAXDOC)),
+            batch_format="pyarrow")
+        out = curate_documents(ds, "text", "doc_id",
+                               near_dup_tau=0.8)
+        return out.select_columns(["doc_id"]).sort("doc_id")
+
     def lang_id(sf_dir):
         from konlsearch_ray.functions.text import lang_id as _lid
 
@@ -398,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,
         "suggest_jamo_prefix": suggest_jamo_prefix,
         "freq_topk_jamo": freq_topk_jamo,
+        "curate": curate,
+        "curate_neardup": curate_neardup,
         "lang_id": lang_id,
         "text_quality": text_quality,
         "token_count": token_count,
@@ -569,6 +590,21 @@ ranked AS (SELECT qid, neighbor, cos,
 SELECT qid::BIGINT AS qid, neighbor::BIGINT AS neighbor,
        round(cos, 4) AS cos, rk::BIGINT AS rk
 FROM ranked WHERE rk <= {ANN_K}""",
+        "curate": f"""WITH {_KEPT},
+votes AS (SELECT doc_id,
+  len(list_filter(toks, t -> t IN {stop['en']})) AS ven,
+  len(list_filter(toks, t -> t IN {stop['es']})) AS ves,
+  len(list_filter(toks, t -> t IN {stop['de']})) AS vde,
+  len(list_filter(toks, t -> t IN {stop['fr']})) AS vfr
+FROM kept),
+gated AS (SELECT k.doc_id FROM kept k JOIN votes v ON k.doc_id = v.doc_id
+  WHERE len(k.toks) >= 40
+    AND greatest(ven, ves, vde, vfr) > 0
+    AND ven >= greatest(ves, vde, vfr)),
+survivors AS (SELECT d.doc_id, md5(d.text) AS h
+  FROM documents d JOIN gated g ON d.doc_id = g.doc_id)
+SELECT min(doc_id)::BIGINT AS doc_id FROM survivors GROUP BY h
+ORDER BY doc_id""",
         "lang_id": f"""WITH {_KEPT},
 votes AS (SELECT doc_id,
   len(list_filter(toks, t -> t IN {stop['en']})) AS ven,

@@ -1,0 +1,134 @@
+"""End-to-end corpus curation — the composed training-data pipeline.
+
+``curate_documents`` chains the cleaning operators a large-scale
+training-data run needs, entirely as streaming Dataset stages:
+
+1. **annotate + quality filter** — one vectorized ``map_batches`` pass
+   computes per-doc token count, type-token ratio and the stopword
+   language vote (same kernels as functions/text.py, same values as the
+   DuckDB oracle) and filters on them; annotation columns are dropped so
+   the surviving rows keep their original schema.
+2. **exact dedup** — first-wins by content md5: one hash-uniform
+   ``groupby`` produces the winner id per distinct content, then a
+   ``left_semi`` hash join keeps exactly the winners. No driver state.
+3. **near-dup drop (optional)** — MinHash+LSH pairs (functions/dedup.py,
+   itself join-verified) → drop the higher id of every pair via one
+   ``left_anti`` hash join. Pair-greedy (keeps the lowest id of each
+   connected pair, not full clustering) — the standard first pass at
+   corpus scale; chains collapse over repeated application.
+
+Every wide step is a hash-partitioned groupby or join; per-stage data
+movement is one pass over the rows plus the pair set. Nothing
+materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from konlsearch_ray.functions.dedup import (
+    _md5_batch,
+    _nonempty_blocks,
+    minhash_lsh_pairs,
+)
+from konlsearch_ray.functions.text import LANG_ORDER, STOPWORDS, _doc_coded_arrays
+
+
+def annotate_quality(
+    ds: ray.data.Dataset, content_col: str
+) -> ray.data.Dataset:
+    """Append ``n_tokens``, ``ttr``, ``lang_guess`` to every row (one
+    vectorized pass; values identical to token_counts/quality_profile/
+    lang_id so the oracle SQL re-derives them)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts, doc_idx, codes, dictionary = _doc_coded_arrays(batch, content_col)
+        n = batch.num_rows
+        nvocab = len(dictionary) + 1
+        ttr = np.zeros(n)
+        votes = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+        if len(codes):
+            uniq = np.unique(doc_idx * nvocab + codes)
+            distinct = np.bincount(uniq // nvocab, minlength=n)
+            nz = counts > 0
+            ttr[nz] = distinct[nz] / counts[nz]
+            for li, lg in enumerate(LANG_ORDER):
+                is_stop = pc.is_in(
+                    dictionary, value_set=pa.array(list(STOPWORDS[lg]))
+                ).to_numpy(zero_copy_only=False).astype(np.float64)
+                votes[:, li] = np.bincount(
+                    doc_idx, weights=is_stop[codes], minlength=n).astype(np.int64)
+        best = votes.max(axis=1)
+        langs = np.array(LANG_ORDER, dtype=object)
+        labels = np.where(best == 0, "und", langs[np.argmax(votes, axis=1)])
+        return (batch
+                .append_column("n_tokens", pa.array(counts))
+                .append_column("ttr", pa.array(ttr))
+                .append_column("lang_guess", pa.array(labels, pa.string())))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def curate_documents(
+    ds: ray.data.Dataset,
+    content_col: str,
+    id_col: str,
+    *,
+    min_tokens: int = 1,
+    max_tokens: int | None = None,
+    min_ttr: float = 0.0,
+    langs: list[str] | None = None,
+    near_dup_tau: float | None = None,
+    ngram_n: int = 3,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """The composed cleaning pipeline; returns the surviving rows with
+    their ORIGINAL schema. See module docstring for the stage shapes."""
+    from ray.data.aggregate import Count, Min
+
+    nparts = num_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 4)))
+
+    # 1. quality + language gate.
+    ann = annotate_quality(ds, content_col)
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["n_tokens"], min_tokens)
+        if max_tokens is not None:
+            keep = pc.and_(keep, pc.less_equal(t["n_tokens"], max_tokens))
+        if min_ttr > 0.0:
+            keep = pc.and_(keep, pc.greater_equal(t["ttr"], min_ttr))
+        if langs is not None:
+            keep = pc.and_(keep, pc.is_in(
+                t["lang_guess"], value_set=pa.array(list(langs))))
+        return t.filter(keep).drop_columns(["n_tokens", "ttr", "lang_guess"])
+
+    gated = ann.map_batches(gate, batch_format="pyarrow")
+
+    # 2. exact dedup: winner id per content hash, kept via left_semi join.
+    hashed = gated.map_batches(
+        _md5_batch, batch_format="pyarrow",
+        fn_kwargs={"content_col": content_col})
+    winners = (hashed.select_columns(["h", id_col])
+               .groupby("h")
+               .aggregate(Min(id_col, alias_name="keep_id"),
+                          Count(alias_name="n"))
+               .select_columns(["keep_id"]))
+    deduped = _nonempty_blocks(gated, (id_col, content_col)).join(
+        _nonempty_blocks(winners, ("keep_id",)), "left_semi",
+        num_partitions=nparts, on=(id_col,), right_on=("keep_id",))
+
+    if near_dup_tau is None:
+        return deduped
+
+    # 3. near-dup drop: MinHash pairs → left_anti against the b side.
+    pairs = minhash_lsh_pairs(
+        deduped, content_col, id_col, n=ngram_n, tau=near_dup_tau)
+    drops = pairs.select_columns(["b"])
+    return _nonempty_blocks(deduped, (id_col, content_col)).join(
+        _nonempty_blocks(drops, ("b",)), "left_anti",
+        num_partitions=nparts, on=(id_col,), right_on=("b",))

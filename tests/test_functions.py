@@ -261,3 +261,37 @@ def test_lsh_multi_table_recall(ray_session):
     assert r1 <= exact and r8 <= exact  # no false positives ever
     assert len(r8 & exact) >= len(r1 & exact)
     assert len(r8 & exact) / len(exact) >= 0.9  # 8 tables: high recall
+
+
+def test_curate_documents_pipeline(ray_session):
+    """Composed curation: quality gate + lang gate + exact dedup +
+    near-dup drop, each stage a hash-partitioned groupby/join."""
+    import ray.data
+
+    from konlsearch_ray.pipelines.curate import curate_documents
+
+    long_en = ("the quick brown fox jumps over the lazy dog and then "
+               "keeps running across the field of green grass forever")
+    near = long_en.replace("green grass", "tall grass")
+    texts = [
+        long_en,                    # 0: survives
+        "too short",                # 1: quality-reject (min_tokens)
+        "el perro de la casa y que corre por el campo verde de la granja "
+        "todos los dias de la semana con el gato de la casa",  # 2: lang-reject
+        long_en,                    # 3: exact dup of 0
+        near,                       # 4: near-dup of 0
+        "a completely different long document that is talking about the "
+        "architecture of distributed systems and the design of storage",  # 5: survives
+    ]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)})).repartition(3)
+    out = curate_documents(
+        ds, "text", "doc_id", min_tokens=12, langs=["en"],
+        near_dup_tau=0.6).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 5]
+    assert set(out.columns) == {"doc_id", "text"}  # original schema kept
+    # Without the near-dup stage, doc 4 survives.
+    out2 = curate_documents(
+        ds, "text", "doc_id", min_tokens=12, langs=["en"]).to_pandas()
+    assert sorted(out2["doc_id"]) == [0, 4, 5]
