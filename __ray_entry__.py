@@ -277,6 +277,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ivf_topk(_embeddings(sf_dir), [0, 1, 2, 3, 4], k=ANN_K,
                         n_centroids=8, n_probe=8)
 
+    def ann_ivf_store(sf_dir):
+        # Partitioned IVF cluster layout: probe-pruned PARTITION reads.
+        # Full probing (n_probe == n_centroids) → exact; shares the
+        # brute-force oracle.
+        import shutil
+
+        import numpy as np
+
+        from konlsearch_ray.functions.similarity import (
+            build_ivf_store,
+            ivf_store_topk,
+        )
+
+        tag = hashlib.md5(f"{sf_dir}:ivfstore-v1".encode()).hexdigest()[:10]
+        out = f"/tmp/konl_entry_ivf/{tag}"
+        if not os.path.exists(os.path.join(out, "ivf_meta.json")):
+            shutil.rmtree(out, ignore_errors=True)  # clear partial builds
+            build_ivf_store(_embeddings(sf_dir), out, n_centroids=8)
+        q = _embeddings(sf_dir).filter(expr="vec_id < 5").to_pandas()
+        qids = q["vec_id"].to_numpy()
+        qmat = np.stack([np.asarray(v, float) for v in q["embedding"]])
+        return ivf_store_topk(out, qids, qmat, k=ANN_K, n_probe=8)
+
     def suggest_jamo_prefix(sf_dir):  # rows-only (jamo decomposition not in SQL)
         # Range scan over the finalize-time sorted (jamo_key, term) table
         # — per-query cost tracks the match range, not the vocabulary.
@@ -415,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": embed_neardup,
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
+        "ann_ivf_store": ann_ivf_store,
         "suggest_jamo_prefix": suggest_jamo_prefix,
         "freq_topk_jamo": freq_topk_jamo,
         "curate": curate,
@@ -656,4 +680,5 @@ octet_length(CAST(props AS BLOB))::BIGINT AS nbytes, md5(props) AS digest
 FROM events WHERE event_id < 200""",
     }
     out["bm25_sharded"] = out["bm25_topk"]
+    out["ann_ivf_store"] = out["ann_topk"]
     return out

@@ -66,3 +66,51 @@ def read_line_corpus(
     if not out:
         return normed
     return ray.data.from_arrow_refs(out)
+
+
+def normalize_corpus(
+    ds: ray.data.Dataset,
+    content_col: str,
+    id_col: str | None = None,
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Map an arbitrary-schema Dataset onto the build input schema:
+    ``content: large_string`` plus either the caller's id column renamed
+    to ``doc_id`` (use ``IndexConfig(id_col='doc_id')``) or the original
+    key columns for canonical sort-key ID assignment."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            "content": batch[content_col].cast(pa.large_string())}
+        if id_col is not None:
+            cols["doc_id"] = batch[id_col].cast(pa.int64())
+        for c in keep_cols or []:
+            if c not in (content_col, id_col):
+                cols[c] = batch[c]
+        return pa.table(cols)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def read_jsonl_corpus(
+    path: str,
+    content_col: str = "text",
+    id_col: str | None = None,
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """JSON-lines corpus (the common training-data interchange format) →
+    build-schema Dataset. ``ray.data.read_json`` streams and splits files
+    across tasks; only the mapped columns survive the normalize pass."""
+    return normalize_corpus(
+        ray.data.read_json(path), content_col, id_col, keep_cols)
+
+
+def read_csv_corpus(
+    path: str,
+    content_col: str = "text",
+    id_col: str | None = None,
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """CSV corpus → build-schema Dataset (``ray.data.read_csv``)."""
+    return normalize_corpus(
+        ray.data.read_csv(path), content_col, id_col, keep_cols)

@@ -71,3 +71,35 @@ def test_log_range_reads(tmp_path):
     assert t["term"].to_pylist() == ["b", "c"]
     assert log_cursors(log_dir) == ((100, 0), (103, 0))
     assert log_cursors(str(tmp_path / "nope")) is None
+
+
+def test_jsonl_and_csv_corpus(ray_session, tmp_path):
+    """JSONL/CSV sources normalize to the build schema and index
+    end-to-end (id_col mode)."""
+    import json
+
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.query import IndexReader
+    from konlsearch_ray.sources import read_csv_corpus, read_jsonl_corpus
+
+    rows = [{"id": i + 1, "body": f"jsonl doc number {w}", "meta": "m"}
+            for i, w in enumerate(["alpha", "beta", "gamma"])]
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    ds = read_jsonl_corpus(str(jl), content_col="body", id_col="id",
+                           keep_cols=["meta"])
+    assert set(ds.schema().names) == {"content", "doc_id", "meta"}
+    idx = str(tmp_path / "ij")
+    build_index(ds, idx, IndexConfig(
+        id_col="doc_id", dedup=False, sort_keys=[], shard_size=2))
+    r = IndexReader(idx)
+    assert r.search(["jsonl"], "OR") == [1, 2, 3]
+    assert r.search(["beta"], "OR") == [2]
+
+    cs = tmp_path / "docs.csv"
+    cs.write_text("id,body\n1,csv doc alpha\n2,csv doc beta\n")
+    ds2 = read_csv_corpus(str(cs), content_col="body", id_col="id")
+    idx2 = str(tmp_path / "ic")
+    build_index(ds2, idx2, IndexConfig(
+        id_col="doc_id", dedup=False, sort_keys=[], shard_size=2))
+    assert IndexReader(idx2).search(["csv", "beta"], "AND") == [2]

@@ -295,3 +295,42 @@ def test_curate_documents_pipeline(ray_session):
     out2 = curate_documents(
         ds, "text", "doc_id", min_tokens=12, langs=["en"]).to_pandas()
     assert sorted(out2["doc_id"]) == [0, 4, 5]
+
+
+def test_ivf_store_partition_pruned_search(ray_session, tmp_path):
+    """The partitioned IVF store: full probe equals exact brute force;
+    partial probe reads only the probed cell partitions."""
+    import os
+
+    import ray.data
+
+    from konlsearch_ray.functions.similarity import (
+        ann_topk,
+        build_ivf_store,
+        ivf_store_topk,
+    )
+
+    rng = np.random.default_rng(2)
+    n, dim = 500, 16
+    vecs = rng.normal(size=(n, dim))
+    ds = ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array(range(n), pa.int64()),
+         "embedding": pa.array([list(r) for r in vecs], pa.list_(pa.float64()))}))
+    store = str(tmp_path / "ivf")
+    meta = build_ivf_store(ds, store, n_centroids=8, seed=13)
+    cells = [d for d in os.listdir(store) if d.startswith("cell=")]
+    assert 1 < len(cells) <= 8
+    qids = np.array([0, 1, 2])
+    qmat = vecs[:3]
+    exact = ann_topk(ds, [0, 1, 2], k=5).to_pandas()
+    full = ivf_store_topk(store, qids, qmat, k=5,
+                          n_probe=meta["n_centroids"]).to_pandas()
+    assert exact[["qid", "neighbor", "rk"]].values.tolist() == \
+        full[["qid", "neighbor", "rk"]].values.tolist()
+    # Partial probing: decent recall at 1/2 the cells.
+    part = ivf_store_topk(store, qids, qmat, k=5, n_probe=4).to_pandas()
+    hits = 0
+    for q in (0, 1, 2):
+        hits += len(set(exact[exact["qid"] == q]["neighbor"])
+                    & set(part[part["qid"] == q]["neighbor"]))
+    assert hits >= 10
