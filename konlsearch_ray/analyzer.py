@@ -102,11 +102,10 @@ def analyze_strings(col: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
     toks = pc.utf8_split_whitespace(sanitized)
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks)
-    is_alpha = pc.match_substring_regex(flat, f"^{ALPHA_RE}$")
-    is_hangul = pc.match_substring_regex(flat, f"^{HANGUL_RE}$")
-    keep = pc.or_(is_alpha, is_hangul)
-    norm = pc.if_else(is_alpha, pc.utf8_lower(flat), flat)
-    kept_terms = pc.filter(norm, keep)
+    # One keep-class pass; lowercasing runs on the kept subset only and is
+    # the identity on Hangul, so results equal the two-pass formulation.
+    keep = pc.match_substring_regex(flat, f"^({ALPHA_RE}|{HANGUL_RE})$")
+    kept_terms = pc.utf8_lower(pc.filter(flat, keep))
     kept_parent = pc.filter(parent, keep)
 
     doc_idx = kept_parent.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -230,11 +229,10 @@ def analyze_strings_coded(
     toks = pc.utf8_split_whitespace(sanitized)
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks)
-    is_alpha = pc.match_substring_regex(flat, f"^{ALPHA_RE}$")
-    is_hangul = pc.match_substring_regex(flat, f"^{HANGUL_RE}$")
-    keep = pc.or_(is_alpha, is_hangul)
-    norm = pc.if_else(is_alpha, pc.utf8_lower(flat), flat)
-    kept_terms = pc.filter(norm, keep)
+    # One keep-class pass; lowercasing runs on the kept subset only and is
+    # the identity on Hangul, so results equal the two-pass formulation.
+    keep = pc.match_substring_regex(flat, f"^({ALPHA_RE}|{HANGUL_RE})$")
+    kept_terms = pc.utf8_lower(pc.filter(flat, keep))
     kept_parent = pc.filter(parent, keep)
 
     denc = kept_terms.dictionary_encode()

@@ -155,63 +155,74 @@ def _build_shard(shard: int, shard_files: list[str], cfg: IndexConfig,
     design whose sort-shuffle of the exploded (term, doc, tf, pos) stream
     cost ~3x the useful tokenize+encode compute.
 
-    Per-batch occurrence rows stay FLAT: term codes are carried as Arrow
-    dictionary chunks whose dictionaries unify in C on ``combine_chunks``,
-    so the shard pays exactly ONE (term-rank, doc) sort — an earlier
-    version also grouped+sorted every batch into list columns and then
-    flattened them back, roughly doubling the memory traffic of the
-    postings phase (the limiting factor for on-node scaling).
+    Per-batch occurrence rows stay FLAT and UNGROUPED: term codes are
+    carried as Arrow dictionary chunks whose dictionaries unify in C on
+    ``combine_chunks``, and the shard pays exactly ONE stable sort over
+    its raw occurrence stream — (doc, term) grouping (tf / first_pos)
+    falls out of the same sorted run-length pass that orders the
+    postings. (Earlier versions grouped+sorted every batch and then
+    re-sorted the grouped rows — roughly double the memory traffic of
+    the postings phase, the limiting factor for on-node scaling.)
     """
-    from konlsearch_ray.analyzer import analyze_batch_coded
+    from konlsearch_ray.analyzer import (
+        _coded_from_token_lists,
+        analyze_strings_coded,
+    )
 
     t = pa.concat_tables(
         pq.read_table(f, columns=["doc_id", cfg.content_col],
                       use_threads=False)
         for f in shard_files)
     term_chunks: list[pa.DictionaryArray] = []
-    doc_parts, tf_parts, pos_parts = [], [], []
+    doc_parts, pos_parts = [], []
     dl_doc_parts, dl_val_parts = [], []
     step = cfg.tokenize_batch_size
     for i in range(0, max(t.num_rows, 1), step):
         sub = t.slice(i, step)
-        occ, dictionary = analyze_batch_coded(sub, cfg.content_col,
-                                              analyzer=analyzer)
-        term_chunks.append(pa.DictionaryArray.from_arrays(
-            pa.array(occ["term_code"].astype(np.int32)), dictionary))
-        doc_parts.append(occ["doc_id"])
-        tf_parts.append(occ["tf"])
-        pos_parts.append(occ["first_pos"])
-        # Doclens: every doc of the sub-batch (zero-token docs included).
+        col = sub[cfg.content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if analyzer is None:
+            doc_idx, codes, pos, dictionary = analyze_strings_coded(col)
+        else:
+            doc_idx, codes, pos, dictionary = _coded_from_token_lists(
+                analyzer.tokenize_many(col.to_pylist()))
         all_doc = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dlen = np.zeros(len(all_doc), dtype=np.int64)
-        if len(occ["doc_id"]):
-            o2 = np.argsort(all_doc, kind="stable")
-            pos_in = np.searchsorted(all_doc[o2], occ["doc_id"])
-            np.add.at(dlen, o2[pos_in], occ["tf"].astype(np.int64))
+        term_chunks.append(pa.DictionaryArray.from_arrays(
+            pa.array(codes.astype(np.int32)), dictionary))
+        doc_parts.append(all_doc[doc_idx] if len(doc_idx) else
+                         np.zeros(0, dtype=np.int64))
+        pos_parts.append(pos)
+        # Doclen = kept occurrences per doc (zero-token docs included).
         dl_doc_parts.append(all_doc)
-        dl_val_parts.append(dlen)
+        dl_val_parts.append(
+            np.bincount(doc_idx, minlength=len(all_doc)).astype(np.int64))
     denc = pa.chunked_array(term_chunks).combine_chunks()
     flat_doc = np.concatenate(doc_parts)
-    flat_tf = np.concatenate(tf_parts)
     flat_pos = np.concatenate(pos_parts)
     dl_docs = np.concatenate(dl_doc_parts)
     dl_vals = np.concatenate(dl_val_parts)
     # A doc appears in exactly one sub-batch, so sort-by-doc has no dupes.
     o = np.argsort(dl_docs, kind="stable")
-    return _encode_shard(shard, denc, flat_doc, flat_tf, flat_pos,
+    return _encode_shard(shard, denc, flat_doc, flat_pos,
                          dl_docs[o], dl_vals[o], index_dir)
 
 
 def _encode_shard(shard: int, denc: pa.DictionaryArray, flat_doc: np.ndarray,
-                  flat_tf: np.ndarray, flat_pos: np.ndarray,
+                  flat_pos: np.ndarray,
                   dl_docs: np.ndarray, dl_vals: np.ndarray,
                   index_dir: str) -> pa.Table:
     """Encode + atomically write one shard's segment, doclens and manifest.
 
-    Input: the flat per-(doc, term) occurrence stream (terms as one
-    unified-dictionary array) plus doc_id-sorted doclens. Deterministic:
-    output depends only on the shard's (doc, term) content — batch layout
-    is erased by the global (term-rank, doc_id) sort.
+    Input: the RAW occurrence stream — one row per kept token occurrence
+    (terms as one unified-dictionary array, pos ascending within each
+    doc) — plus doc_id-sorted doclens. One stable combined-key sort by
+    (term rank, doc) orders occurrences; a run-length pass then yields
+    per-(term, doc) tf + first_pos (stability keeps pos ascending within
+    each group, so the group head IS the first occurrence) and the
+    term-level group starts for the varint encoder. Deterministic:
+    output depends only on the shard's (doc, term) content — batch
+    layout is erased by the sort.
     """
     row_code = (denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
                 if len(denc) else np.zeros(0, dtype=np.int64))
@@ -219,23 +230,32 @@ def _encode_shard(shard: int, denc: pa.DictionaryArray, flat_doc: np.ndarray,
     dict_order = np.argsort(dict_np, kind="stable")
     rank_of_code = np.empty(len(dict_order), dtype=np.int64)
     rank_of_code[dict_order] = np.arange(len(dict_order))
-    entry_rank = (rank_of_code[row_code]
-                  if len(row_code) else np.zeros(0, dtype=np.int64))
+    occ_rank = (rank_of_code[row_code]
+                if len(row_code) else np.zeros(0, dtype=np.int64))
 
-    # Single combined-key sort by (term rank, doc): doc ids within a shard
-    # span at most shard_size, so rank * span + doc_offset fits int64 with
-    # huge margin — one argsort pass instead of a 2-key lexsort.
+    # Single combined-key stable sort by (term rank, doc): doc ids within
+    # a shard span at most shard_size, so rank * span + doc_offset fits
+    # int64 with huge margin.
     base = flat_doc.min() if len(flat_doc) else 0
     span = int(flat_doc.max()) - int(base) + 1 if len(flat_doc) else 1
-    if not len(entry_rank) or int(entry_rank.max()) < (1 << 62) // span:
-        order = np.argsort(entry_rank * span + (flat_doc - base),
+    if not len(occ_rank) or int(occ_rank.max()) < (1 << 62) // span:
+        order = np.argsort(occ_rank * span + (flat_doc - base),
                            kind="stable")
     else:  # overflow-safe fallback (absurd shard_size)
-        order = np.lexsort((flat_doc, entry_rank))
-    rank_s = entry_rank[order]
-    doc_s = flat_doc[order]
-    tf_s = flat_tf[order].astype(np.int64)
-    pos_s = flat_pos[order].astype(np.int64)
+        order = np.lexsort((flat_doc, occ_rank))
+    r_s = occ_rank[order]
+    d_s = flat_doc[order]
+    p_s = flat_pos[order]
+    m = len(r_s)
+    occ_new = np.ones(m, dtype=bool)
+    if m > 1:
+        occ_new[1:] = (r_s[1:] != r_s[:-1]) | (d_s[1:] != d_s[:-1])
+    e_starts = np.flatnonzero(occ_new)
+    # Per-(term, doc) entries: tf = run length, first_pos = run head.
+    tf_s = np.diff(np.append(e_starts, m)).astype(np.int64)
+    pos_s = p_s[e_starts].astype(np.int64)
+    rank_s = r_s[e_starts]
+    doc_s = d_s[e_starts]
     n = len(rank_s)
     new = np.ones(n, dtype=bool)
     if n > 1:
