@@ -418,6 +418,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return media_metadata(ds, "props", "event_id").select_columns(
             ["event_id", "nbytes", "digest"])
 
+    def multimodal_frames(sf_dir):
+        # Row-expanding frame-sample stage; the deterministic container
+        # probe (payload length → frame count, first/middle/last sample)
+        # is oracle-checked; pixel tensors are pytest-covered.
+        from konlsearch_ray.functions.multimodal import sample_frames
+
+        ds = _events(sf_dir).map_batches(
+            lambda t: t.filter(pc.less(t["event_id"], 200)),
+            batch_format="pyarrow")
+        return sample_frames(ds, "props", "event_id").select_columns(
+            ["event_id", "frame_idx", "n_frames"])
+
     return {
         "search_and": search_and,
         "search_or": search_or,
@@ -453,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_prefix": suggest_prefix,
         "freq_topk": freq_topk,
         "multimodal_meta": multimodal_meta,
+        "multimodal_frames": multimodal_frames,
     }
 
 
@@ -678,6 +691,13 @@ GROUP BY event_type ORDER BY hits DESC, event_type LIMIT 5""",
         "multimodal_meta": """SELECT event_id::BIGINT AS event_id,
 octet_length(CAST(props AS BLOB))::BIGINT AS nbytes, md5(props) AS digest
 FROM events WHERE event_id < 200""",
+        "multimodal_frames": """WITH probe AS (
+  SELECT event_id, octet_length(CAST(props AS BLOB)) // 4 + 1 AS n
+  FROM events WHERE event_id < 200)
+SELECT event_id::BIGINT AS event_id,
+       unnest(list_distinct([0, n // 2, n - 1]))::BIGINT AS frame_idx,
+       n::BIGINT AS n_frames
+FROM probe""",
     }
     out["bm25_sharded"] = out["bm25_topk"]
     out["ann_ivf_store"] = out["ann_topk"]

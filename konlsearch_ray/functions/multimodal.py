@@ -86,3 +86,144 @@ def media_metadata(
         batch_size=64,
         concurrency=concurrency,
     )
+
+
+def media_batch_size(
+    mean_payload_bytes: int, target_batch_bytes: int = 64 << 20,
+    decode_expansion: float = 8.0,
+) -> int:
+    """Memory-aware batch sizing for large-payload stages: a batch's
+    decoded footprint (payload × expansion, e.g. JPEG→RGB ≈ 8-20×) must
+    fit the target so batch × actor-pool concurrency stays inside the
+    worker heap. Floor of 1 — a single oversized row still processes."""
+    per_row = max(1, int(mean_payload_bytes * decode_expansion))
+    return max(1, int(target_batch_bytes) // per_row)
+
+
+def _payloads(batch: pa.Table, payload_col: str) -> list[bytes]:
+    col = batch[payload_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return [v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+            for v in col.to_pylist()]
+
+
+def fake_decode_image(payload: bytes, h: int = 32, w: int = 32) -> np.ndarray:
+    """Deterministic pseudo-decode: hash-seeded pixels in the real output
+    shape (H, W, 3 uint8). Swap for ``decode_image`` when codecs exist —
+    everything downstream (resize math, tensor schema) is unchanged."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resample — real math, codec-free."""
+    ys = (np.arange(out_h) * img.shape[0]) // out_h
+    xs = (np.arange(out_w) * img.shape[1]) // out_w
+    return img[ys][:, xs]
+
+
+class ImageResizeStage:
+    """Actor-pool image decode→resize stage.
+
+    Output schema: ``id, pixels: fixed_size_list<uint8, H*W*3>, height,
+    width, channels`` — the flat tensor layout a training loader reshapes
+    zero-copy. Real decode is stub-gated (``use_real_decode=True`` raises
+    the documented ``NotImplementedError``); the resize itself is real
+    vectorized math over the decoded tensor. Size batches with
+    ``media_batch_size`` — decoded frames, not payloads, dominate memory.
+    """
+
+    def __init__(self, payload_col: str, id_col: str, out_h: int = 8,
+                 out_w: int = 8, use_real_decode: bool = False):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.out_h, self.out_w = out_h, out_w
+        self.decode = decode_image if use_real_decode else fake_decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payloads(batch, self.payload_col)
+        n = len(payloads)
+        px = np.stack([
+            resize_nearest(self.decode(p), self.out_h, self.out_w)
+            for p in payloads
+        ]).reshape(n, -1) if n else np.zeros(
+            (0, self.out_h * self.out_w * 3), np.uint8)
+        flat = pa.array(px.reshape(-1), pa.uint8())
+        return pa.table({
+            self.id_col: batch[self.id_col].cast(pa.int64()),
+            "pixels": pa.FixedSizeListArray.from_arrays(
+                flat, self.out_h * self.out_w * 3),
+            "height": pa.array(np.full(n, self.out_h, np.int32)),
+            "width": pa.array(np.full(n, self.out_w, np.int32)),
+            "channels": pa.array(np.full(n, 3, np.int32)),
+        })
+
+
+# Deterministic fake container geometry: one "frame" per FRAME_BYTES of
+# payload (stand-in for real container duration metadata; small so the
+# sampler visibly expands rows even on byte-scale test payloads).
+FRAME_BYTES = 4
+
+
+def frame_indices(nbytes: int) -> list[int]:
+    """Deterministic 3-point sample over the fake frame count: first,
+    middle, last (deduplicated, ascending)."""
+    n = nbytes // FRAME_BYTES + 1
+    return sorted({0, n // 2, n - 1})
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler — a ROW-EXPANDING media stage.
+
+    One input row (video payload) → one output row per sampled frame:
+    ``id, frame_idx, n_frames, pixels``. The container probe is the
+    deterministic fake (payload length → frame count); the real decoder
+    slots into ``decode`` exactly like ImageResizeStage.
+    """
+
+    def __init__(self, payload_col: str, id_col: str, out_h: int = 8,
+                 out_w: int = 8, use_real_decode: bool = False):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.out_h, self.out_w = out_h, out_w
+        self.decode = decode_image if use_real_decode else fake_decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payloads(batch, self.payload_col)
+        ids = batch[self.id_col].cast(pa.int64()).to_pylist()
+        out_id, out_fi, out_nf, out_px = [], [], [], []
+        for i, p in zip(ids, payloads):
+            idxs = frame_indices(len(p))
+            nf = len(p) // FRAME_BYTES + 1
+            for fi in idxs:
+                # Frame identity folds the index into the decode seed.
+                img = self.decode(p + fi.to_bytes(4, "big"))
+                out_id.append(i); out_fi.append(fi); out_nf.append(nf)
+                out_px.append(resize_nearest(
+                    img, self.out_h, self.out_w).reshape(-1))
+        px = (np.stack(out_px) if out_px
+              else np.zeros((0, self.out_h * self.out_w * 3), np.uint8))
+        flat = pa.array(px.reshape(-1).astype(np.uint8), pa.uint8())
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_fi, pa.int64()),
+            "n_frames": pa.array(out_nf, pa.int64()),
+            "pixels": pa.FixedSizeListArray.from_arrays(
+                flat, self.out_h * self.out_w * 3),
+        })
+
+
+def sample_frames(
+    ds: ray.data.Dataset, payload_col: str, id_col: str,
+    concurrency=2, batch_size: int | None = None,
+) -> ray.data.Dataset:
+    """Frame-sampling pipeline over a video payload column."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size or 32,
+        concurrency=concurrency,
+    )

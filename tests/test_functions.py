@@ -334,3 +334,56 @@ def test_ivf_store_partition_pruned_search(ray_session, tmp_path):
         hits += len(set(exact[exact["qid"] == q]["neighbor"])
                     & set(part[part["qid"] == q]["neighbor"]))
     assert hits >= 10
+
+
+def test_image_resize_and_frame_sample_stages(ray_session):
+    """Media plumbing: fixed-shape tensor output, row-expanding frame
+    sampler, memory-aware batch sizing, stub-gated real decode."""
+    import ray.data
+
+    from konlsearch_ray.functions.multimodal import (
+        FrameSampleStage,
+        ImageResizeStage,
+        fake_decode_image,
+        frame_indices,
+        media_batch_size,
+        resize_nearest,
+        sample_frames,
+    )
+
+    # resize math on a known tensor
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = resize_nearest(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert (small == img[::2][:, ::2]).all()
+    # deterministic decode
+    assert (fake_decode_image(b"x") == fake_decode_image(b"x")).all()
+    assert not (fake_decode_image(b"x") == fake_decode_image(b"y")).all()
+    # container probe
+    assert frame_indices(3) == [0]              # 1 frame
+    assert frame_indices(100) == [0, 13, 25]    # 26 frames
+    assert frame_indices(1000) == [0, 125, 250]  # 251 frames
+    # memory-aware batch size
+    assert media_batch_size(1 << 20, target_batch_bytes=64 << 20,
+                            decode_expansion=8.0) == 8
+    assert media_batch_size(1 << 30) == 1     # floor of one row
+
+    ds = ray.data.from_arrow(pa.table(
+        {"event_id": pa.array([1, 2], pa.int64()),
+         "payload": pa.array([b"a" * 100, b"b" * 1000], pa.binary())}))
+    rs = ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"payload_col": "payload", "id_col": "event_id"},
+        batch_format="pyarrow", batch_size=8, concurrency=2).to_pandas()
+    assert len(rs) == 2 and all(len(p) == 8 * 8 * 3 for p in rs["pixels"])
+    fr = sample_frames(ds, "payload", "event_id").to_pandas()
+    assert len(fr) == 3 + 3  # first/middle/last from each payload
+    assert list(fr[fr["event_id"] == 2]["frame_idx"]) == [0, 125, 250]
+    assert all(len(p) == 8 * 8 * 3 for p in fr["pixels"])
+    # real-decode path surfaces the stub error
+    stage = FrameSampleStage("payload", "event_id", use_real_decode=True)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        stage(pa.table({"event_id": pa.array([1], pa.int64()),
+                        "payload": pa.array([b"z"], pa.binary())}))
