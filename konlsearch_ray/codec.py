@@ -65,24 +65,36 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
-    """Decode LEB128 buffer → uint64 array, vectorized."""
+    """Decode LEB128 buffer → uint64 array, vectorized.
+
+    Fast path: a stream whose continuation bits are all clear is one
+    byte per value — a single cast (the dominant case for delta gaps,
+    tfs and positions, which are mostly < 128). The general path sums
+    per-byte 7-bit contributions with ``bitwise_or.reduceat`` — one pass
+    over the bytes instead of a fancy-indexed loop per byte lane.
+    """
     raw = np.frombuffer(buf, dtype=np.uint8)
     if raw.size == 0:
         return np.zeros(0, dtype=np.uint64)
     is_last = (raw & 0x80) == 0
+    if is_last.all():  # every value single-byte (high bit already 0)
+        if count is not None and raw.size != count:
+            raise ValueError(
+                f"varint stream has {raw.size} values, expected {count}")
+        return raw.astype(np.uint64)
     ends = np.flatnonzero(is_last)
-    starts = np.concatenate(([0], ends[:-1] + 1))
     n = len(ends)
     if count is not None and n != count:
         raise ValueError(f"varint stream has {n} values, expected {count}")
-    values = np.zeros(n, dtype=np.uint64)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
     lens = ends - starts + 1
-    max_lanes = int(lens.max())
-    for k in range(max_lanes):
-        mask = lens > k
-        byte = raw[starts[mask] + k].astype(np.uint64) & np.uint64(0x7F)
-        values[mask] |= byte << np.uint64(7 * k)
-    return values
+    pos_in_val = (np.arange(raw.size, dtype=np.int64)
+                  - np.repeat(starts, lens)).astype(np.uint64)
+    contrib = (raw.astype(np.uint64) & np.uint64(0x7F)) \
+        << (np.uint64(7) * pos_in_val)
+    return np.bitwise_or.reduceat(contrib, starts)
 
 
 def encode_posting(
