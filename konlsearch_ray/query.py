@@ -85,31 +85,42 @@ class IndexReader:
                 return True
             return int(fname[len("shard-"):-len(".parquet")]) in self.shards
 
+        # Shard files load through a thread pool (parquet reads release
+        # the GIL) — reader/actor startup is dominated by this IO, and a
+        # serial loop over hundreds of shard files made every query actor
+        # pay seconds of init.
+        from concurrent.futures import ThreadPoolExecutor
+
         dl_dir = os.path.join(index_dir, "doclens")
-        tables = [
-            pq.read_table(os.path.join(dl_dir, n))
+        dl_files = [
+            os.path.join(dl_dir, n)
             for n in (sorted(os.listdir(dl_dir))
                       if os.path.isdir(dl_dir) else [])
             if n.endswith(".parquet") and _want(n)
         ]
-        dl = pa.concat_tables(tables) if tables else pa.table(
+        seg_dir = os.path.join(index_dir, "segments")
+        seg_files = [
+            os.path.join(seg_dir, n)
+            for n in (sorted(os.listdir(seg_dir))
+                      if os.path.isdir(seg_dir) else [])
+            if n.endswith(".parquet") and _want(n)
+        ]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            dl_tables = list(pool.map(pq.read_table, dl_files))
+            seg_tables = list(pool.map(pq.read_table, seg_files))
+        dl = pa.concat_tables(dl_tables) if dl_tables else pa.table(
             {"doc_id": pa.array([], pa.int64()), "doc_len": pa.array([], pa.int64())})
         self._dl_docs = dl["doc_id"].to_numpy()  # ascending across shards
         self._dl_vals = dl["doc_len"].to_numpy().astype(np.float64)
 
         # Per-shard segment tables (term-sorted), loaded once; a per-shard
         # term -> row-index map gives O(1) posting lookup.
-        seg_dir = os.path.join(index_dir, "segments")
         self._segments = []
         # One global term → [(segment_idx, row)] map: a query term costs a
         # single dict probe instead of one per shard (shard counts grow
         # with the corpus; per-term probe cost must not).
         self._term_locs: dict[str, list[tuple[int, int]]] = {}
-        for n in (sorted(os.listdir(seg_dir))
-                  if os.path.isdir(seg_dir) else []):
-            if not n.endswith(".parquet") or not _want(n):
-                continue
-            t = pq.read_table(os.path.join(seg_dir, n))
+        for t in seg_tables:
             si = len(self._segments)
             self._segments.append((t, None))
             for i, s in enumerate(t["term"].to_pylist()):
