@@ -1,0 +1,124 @@
+"""CLI entry points: ``python -m konlsearch_ray <command>``.
+
+Owns the Ray session (the library itself never calls ``ray.init`` —
+driver contract). Commands mirror the reference's embedded API surface:
+
+  build    <source_parquet> <index_dir>   build or resume an index
+  append   <source_parquet> <index_dir>   incremental ingest (statuses printed)
+  search   <index_dir> <mode> <tok> [...] AND | OR | PHRASE | BM25
+  suggest  <index_dir> <prefix>           jamo-prefix suggestions
+  delete   <index_dir> <doc_id> [...]     tombstone docs
+  compact  <index_dir>                    rewrite segments without tombstones
+  stats    <index_dir>                    print stats.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="konlsearch_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("source"); b.add_argument("index_dir")
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--shard-size", type=int, default=32768)
+    b.add_argument("--no-dedup", action="store_true")
+    b.add_argument("--morph", action="store_true",
+                   help="tokenize through the bundled-lexicon morpheme analyzer")
+
+    a = sub.add_parser("append")
+    a.add_argument("source"); a.add_argument("index_dir")
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir"); s.add_argument("mode")
+    s.add_argument("tokens", nargs="+")
+    s.add_argument("-k", type=int, default=10)
+
+    g = sub.add_parser("suggest")
+    g.add_argument("index_dir"); g.add_argument("prefix")
+
+    d = sub.add_parser("delete")
+    d.add_argument("index_dir"); d.add_argument("doc_ids", nargs="+", type=int)
+
+    c = sub.add_parser("compact")
+    c.add_argument("index_dir")
+
+    st = sub.add_parser("stats")
+    st.add_argument("index_dir")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "build":
+        _init_ray(args.num_cpus)
+        from konlsearch_ray.build import IndexConfig, build_index
+
+        cfg = IndexConfig(content_col=args.content_col, id_col=args.id_col,
+                          shard_size=args.shard_size,
+                          dedup=not args.no_dedup)
+        if args.id_col:
+            cfg.sort_keys = []
+        if args.morph:
+            from konlsearch_ray.analyzer import KoreanLexiconAnalyzer
+
+            cfg.analyzer_factory = KoreanLexiconAnalyzer
+        stats = build_index(args.source, args.index_dir, cfg)
+        print(json.dumps(stats, default=str))
+    elif args.cmd == "append":
+        _init_ray(args.num_cpus)
+        from konlsearch_ray.build import append_documents
+
+        stats = append_documents(args.index_dir, args.source)
+        statuses = stats.pop("statuses")
+        print(json.dumps(stats, default=str))
+        for row in statuses.to_pylist():
+            print(json.dumps(row))
+    elif args.cmd == "search":
+        from konlsearch_ray.query import IndexReader
+
+        r = IndexReader(args.index_dir)
+        if args.mode.upper() == "BM25":
+            for doc, score in r.bm25_topk(args.tokens, args.k):
+                print(f"{doc}\t{score:.4f}")
+        else:
+            for doc in r.search(args.tokens, args.mode.upper()):
+                print(doc)
+    elif args.cmd == "suggest":
+        from konlsearch_ray.pipelines.suggest import suggest_jamo_indexed
+
+        for term in suggest_jamo_indexed(args.index_dir, args.prefix)["term"].to_pylist():
+            print(term)
+    elif args.cmd == "delete":
+        from konlsearch_ray.tombstone import delete_docs
+
+        print(delete_docs(args.index_dir, args.doc_ids))
+    elif args.cmd == "compact":
+        _init_ray(args.num_cpus)
+        from konlsearch_ray.tombstone import compact_index
+
+        print(json.dumps(compact_index(args.index_dir), default=str))
+    elif args.cmd == "stats":
+        with open(f"{args.index_dir}/stats.json") as f:
+            print(f.read())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -110,7 +110,41 @@ class DocStore:
             & (pads.field("doc_id") < int(end)))
 
     def get_all(self) -> pa.Table:
+        """Full-table read — test/debug scale only; use ``scan`` for the
+        streaming path."""
         return self._read(None, None)
+
+    def scan(self, columns: list[str] | None = None):
+        """The docstore as a streaming ``ray.data.Dataset`` (column-pruned
+        read over the shard partitions, tombstones filtered per batch) —
+        the scale path for whole-corpus consumers like the curation or
+        dedup pipelines; ``get_all`` materializes and is test-scale only.
+        """
+        import ray.data
+
+        files = []
+        for d in self._shard_dirs(None):
+            files.extend(
+                os.path.join(d, n) for n in sorted(os.listdir(d))
+                if n.endswith(".parquet"))
+        if not files:
+            return ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+        cols = columns
+        if cols is not None and "doc_id" not in cols:
+            cols = ["doc_id"] + list(cols)
+        ds = ray.data.read_parquet(files, columns=cols)
+        if len(self._dead):
+            import ray as _ray
+
+            dead_ref = _ray.put(self._dead)
+
+            def drop_dead(t: pa.Table) -> pa.Table:
+                dead = _ray.get(dead_ref)
+                keep = ~np.isin(t["doc_id"].to_numpy(), dead)
+                return t.filter(pa.array(keep))
+
+            ds = ds.map_batches(drop_dead, batch_format="pyarrow")
+        return ds
 
     def __len__(self) -> int:
         """Live doc count (reference __len__, index.py:457-463)."""

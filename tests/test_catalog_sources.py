@@ -103,3 +103,57 @@ def test_jsonl_and_csv_corpus(ray_session, tmp_path):
     build_index(ds2, idx2, IndexConfig(
         id_col="doc_id", dedup=False, sort_keys=[], shard_size=2))
     assert IndexReader(idx2).search(["csv", "beta"], "AND") == [2]
+
+
+def test_docstore_scan_streaming(ray_session, tmp_path):
+    """DocStore.scan: the streaming (Dataset) whole-corpus path, tombstone
+    filtered, column-pruned."""
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.corpus import write_corpus
+    from konlsearch_ray.docstore import DocStore
+    from konlsearch_ray.tombstone import delete_docs
+
+    corpus = write_corpus(str(tmp_path / "c2"), 150, seed=8)
+    idx = str(tmp_path / "i2")
+    stats = build_index(corpus, idx, IndexConfig(shard_size=64))
+    delete_docs(idx, [3, 4])
+    ds = DocStore(idx).scan(columns=["content_sha256"])
+    out = ds.to_pandas()
+    assert len(out) == stats["N"] - 2
+    assert set(out.columns) == {"doc_id", "content_sha256"}
+    assert not {3, 4} & set(out["doc_id"])
+
+
+def test_cli_roundtrip(tmp_path):
+    """python -m konlsearch_ray build/search/stats in a subprocess."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "cli_docs.parquet")
+    pq.write_table(pa.table({
+        "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["x" * 40] * 3,
+        "lang": ["python"] * 3,
+        "content": pa.array(["cli alpha doc", "cli beta doc", "gamma only"],
+                            pa.large_string()),
+    }), src)
+    idx = str(tmp_path / "cli_idx")
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "konlsearch_ray", "--num-cpus", "2",
+         "build", src, idx], capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["N"] == 3
+    r = subprocess.run(
+        [sys.executable, "-m", "konlsearch_ray", "search", idx, "AND",
+         "cli", "beta"], capture_output=True, text=True, env=env)
+    assert r.returncode == 0 and r.stdout.split() == ["2"], r.stderr[-500:]
+    r = subprocess.run(
+        [sys.executable, "-m", "konlsearch_ray", "search", idx, "BM25",
+         "gamma"], capture_output=True, text=True, env=env)
+    assert r.returncode == 0 and r.stdout.strip().startswith("3\t")
