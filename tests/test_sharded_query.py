@@ -93,7 +93,7 @@ def test_sharded_query_pipeline_matches_whole_index(ray_session, tmp_path):
         "tokens": pa.array(
             [["def", "return"], ["import"], ["def"], ["class", "self"],
              ["getidx", "return"], ["zznothing"]], pa.list_(pa.string())),
-        "mode": pa.array(["BM25", "AND", "BM25", "OR", "BM25", "AND"]),
+        "mode": pa.array(["BM25", "AND", "BM25", "PHRASE", "BM25", "AND"]),
         "k": pa.array([10, 0, 5, 0, 10, 0], pa.int64()),
     })
     whole = (rd.from_arrow(qt).map_batches(
