@@ -639,6 +639,7 @@ def _write_index_meta(index_dir: str, cfg: IndexConfig) -> None:
         "content_col": cfg.content_col,
         "id_col": cfg.id_col,
         "sort_keys": cfg.sort_keys,
+        "store_cols": cfg.store_cols,
         "version": 1,
     }
     tmp = os.path.join(index_dir, ".index_meta.json.tmp")
@@ -957,14 +958,21 @@ def append_documents(
     import uuid as _uuid
 
     cfg = cfg or IndexConfig()
-    # shard_size / content_col are properties of the index, not the call —
-    # read them from the persisted meta so appends can't fragment layout.
+    # Layout + canonical-order parameters are properties of the INDEX,
+    # not the call — read them from the persisted meta so appends can't
+    # fragment the layout or reorder by the wrong keys (an id_col-mode
+    # index has sort_keys=[], a default cfg would wrongly sort by
+    # repo/path/commit).
     meta_path = os.path.join(index_dir, "index_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
         cfg.shard_size = int(meta["shard_size"])
         cfg.content_col = meta["content_col"]
+        if "sort_keys" in meta:
+            cfg.sort_keys = list(meta["sort_keys"] or [])
+        if meta.get("store_cols") is not None:
+            cfg.store_cols = list(meta["store_cols"])
     docs_dir = os.path.join(index_dir, "docs")
     max_id = _max_doc_id(index_dir, docs_dir)
 
@@ -1020,7 +1028,10 @@ def append_documents(
                     conflict_of[b] = int(did)
 
     # --- canonical order, statuses, dense tail ids ----------------------
-    order = np.argsort(keys, kind="stable")
+    # Canonical-key order when the index has sort keys; otherwise the
+    # batch's arrival order (the reference's ingest-order counter).
+    order = (np.argsort(keys, kind="stable") if cfg.sort_keys
+             else np.arange(n_in))
     sh_sorted = shas[order]
     is_err_sorted = sh_sorted == b""  # null content (sha filled to "")
     import pandas as pd

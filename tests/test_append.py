@@ -169,3 +169,37 @@ def test_no_id_reuse_after_top_shard_compaction(ray_session, tmp_path):
         idx, ray.data.from_arrow(_mini_corpus(["zz reuse probe"])))
     st = out["statuses"].to_pandas()
     assert st["doc_id"].iloc[0] == n0 + 1  # not n0 again
+
+
+def test_append_to_id_col_index_uses_arrival_order(ray_session, tmp_path):
+    """Appending to an id_col-mode index (sort_keys=[]) assigns tail ids
+    in ARRIVAL order and must not reorder by the default sort keys."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    src = str(tmp_path / "base.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["one alpha", "two beta", "three gamma"],
+                         pa.large_string()),
+    }), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, IndexConfig(
+        content_col="text", id_col="doc_id", dedup=False, sort_keys=[],
+        shard_size=2))
+    new = pa.table({"text": pa.array(
+        ["zz late doc", "aa early doc"], pa.large_string())})
+    out = append_documents(idx, ray.data.from_arrow(new))
+    st = out["statuses"].to_pandas()
+    # Arrival order: "zz..." arrived first -> id 4, "aa..." -> id 5
+    # (canonical-key order would have flipped them).
+    import hashlib
+
+    sha_of = {hashlib.sha256(t.encode()).hexdigest(): t
+              for t in ["zz late doc", "aa early doc"]}
+    got = {sha_of[r["content_sha256"]]: r["doc_id"]
+           for _, r in st.iterrows()}
+    assert got == {"zz late doc": 4, "aa early doc": 5}
+    r = IndexReader(idx)
+    assert r.search(["zz"], "OR") == [4]
+    assert r.search(["aa"], "OR") == [5]
