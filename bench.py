@@ -251,6 +251,15 @@ def run_bench() -> dict:
         "text", "doc_id").materialize()
     queries["token_counts_docs"] = round(time.perf_counter() - t0, 3)
 
+    # Composed curation chain (quality gate + lang gate + exact dedup).
+    from konlsearch_ray.pipelines.curate import curate_documents
+
+    t0 = time.perf_counter()
+    curate_documents(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+        "text", "doc_id", min_tokens=40, langs=["en"]).materialize()
+    queries["curate_docs_sec"] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "index_build_sec_code_corpus",

@@ -954,6 +954,13 @@ def append_documents(
     Returns the refreshed stats dict plus ``statuses`` (one row per input
     row, canonical order: content_sha256, status, doc_id), also persisted
     under ``append_log/``.
+
+    Crash semantics: docstore files write atomically, so a run that dies
+    mid-wave leaves whole rows only; re-running the same append skips the
+    rows that landed (their shas now conflict) and ingests the rest under
+    fresh ids — no duplication, though ids can differ from an
+    uninterrupted run. The invalidated shards' postings rebuild
+    idempotently on the next append/build.
     """
     import uuid as _uuid
 

@@ -258,7 +258,9 @@ def minhash_lsh_pairs(
         })
 
     sets_ds = ds.map_batches(to_sets, batch_format="pyarrow")
-    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    # Modest default partition count — join fixed costs grow with it;
+    # size to data volume at cluster scale.
+    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 4))))
     # Empty upstream partitions emit 0-row blocks that BYPASS map UDFs and
     # so carry stale or empty schemas; Ray's hash join rejects them. Drop
     # them by rebuilding from the non-empty block refs (refs only — no

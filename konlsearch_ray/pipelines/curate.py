@@ -90,8 +90,11 @@ def curate_documents(
     their ORIGINAL schema. See module docstring for the stage shapes."""
     from ray.data.aggregate import Count, Min
 
+    # Hash-join/shuffle fixed cost grows with partition count (aggregator
+    # actors); default modestly and let 100-TB callers size
+    # ``num_partitions`` to their data (partitions ≈ data / 1 GB).
     nparts = num_partitions or max(
-        2, int(ray.cluster_resources().get("CPU", 4)))
+        2, min(8, int(ray.cluster_resources().get("CPU", 4))))
 
     # 1. quality + language gate.
     ann = annotate_quality(ds, content_col)
@@ -107,7 +110,12 @@ def curate_documents(
                 t["lang_guess"], value_set=pa.array(list(langs))))
         return t.filter(keep).drop_columns(["n_tokens", "ttr", "lang_guess"])
 
-    gated = ann.map_batches(gate, batch_format="pyarrow")
+    # Pin the gated stage once (refs only): it feeds BOTH the winner
+    # computation and the join's left side — left lazy, Ray would
+    # re-execute the whole annotate+gate chain per consumer.
+    gated = _nonempty_blocks(
+        ann.map_batches(gate, batch_format="pyarrow"),
+        (id_col, content_col))
 
     # 2. exact dedup: winner id per content hash, kept via left_semi join.
     hashed = gated.map_batches(
@@ -118,7 +126,7 @@ def curate_documents(
                .aggregate(Min(id_col, alias_name="keep_id"),
                           Count(alias_name="n"))
                .select_columns(["keep_id"]))
-    deduped = _nonempty_blocks(gated, (id_col, content_col)).join(
+    deduped = gated.join(
         _nonempty_blocks(winners, ("keep_id",)), "left_semi",
         num_partitions=nparts, on=(id_col,), right_on=("keep_id",))
 
@@ -126,9 +134,11 @@ def curate_documents(
         return deduped
 
     # 3. near-dup drop: MinHash pairs → left_anti against the b side.
+    # Same pinning: deduped feeds pair generation AND the anti-join.
+    deduped = _nonempty_blocks(deduped, (id_col, content_col))
     pairs = minhash_lsh_pairs(
         deduped, content_col, id_col, n=ngram_n, tau=near_dup_tau)
     drops = pairs.select_columns(["b"])
-    return _nonempty_blocks(deduped, (id_col, content_col)).join(
+    return deduped.join(
         _nonempty_blocks(drops, ("b",)), "left_anti",
         num_partitions=nparts, on=(id_col,), right_on=("b",))
