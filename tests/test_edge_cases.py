@@ -90,3 +90,28 @@ def test_log_cursor_over_10k_per_second(tmp_path):
     t2 = read_log_range(log_dir, seq_end=(500, 10_049))
     got2 = list(zip(t2["ts"].to_pylist(), t2["seq"].to_pylist()))
     assert (500, 10_048) in got2 and (500, 10_049) not in got2
+
+
+def test_empty_corpus_build_and_query(ray_session, tmp_path):
+    """A zero-document build produces a consistent empty index that the
+    reader, docstore, and suggest paths all handle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.query import IndexReader
+
+    src = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({
+        "repo": pa.array([], pa.string()),
+        "path": pa.array([], pa.string()),
+        "commit": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "content": pa.array([], pa.large_string()),
+    }), src)
+    idx = str(tmp_path / "idx")
+    stats = build_index(src, idx, IndexConfig(shard_size=16))
+    assert stats["N"] == 0 and stats["total_tokens"] == 0
+    r = IndexReader(idx)
+    assert r.search(["anything"], "OR") == []
+    assert r.bm25_topk(["anything"], 5) == []
