@@ -20,14 +20,23 @@ import sys
 
 
 def _init_ray(num_cpus: int | None) -> None:
+    """Join the cluster when one is addressed (``ray job submit`` sets
+    RAY_ADDRESS to the head node), else start a local session."""
+    import os
+
     import ray
 
-    if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
-                  "logging_level": "ERROR"}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
+    if ray.is_initialized():
+        return
+    addr = os.environ.get("RAY_ADDRESS")
+    if addr and addr != "local":
+        ray.init()  # cluster job: connect to the submitted-to cluster
+        return
+    kwargs = {"address": "local", "include_dashboard": False,
+              "logging_level": "ERROR"}
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(**kwargs)
 
 
 def main(argv: list[str] | None = None) -> int:
