@@ -357,6 +357,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return token_counts(_docs(sf_dir), "text", "doc_id")
 
+    def token_count_bpe(sf_dir):
+        from konlsearch_ray.functions.text import bpe_token_counts
+
+        return bpe_token_counts(_docs(sf_dir), "text", "doc_id")
+
     def text_fingerprint(sf_dir):  # rows-only (rolling hash not in SQL)
         from konlsearch_ray.functions.text import fingerprints
 
@@ -458,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "text_quality": text_quality,
         "token_count": token_count,
+        "token_count_bpe": token_count_bpe,
         "text_fingerprint": text_fingerprint,
         "log_aggregate": log_aggregate,
         "log_seq_ids": log_seq_ids,
@@ -670,6 +676,11 @@ FROM kept""",
 SELECT doc_id::BIGINT AS doc_id, len(toks)::BIGINT AS n_tokens,
        len(list_distinct(toks))::BIGINT AS n_distinct
 FROM kept""",
+        "token_count_bpe": r"""SELECT doc_id::BIGINT AS doc_id,
+len(regexp_extract_all(text,
+  '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
+  AS n_bpe_tokens
+FROM documents""",
         "log_aggregate": """SELECT event_type, count(*)::BIGINT AS hits,
 round(sum(value), 2) AS total FROM events
 WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY event_type""",

@@ -150,6 +150,34 @@ def lang_id(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dat
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer pattern (the public BPE regex shape:
+# contraction suffixes, letter runs, digit runs, punctuation runs,
+# whitespace). RE2 syntax — identical semantics in pyarrow and DuckDB,
+# so the count is oracle-checkable.
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_counts(
+    ds: ray.data.Dataset, content_col: str, id_col: str
+) -> ray.data.Dataset:
+    """Per doc: BPE-ish token count — the training-cost estimator.
+
+    One vectorized ``pc.count_substring_regex`` pass per batch counts the
+    GPT-2-style pre-tokenizer matches (an upper bound proxy for BPE piece
+    count without a merges table; exact relative ordering of documents by
+    token cost, which is what corpus budgeting needs)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.cast(batch[content_col], pa.string()), pattern=BPE_RE)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "n_bpe_tokens": pc.cast(pc.fill_null(n, 0), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _token_hashes(terms: np.ndarray) -> np.ndarray:
     """Deterministic 31-bit hash per token (blake2b prefix mod M31)."""
     uniq, inv = np.unique(terms, return_inverse=True) if len(terms) else (

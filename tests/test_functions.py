@@ -387,3 +387,16 @@ def test_image_resize_and_frame_sample_stages(ray_session):
     with _pytest.raises(NotImplementedError):
         stage(pa.table({"event_id": pa.array([1], pa.int64()),
                         "payload": pa.array([b"z"], pa.binary())}))
+
+
+def test_bpe_token_counts(ray_session):
+    """GPT-2-style regex token counting (the BPE-ish budgeting proxy)."""
+    import ray.data
+
+    from konlsearch_ray.functions.text import bpe_token_counts
+
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array(["Hello, world! it's 42 tokens", "가나다 abc123", ""])}))
+    out = bpe_token_counts(ds, "text", "doc_id").to_pandas().set_index("doc_id")
+    assert list(out["n_bpe_tokens"]) == [8, 3, 0]
