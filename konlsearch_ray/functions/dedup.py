@@ -92,12 +92,22 @@ def ngram_jaccard_pairs(
     where ≥ tau/(1+tau) of the union is shared). ``None`` (default) =
     exact, the oracle-comparable configuration.
     """
-    shingles = ds.map_batches(
-        _shingle_batch, batch_format="pyarrow",
-        fn_kwargs={"content_col": content_col, "id_col": id_col, "n": n})
+    # Pin the shingle table once: it feeds both the size aggregation and
+    # pair emission (left lazy it would tokenize the corpus twice).
+    shingles = _nonempty_blocks(
+        ds.map_batches(
+            _shingle_batch, batch_format="pyarrow",
+            fn_kwargs={"content_col": content_col, "id_col": id_col, "n": n}),
+        ("doc_id", "shingle"))
     sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="sz"))
-    sizes_df = sizes_ds.to_pandas()  # small: one row per doc
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["sz"])))
+
+    def _norm_sizes(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "sz": t["sz"].cast(pa.int64())})
+
+    sizes_ds = _nonempty_blocks(
+        sizes_ds.map_batches(_norm_sizes, batch_format="pyarrow"),
+        ("doc_id", "sz"))
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         docs = np.sort(g["doc_id"].to_numpy())
@@ -110,20 +120,37 @@ def ngram_jaccard_pairs(
     pairs = shingles.groupby("shingle").map_groups(emit_pairs, batch_format="pandas")
     inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
 
+    def _norm_inter(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"].cast(pa.int64()),
+                         "b": t["b"].cast(pa.int64()),
+                         "inter": t["inter"].cast(pa.int64())})
+
+    inter = _nonempty_blocks(
+        inter.map_batches(_norm_inter, batch_format="pyarrow"),
+        ("a", "b", "inter"))
+
+    # Per-doc set sizes attach via hash joins (once per side) — the sizes
+    # table is one row per doc and never lands on the driver.
+    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 4))))
+    j = inter.join(sizes_ds, "inner", num_partitions=nparts,
+                   on=("a",), right_on=("doc_id",)).rename_columns({"sz": "sz_a"})
+    j = _nonempty_blocks(j, ("a", "b", "inter", "sz_a"))  # empty join parts
+    j = j.join(sizes_ds, "inner", num_partitions=nparts,
+               on=("b",), right_on=("doc_id",)).rename_columns({"sz": "sz_b"})
+
     def score(batch: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sa = np.array([sizes[x] for x in a], dtype=np.float64)
-        sb = np.array([sizes[x] for x in b], dtype=np.float64)
-        j = it / (sa + sb - it)
-        keep = j >= tau
+        sa = batch["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = batch["sz_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = it / (sa + sb - it)
+        keep = jac >= tau
         return pa.table(
             {"a": pa.array(a[keep].astype(np.int64)),
              "b": pa.array(b[keep].astype(np.int64))})
 
-    return inter.map_batches(score, batch_format="pyarrow")
+    return j.map_batches(score, batch_format="pyarrow")
 
 
 def _nonempty_blocks(
