@@ -341,16 +341,30 @@ def _col_as_sortable_str(t: pa.Table, col: str):
     """String projection that preserves order — integer columns are
     bias-encoded (x + 2^63 as uint64) then zero-padded, so min-by-string
     equals min-by-value for signed values too (plain zero-padding would
-    sort '-5' before '-7')."""
+    sort '-5' before '-7').
+
+    The projection is chosen per column TYPE only, never per block state
+    (null_count): a per-block branch would mix incompatible encodings of
+    the same column within one driver-rank argsort. Nulls map to the ""
+    sentinel (sorts before every padded digit / non-empty string) in every
+    branch.
+    """
     c = t[col]
-    if pa.types.is_integer(c.type) and c.null_count == 0:
-        v = (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
-        v = v.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
-        biased = v.view(np.uint64) + np.uint64(1 << 63)  # wraps: order-preserving
-        return pc.ascii_lpad(pc.cast(pa.array(biased), pa.string()), 20, "0")
     if pa.types.is_integer(c.type):
-        return pc.ascii_lpad(pc.cast(c, pa.string()), 20, "0")
-    return c.cast(pa.string())
+        v = (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        if pa.types.is_unsigned_integer(c.type) and c.type.bit_width == 64:
+            # uint64 is already order-correct as zero-padded decimals (max
+            # value is exactly 20 digits); an int64 bias cast would
+            # overflow for values >= 2^63.
+            return pc.fill_null(
+                pc.ascii_lpad(pc.cast(v, pa.string()), 20, "0"), "")
+        valid = pc.is_valid(v)
+        filled = pc.fill_null(v, 0).cast(pa.int64())
+        np_v = filled.to_numpy(zero_copy_only=False).astype(np.int64)
+        biased = np_v.view(np.uint64) + np.uint64(1 << 63)  # wraps: order-preserving
+        s = pc.ascii_lpad(pc.cast(pa.array(biased), pa.string()), 20, "0")
+        return pc.if_else(valid, s, "")
+    return pc.fill_null(c.cast(pa.string()), "")
 
 
 def _add_dedup_key(t: pa.Table, key_cols: list[str]) -> pa.Table:
@@ -464,6 +478,14 @@ def _block_light(ref: pa.Table, key_cols: list[str]) -> dict:
     sha = pc.fill_null(keyed["content_sha256"], "")
     sha = sha.combine_chunks() if isinstance(sha, pa.ChunkedArray) else sha
     key = pc.fill_null(keyed["__dedup_key"].cast(pa.large_binary()), b"")
+    # 0x01 terminator: the S-cast below pads with NUL and numpy S-compare
+    # ignores trailing NULs, so two keys differing only by a trailing
+    # \x00 would otherwise compare equal (NUL is also the column
+    # separator). The terminator is appended to EVERY key, so relative
+    # order is unchanged for NUL-free values (the documented constraint).
+    key = pc.binary_join_element_wise(
+        key, pa.scalar(b"\x01", pa.large_binary()),
+        pa.scalar(b"", pa.large_binary()))
     key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
     return {
         "sha": sha.to_numpy(zero_copy_only=False).astype("S64"),
@@ -486,6 +508,12 @@ def _finish_docs_block(
     """
     if keep is not None and not keep.all():
         block = block.filter(pa.array(keep))
+    # The incoming block may already carry doc_id/shard columns (e.g. a
+    # CLI append using the same file format the build ingested) — the
+    # ASSIGNED ids are authoritative, so drop them before attaching.
+    stale = [c for c in ("doc_id", "shard") if c in block.schema.names]
+    if stale:
+        block = block.drop_columns(stale)
     block = block.append_column("doc_id", pa.array(ids, pa.int64()))
     shard = (ids - 1) // shard_size
     block = block.append_column("shard", pa.array(shard, pa.int64()))
@@ -640,6 +668,7 @@ def _write_index_meta(index_dir: str, cfg: IndexConfig) -> None:
         "id_col": cfg.id_col,
         "sort_keys": cfg.sort_keys,
         "store_cols": cfg.store_cols,
+        "dedup": cfg.dedup,
         "version": 1,
     }
     tmp = os.path.join(index_dir, ".index_meta.json.tmp")
@@ -980,6 +1009,10 @@ def append_documents(
             cfg.sort_keys = list(meta["sort_keys"] or [])
         if meta.get("store_cols") is not None:
             cfg.store_cols = list(meta["store_cols"])
+        # Dedup is a property of the index: an index built with
+        # dedup=False must also ingest duplicate content on append
+        # (pre-flag indexes default to True, the old behavior).
+        cfg.dedup = bool(meta.get("dedup", True))
     docs_dir = os.path.join(index_dir, "docs")
     max_id = _max_doc_id(index_dir, docs_dir)
 
@@ -1020,7 +1053,7 @@ def append_documents(
 
     files = _docstore_files(docs_dir)
     conflict_of: dict[bytes, int] = {}
-    if files:
+    if files and cfg.dedup:
         hits = (ray.data.read_parquet(
                     files, columns=["doc_id", "content_sha256"])
                 .map_batches(_match, batch_format="pyarrow")
@@ -1043,10 +1076,16 @@ def append_documents(
     is_err_sorted = sh_sorted == b""  # null content (sha filled to "")
     import pandas as pd
 
-    first_sorted = (~pd.Series(sh_sorted).duplicated()).to_numpy()
-    conf_arr = (np.array(sorted(conflict_of), dtype="S64")
-                if conflict_of else np.array([], dtype="S64"))
-    existing_sorted = np.isin(sh_sorted, conf_arr)
+    if cfg.dedup:
+        first_sorted = (~pd.Series(sh_sorted).duplicated()).to_numpy()
+        conf_arr = (np.array(sorted(conflict_of), dtype="S64")
+                    if conflict_of else np.array([], dtype="S64"))
+        existing_sorted = np.isin(sh_sorted, conf_arr)
+    else:
+        # dedup=False index: duplicate content ingests (same as build);
+        # every non-error row is its own winner.
+        first_sorted = np.ones(n_in, dtype=bool)
+        existing_sorted = np.zeros(n_in, dtype=bool)
     keep_sorted = first_sorted & ~existing_sorted & ~is_err_sorted
     ids_sorted = max_id + np.cumsum(keep_sorted)
     n_new = int(keep_sorted.sum())
@@ -1054,13 +1093,16 @@ def append_documents(
     # Status doc_id per row: kept → its new id; existing-conflict → the
     # live doc's id; in-batch dup → the batch winner's id (which is the
     # existing id when the winner itself conflicted); error → null.
-    codes, uniq_first = pd.factorize(pd.Series(sh_sorted))
-    winner_id_by_code = np.zeros(len(uniq_first), dtype=np.int64)
-    winner_pos = np.flatnonzero(first_sorted)
-    winner_id_by_code[codes[winner_pos]] = np.where(
-        keep_sorted[winner_pos], ids_sorted[winner_pos],
-        [conflict_of.get(bytes(s), 0) for s in sh_sorted[winner_pos]])
-    status_doc_sorted = winner_id_by_code[codes]
+    if cfg.dedup:
+        codes, uniq_first = pd.factorize(pd.Series(sh_sorted))
+        winner_id_by_code = np.zeros(len(uniq_first), dtype=np.int64)
+        winner_pos = np.flatnonzero(first_sorted)
+        winner_id_by_code[codes[winner_pos]] = np.where(
+            keep_sorted[winner_pos], ids_sorted[winner_pos],
+            [conflict_of.get(bytes(s), 0) for s in sh_sorted[winner_pos]])
+        status_doc_sorted = winner_id_by_code[codes]
+    else:
+        status_doc_sorted = np.where(keep_sorted, ids_sorted, 0)
     status_sorted = np.where(
         is_err_sorted, STATUS_ERROR,
         np.where(keep_sorted, STATUS_SUCCESS, STATUS_CONFLICT))
