@@ -47,6 +47,37 @@ K1 = 1.2
 B = 0.75
 
 
+def _string_col_to_S(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Arrow string column → numpy fixed-width bytes (``"S"``) array
+    WITHOUT materializing Python strings: the bytes scatter straight from
+    the Arrow data buffer with numpy fancy indexing. memcmp over UTF-8
+    equals code-point order, so searchsorted over the result agrees with
+    the segment writer's term sort."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype="S1")
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64,
+                         count=n + 1 + arr.offset)[arr.offset:]
+    start, end = int(offs[0]), int(offs[-1])
+    data = (np.frombuffer(bufs[2], dtype=np.uint8, count=end)[start:]
+            if bufs[2] is not None and end > start
+            else np.zeros(0, np.uint8))
+    offs = (offs - start).astype(np.int64)
+    lens = np.diff(offs)
+    width = max(int(lens.max()) if n else 1, 1)
+    out = np.zeros((n, width), dtype=np.uint8)
+    total = int(offs[-1])
+    if total:
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        cols_idx = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
+        out[rows, cols_idx] = data
+    return out.ravel().view(f"S{width}")
+
+
 class SearchMode(str, Enum):
     AND = "AND"
     OR = "OR"
@@ -113,20 +144,20 @@ class IndexReader:
         self._dl_docs = dl["doc_id"].to_numpy()  # ascending across shards
         self._dl_vals = dl["doc_len"].to_numpy().astype(np.float64)
 
-        # Per-shard segment tables (term-sorted), loaded once; a per-shard
-        # term -> row-index map gives O(1) posting lookup.
-        self._segments = []
-        # One global term → [(segment_idx, row)] map: a query term costs a
-        # single dict probe instead of one per shard (shard counts grow
-        # with the corpus; per-term probe cost must not).
-        self._term_locs: dict[str, list[tuple[int, int]]] = {}
-        for t in seg_tables:
-            si = len(self._segments)
-            self._segments.append((t, None))
-            for i, s in enumerate(t["term"].to_pylist()):
-                self._term_locs.setdefault(s, []).append((si, i))
+        # Per-shard segment tables (term-sorted), loaded once, each paired
+        # with its term column as a SORTED fixed-width bytes array —
+        # queried terms resolve by binary search (lazily memoized in
+        # ``_locate``). The whole-vocabulary Python dict this replaces
+        # cost O(vocab) Python-loop init time and a per-actor heap that
+        # held every term as a Python object — the dominant query-actor
+        # startup cost at 10M+ terms.
+        self._segments = [(t, _string_col_to_S(t["term"])) for t in seg_tables]
+        self._term_locs: dict[str, list[tuple[int, int]]] = {}  # probe memo
 
-        self._global_df: dict[str, int] | None = None
+        # Global df: sorted term bytes + aligned df values (probed with
+        # searchsorted, memoized) — same no-Python-dict rationale.
+        self._global_df: tuple[np.ndarray, np.ndarray] | None = None
+        self._gdf_memo: dict[str, int] = {}
         if use_global_df:
             d = os.path.join(index_dir, "dictionary")
             parts = [
@@ -136,8 +167,10 @@ class IndexReader:
             ]
             if parts:
                 dt = pa.concat_tables(parts)
-                self._global_df = dict(zip(
-                    dt["term"].to_pylist(), dt["df"].to_pylist()))
+                terms_s = _string_col_to_S(dt["term"])
+                order = np.argsort(terms_s, kind="stable")
+                dfs = dt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+                self._global_df = (terms_s[order], dfs[order])
         self._cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._pos_cache: dict[str, np.ndarray] = {}
         self._block_ub_cache: dict[str, np.ndarray] = {}
@@ -173,6 +206,24 @@ class IndexReader:
         self._min_dl = float(self._dl_vals.min()) if len(self._dl_vals) else 1.0
 
     # --- posting access -------------------------------------------------
+    def _locate(self, term: str) -> list[tuple[int, int]]:
+        """term → [(segment_idx, row)] via one binary search per segment
+        over its sorted term bytes (memoized — the queried vocabulary is
+        tiny next to the stored one, so the memo stays small while init
+        never touches Python objects)."""
+        locs = self._term_locs.get(term)
+        if locs is None:
+            tb = term.encode("utf-8")
+            locs = []
+            for si, (_t, terms_s) in enumerate(self._segments):
+                if not len(terms_s) or len(tb) > terms_s.dtype.itemsize:
+                    continue  # longer than the segment's longest term
+                i = int(np.searchsorted(terms_s, tb))
+                if i < len(terms_s) and terms_s[i] == tb:
+                    locs.append((si, i))
+            self._term_locs[term] = locs
+        return locs
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """term → (doc_ids asc, tfs, first_positions).
 
@@ -190,7 +241,7 @@ class IndexReader:
             from konlsearch_ray.codec import varint_decode
 
             blobs, dfs = [], 0
-            for si, i in self._term_locs.get(term, ()):
+            for si, i in self._locate(term):
                 t = self._segments[si][0]
                 dfs += t["df"][i].as_py()
                 blobs.append(t["pos_bin"][i].as_py())
@@ -212,7 +263,7 @@ class IndexReader:
         from konlsearch_ray.codec import varint_decode
 
         blobs_doc, blobs_tf, dfs = [], [], []
-        for si, i in self._term_locs.get(term, ()):
+        for si, i in self._locate(term):
             t = self._segments[si][0]
             dfs.append(t["df"][i].as_py())
             blobs_doc.append(t["doc_ids_bin"][i].as_py())
@@ -260,7 +311,7 @@ class IndexReader:
         from konlsearch_ray.codec import BLOCK_SIZE
 
         parts = []
-        for si, i in self._term_locs.get(term, ()):
+        for si, i in self._locate(term):
             t = self._segments[si][0]
             df = t["df"][i].as_py()
             mtf = np.asarray(t["block_max_tf"][i].as_py(), dtype=np.int64)
@@ -337,7 +388,16 @@ class IndexReader:
     # --- BM25 -----------------------------------------------------------
     def idf(self, term: str) -> float:
         if self._global_df is not None:
-            df = self._global_df.get(term, 0)
+            df = self._gdf_memo.get(term)
+            if df is None:
+                terms_s, dfs = self._global_df
+                tb = term.encode("utf-8")
+                df = 0
+                if len(terms_s) and len(tb) <= terms_s.dtype.itemsize:
+                    i = int(np.searchsorted(terms_s, tb))
+                    if i < len(terms_s) and terms_s[i] == tb:
+                        df = int(dfs[i])
+                self._gdf_memo[term] = df
         else:
             df = self.df(term)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
