@@ -20,6 +20,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from konlsearch_ray.analyzer import analyze_strings
+from konlsearch_ray.functions.blocks import nonempty_blocks
 from konlsearch_ray.functions.text import FP_MOD, _token_hashes
 
 
@@ -153,25 +154,8 @@ def ngram_jaccard_pairs(
     return j.map_batches(score, batch_format="pyarrow")
 
 
-def _nonempty_blocks(
-    ds: ray.data.Dataset, cols: tuple[str, ...]
-) -> ray.data.Dataset:
-    """Rebuild a dataset from its non-empty Arrow block refs.
-
-    Workaround for empty shuffle/aggregate partitions: their 0-row blocks
-    skip map UDFs entirely, so they reach downstream operators with empty
-    (or stale upstream) schemas, which the hash-join operator rejects.
-    Only refs move to the driver; the blocks stay put. Falls back to one
-    empty int64-typed block when nothing survives."""
-    refs = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if meta.num_rows:
-                refs.append(ref)
-    if not refs:
-        return ray.data.from_arrow(
-            pa.table({c: pa.array([], pa.int64()) for c in cols}))
-    return ray.data.from_arrow_refs(refs)
+# Shared implementation lives in functions/blocks.py.
+_nonempty_blocks = nonempty_blocks
 
 
 # --------------------------------------------------------------------------

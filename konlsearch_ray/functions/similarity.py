@@ -31,6 +31,35 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _grouped_topk_merge(parts_ds: ray.data.Dataset, k: int) -> pa.Table:
+    """Merge per-block partial top-k tables INSIDE the Dataset: a per-qid
+    grouped merge reduces k·blocks rows per query down to k before
+    anything reaches the driver — the driver receives exactly k·Q rows,
+    independent of block/cell count (the previous driver-side concat grew
+    linearly with block count). Ordering/tie-break: cos desc, neighbor
+    asc; output sorted (qid asc, rk asc), cos rounded to 4."""
+    from konlsearch_ray.functions.blocks import nonempty_blocks
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        idx = np.lexsort((g["neighbor"].to_numpy(),
+                          -g["cos"].to_numpy()))[:k]
+        g = g.iloc[idx].reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "neighbor", "cos", "rk"]]
+
+    parts_ds = nonempty_blocks(parts_ds, ("qid", "neighbor", "cos"))
+    res = (parts_ds.groupby("qid")
+           .map_groups(merge, batch_format="pandas").to_pandas())
+    if not len(res):
+        res = pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                            "neighbor": pd.Series(dtype="int64"),
+                            "cos": pd.Series(dtype="float64"),
+                            "rk": pd.Series(dtype="int64")})
+    res = res.sort_values(["qid", "rk"], kind="stable").reset_index(drop=True)
+    res["cos"] = res["cos"].round(4)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
 def ann_topk(
     ds: ray.data.Dataset,
     query_ids: list[int],
@@ -42,8 +71,9 @@ def ann_topk(
 
     Two passes: (1) stream once to collect the query vectors (a filter —
     cheap), broadcast them; (2) ``map_batches`` matmul producing per-batch
-    partial top-k, merged on the driver (partials are k rows per query per
-    batch — tiny). Ties broken by ascending neighbor id via lexsort.
+    partial top-k, reduced to k rows per query by a per-qid grouped merge
+    IN the Dataset (the driver sees exactly k·Q rows regardless of block
+    count). Ties broken by ascending neighbor id via lexsort.
     """
     qset = set(int(q) for q in query_ids)
     q_rows = ds.filter(
@@ -75,18 +105,8 @@ def ann_topk(
              "neighbor": pa.array(out_n, pa.int64()),
              "cos": pa.array(out_s, pa.float64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = []
-    for q in q_ids:
-        sub = parts[parts["qid"] == q]
-        idx = np.lexsort((sub["neighbor"].to_numpy(), -sub["cos"].to_numpy()))[:k]
-        sub = sub.iloc[idx].reset_index(drop=True)
-        sub["rk"] = np.arange(1, len(sub) + 1, dtype=np.int64)
-        out.append(sub)
-    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-        {"qid": [], "neighbor": [], "cos": [], "rk": []})
-    res["cos"] = res["cos"].round(4)
-    return pa.Table.from_pandas(res, preserve_index=False)
+    return _grouped_topk_merge(
+        ds.map_batches(partial, batch_format="pyarrow"), k)
 
 
 def ivf_topk(
@@ -164,18 +184,8 @@ def ivf_topk(
              "neighbor": pa.array(out_n, pa.int64()),
              "cos": pa.array(out_s, pa.float64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = []
-    for q in q_ids:
-        sub = parts[parts["qid"] == q]
-        idx = np.lexsort((sub["neighbor"].to_numpy(), -sub["cos"].to_numpy()))[:k]
-        sub = sub.iloc[idx].reset_index(drop=True)
-        sub["rk"] = np.arange(1, len(sub) + 1, dtype=np.int64)
-        out.append(sub)
-    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-        {"qid": [], "neighbor": [], "cos": [], "rk": []})
-    res["cos"] = res["cos"].round(4)
-    return pa.Table.from_pandas(res, preserve_index=False)
+    return _grouped_topk_merge(
+        ds.map_batches(partial, batch_format="pyarrow"), k)
 
 
 @ray.remote
@@ -301,10 +311,11 @@ def ivf_store_topk(
 ) -> pa.Table:
     """Top-k over the partitioned IVF store: each query probes its
     ``n_probe`` nearest cells and only those PARTITIONS are read (one
-    task per touched cell, scoring just the queries probing it; driver
-    merges k-rows-per-query-per-cell partials). With ``n_probe ==
-    n_centroids`` results equal the exact brute force, same tie-break
-    (cos desc, neighbor asc)."""
+    task per touched cell, scoring just the queries probing it; the
+    k-rows-per-query-per-cell partials reduce through a per-qid grouped
+    Dataset merge, so the driver receives exactly k rows per query).
+    With ``n_probe == n_centroids`` results equal the exact brute force,
+    same tie-break (cos desc, neighbor asc)."""
     import json
     import os
 
@@ -329,20 +340,14 @@ def ivf_store_topk(
         futs.append(_cell_topk.remote(
             files, q_ids[mask], q_mat[mask], k,
             meta["id_col"], meta["vec_col"]))
-    parts = (pa.concat_tables(ray.get(futs)).to_pandas() if futs
-             else pd.DataFrame({"qid": [], "neighbor": [], "cos": []}))
-    out = []
-    for q in q_ids:
-        sub = parts[parts["qid"] == q]
-        idx = np.lexsort((sub["neighbor"].to_numpy(),
-                          -sub["cos"].to_numpy()))[:k]
-        sub = sub.iloc[idx].reset_index(drop=True)
-        sub["rk"] = np.arange(1, len(sub) + 1, dtype=np.int64)
-        out.append(sub)
-    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-        {"qid": [], "neighbor": [], "cos": [], "rk": []})
-    res["cos"] = res["cos"].round(4)
-    return pa.Table.from_pandas(res, preserve_index=False)
+    if not futs:
+        return _grouped_topk_merge(ray.data.from_arrow(pa.table(
+            {"qid": pa.array([], pa.int64()),
+             "neighbor": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())})), k)
+    # Cell partials stay in the object store (refs only) and reduce
+    # through the same per-qid grouped merge as the streaming paths.
+    return _grouped_topk_merge(ray.data.from_arrow_refs(futs), k)
 
 
 def cosine_pairs(
