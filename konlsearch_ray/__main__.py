@@ -7,6 +7,7 @@ driver contract). Commands mirror the reference's embedded API surface:
   append   <source_parquet> <index_dir>   incremental ingest (statuses printed)
   search   <index_dir> <mode> <tok> [...] AND | OR | PHRASE | BM25
   suggest  <index_dir> <prefix>           jamo-prefix suggestions
+  tokens   <index_dir> <doc_id>           token set of one document (J3)
   delete   <index_dir> <doc_id> [...]     tombstone docs
   compact  <index_dir>                    rewrite segments without tombstones
   stats    <index_dir>                    print stats.json
@@ -64,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser("suggest")
     g.add_argument("index_dir"); g.add_argument("prefix")
 
+    tk = sub.add_parser("tokens")
+    tk.add_argument("index_dir"); tk.add_argument("doc_id", type=int)
+    tk.add_argument("--ordered", action="store_true",
+                    help="print the ordered kept stream instead of the set")
+
     d = sub.add_parser("delete")
     d.add_argument("index_dir"); d.add_argument("doc_ids", nargs="+", type=int)
 
@@ -109,6 +115,17 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for doc in r.search(args.tokens, args.mode.upper()):
                 print(doc)
+    elif args.cmd == "tokens":
+        from konlsearch_ray.docstore import DocStore
+
+        store = DocStore(args.index_dir)
+        toks = (store.get_ordered_tokens(args.doc_id) if args.ordered
+                else store.get_tokens(args.doc_id))
+        if toks is None:
+            print(f"doc {args.doc_id}: NOT_FOUND", file=sys.stderr)
+            return 1
+        for t in (toks if args.ordered else sorted(toks)):
+            print(t)
     elif args.cmd == "suggest":
         from konlsearch_ray.pipelines.suggest import suggest_jamo_indexed
 

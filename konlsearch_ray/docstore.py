@@ -69,6 +69,33 @@ class DocStore:
             return None
         return {c: t[c][0].as_py() for c in t.schema.names}
 
+    def get_ordered_tokens(self, doc_id: int, analyzer=None) -> list[str] | None:
+        """Ordered kept-token stream of one document (the reference's
+        tokenize-with-order, index.py:448) — re-derived from the docstore
+        row through the same analyzer that built the index (tokenization
+        is a pure function of content, so this equals what was indexed).
+        ``analyzer``: pluggable object exposing ``tokenize_many`` for
+        indexes built with a custom analyzer_factory; None → the
+        normative analyzer. None result = absent or deleted doc."""
+        row = self.get(doc_id)
+        if row is None:
+            return None
+        content = row.get(self.meta.get("content_col", "content"))
+        if content is None:
+            return []
+        if analyzer is not None:
+            return analyzer.tokenize_many([content])[0]
+        from konlsearch_ray.analyzer import tokenize
+
+        return tokenize(content)
+
+    def get_tokens(self, doc_id: int, analyzer=None) -> set[str] | None:
+        """Token SET of one document — reference J3 parity (reference
+        index.py:410 returns the persisted per-doc token set; here it
+        re-derives from content, same values)."""
+        toks = self.get_ordered_tokens(doc_id, analyzer=analyzer)
+        return set(toks) if toks is not None else None
+
     def get_multi(self, doc_ids: list[int]) -> pa.Table:
         """Multi-get (reference RocksDB multiget): rows for the IDs that
         exist, ascending doc_id."""

@@ -66,3 +66,29 @@ def test_get_multi_status(store):
     st = ds.get_multi_status([2, 999999, 5]).to_pandas()
     assert list(st["doc_id"]) == [2, 5, 999999]
     assert list(st["status"]) == ["FOUND", "FOUND", "NOT_FOUND"]
+
+
+def test_get_tokens_matches_analyzer(store):
+    """get_tokens parity (reference index.py:410): set + ordered stream
+    equal a direct re-tokenization of the stored content; deleted/absent
+    docs return None."""
+    from konlsearch_ray.analyzer import tokenize
+
+    store, _, _ = store
+    row = store.get(3)
+    assert row is not None
+    content_col = store.meta["content_col"]
+    golden = tokenize(row[content_col])
+    assert store.get_ordered_tokens(3) == golden
+    assert store.get_tokens(3) == set(golden)
+    assert store.get_tokens(10**9) is None
+
+
+def test_get_tokens_custom_analyzer(store):
+    from konlsearch_ray.analyzer import KoreanLexiconAnalyzer
+
+    store, _, _ = store
+    an = KoreanLexiconAnalyzer()
+    row = store.get(3)
+    golden = an.tokenize_many([row[store.meta["content_col"]]])[0]
+    assert store.get_ordered_tokens(3, analyzer=an) == golden
