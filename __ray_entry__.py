@@ -250,7 +250,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return minhash_lsh_pairs(ds, "text", "doc_id", n=3, tau=NGRAM_TAU)
 
-    def dedup_simhash(sf_dir):  # rows-only (bit-level hashing not in SQL)
+    def dedup_simhash(sf_dir):
+        # Fully oracle-gated: the term hash is an md5 prefix (DuckDB-
+        # expressible) and the SQL encodes the pigeonhole candidate rule
+        # (a pair is emitted iff >= 1 of the four 16-bit chunks is equal
+        # AND hamming <= max_hamming — exact recall for max_hamming <= 3;
+        # the 16 here keeps the chunked approximation visible).
         from konlsearch_ray.functions.dedup import simhash_pairs
 
         ds = _docs(sf_dir).map_batches(
@@ -596,6 +601,38 @@ n_chars::BIGINT AS n_chars FROM documents
 WHERE doc_id >= 100 AND doc_id < 120 ORDER BY doc_id""",
         "dedup_exact": """SELECT md5(text) AS h, min(doc_id)::BIGINT AS keep_id,
 count(*)::BIGINT AS n FROM documents GROUP BY 1""",
+        # SimHash pairs: per-term md5-prefix hash → tf-weighted per-bit
+        # sign → pair hamming = #bits whose signs differ. The chunk
+        # condition (least(h0..h3) = 0) reproduces the engine's pigeonhole
+        # candidate generation exactly (4 x 16-bit chunks; chunk labels
+        # are a bijection, so "some chunk equal" is order-free).
+        "dedup_simhash": f"""WITH {_KEPT},
+occ2 AS (SELECT doc_id, unnest(toks) AS term FROM kept
+         WHERE doc_id < {NGRAM_MAXDOC}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM occ2 GROUP BY 1, 2),
+h AS (SELECT term, CAST('0x' || substr(md5(term), 1, 16) AS UBIGINT) AS h64
+      FROM (SELECT DISTINCT term FROM occ2)),
+bitsrc AS (SELECT unnest(generate_series(0, 63)) AS bit),
+sums AS (SELECT tf.doc_id, b.bit,
+                sum(CASE WHEN (h.h64 >> b.bit) & 1 = 1
+                         THEN tf.tf ELSE -tf.tf END) AS s
+         FROM tf JOIN h USING (term) CROSS JOIN bitsrc b GROUP BY 1, 2),
+grid AS (SELECT k.doc_id, b.bit
+         FROM (SELECT DISTINCT doc_id FROM kept
+               WHERE doc_id < {NGRAM_MAXDOC}) k CROSS JOIN bitsrc b),
+sgn AS (SELECT g.doc_id, g.bit, coalesce(s.s, 0) > 0 AS g
+        FROM grid g LEFT JOIN sums s
+        ON g.doc_id = s.doc_id AND g.bit = s.bit),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                 sum((x.g <> y.g)::INT)::BIGINT AS hamming,
+                 sum(CASE WHEN x.bit // 16 = 0 AND x.g <> y.g THEN 1 ELSE 0 END) AS h0,
+                 sum(CASE WHEN x.bit // 16 = 1 AND x.g <> y.g THEN 1 ELSE 0 END) AS h1,
+                 sum(CASE WHEN x.bit // 16 = 2 AND x.g <> y.g THEN 1 ELSE 0 END) AS h2,
+                 sum(CASE WHEN x.bit // 16 = 3 AND x.g <> y.g THEN 1 ELSE 0 END) AS h3
+          FROM sgn x JOIN sgn y
+          ON x.bit = y.bit AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a::BIGINT AS a, b::BIGINT AS b, hamming FROM pairs
+WHERE hamming <= 16 AND least(h0, h1, h2, h3) = 0""",
         "dedup_ngram": f"""WITH {_KEPT}, {shingle_cte},
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i FROM sh a

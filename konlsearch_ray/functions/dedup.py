@@ -216,23 +216,39 @@ def minhash_lsh_pairs(
     r = NUM_PERM // BANDS
 
     def signatures(batch: pa.Table) -> pa.Table:
+        """Whole-batch vectorized signatures: 64 fixed permutation lanes,
+        each ONE C pass over the batch's concatenated shingle-hash stream
+        with ``np.minimum.reduceat`` at doc starts (arithmetic identical
+        to the per-doc outer product this replaces). Band keys are the
+        RAW r-value signature chunks carried as k0..k{r-1} columns —
+        equal iff the chunk is equal, i.e. exactly the groups the
+        per-(doc, band) blake2b hashing produced, with zero Python hash
+        calls (and zero collision risk)."""
         rows = _shingle_hash_sets(batch, content_col, id_col, n)
-        doc_out, band_out, key_out = [], [], []
-        for doc, hs in rows:
-            if len(hs) == 0:
-                continue
-            # sig[j] = min((a_j * x + b_j) mod M) — outer product, vectorized.
-            prods = (a_p[:, None] * hs[None, :]) % M
-            sig = ((prods + b_p[:, None]) % M).min(axis=1)
-            for band in range(BANDS):
-                chunk = sig[band * r: (band + 1) * r]
-                key = hashlib.blake2b(
-                    chunk.astype("<u8").tobytes(), digest_size=8).hexdigest()
-                doc_out.append(doc); band_out.append(band); key_out.append(key)
-        return pa.table(
-            {"doc_id": pa.array(doc_out, pa.int64()),
-             "band": pa.array(band_out, pa.int32()),
-             "key": pa.array(key_out, pa.string())})
+        docs = np.array([d for d, h in rows if len(h)], dtype=np.int64)
+        if not len(docs):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "band": pa.array([], pa.int32()),
+                 **{f"k{j}": pa.array([], pa.int64()) for j in range(r)}})
+        lens = np.array([len(h) for _, h in rows if len(h)], dtype=np.int64)
+        hs_all = np.concatenate([h for _, h in rows if len(h)])
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ndocs = len(docs)
+        sigs = np.empty((ndocs, NUM_PERM), dtype=np.uint64)
+        for j in range(NUM_PERM):
+            v = ((a_p[j] * hs_all) % M + b_p[j]) % M  # < 2^62: exact
+            sigs[:, j] = np.minimum.reduceat(v, starts)
+        sig3 = sigs.reshape(ndocs, BANDS, r)
+        cols = {
+            "doc_id": pa.array(np.tile(docs, BANDS), pa.int64()),
+            "band": pa.array(
+                np.repeat(np.arange(BANDS, dtype=np.int32), ndocs)),
+        }
+        for j in range(r):
+            cols[f"k{j}"] = pa.array(
+                sig3[:, :, j].T.reshape(-1).astype(np.int64))
+        return pa.table(cols)
 
     sig_ds = ds.map_batches(signatures, batch_format="pyarrow")
 
@@ -243,7 +259,8 @@ def minhash_lsh_pairs(
         a, b = zip(*combinations(docs.tolist(), 2))
         return pd.DataFrame({"a": a, "b": b})
 
-    cand = sig_ds.groupby(["band", "key"]).map_groups(emit, batch_format="pandas")
+    cand = sig_ds.groupby(["band"] + [f"k{j}" for j in range(r)]).map_groups(
+        emit, batch_format="pandas")
     cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="nbands"))
 
     def _norm_pairs(t: pa.Table) -> pa.Table:
@@ -313,7 +330,12 @@ def minhash_lsh_pairs(
 
 
 def simhash64(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.Dataset:
-    """64-bit SimHash per doc over (term, tf) — vectorized bit counting."""
+    """64-bit SimHash per doc over (term, tf) — vectorized bit counting.
+
+    The per-term 64-bit hash is the big-endian md5 prefix — md5 is
+    DuckDB-expressible (``CAST('0x' || substr(md5(term), 1, 16) AS
+    UBIGINT)``), which makes the whole pairs pipeline oracle-checkable
+    end-to-end (the hash choice is otherwise arbitrary)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         occ = analyze_strings(batch[content_col])
@@ -324,7 +346,7 @@ def simhash64(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.D
         if len(terms):
             uniq, inv = np.unique(terms, return_inverse=True)
             h64 = np.array(
-                [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
                  for t in uniq], dtype=np.uint64)
             bits = np.unpackbits(
                 h64[inv].view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1, bitorder="little"
