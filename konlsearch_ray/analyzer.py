@@ -189,6 +189,81 @@ class KoreanLexiconAnalyzer:
         return out
 
 
+class MecabMorphemeAnalyzer:
+    """Adapter for a REAL morphological analyzer — the reference's exact
+    tokenizer shape (reference index.py:24, 98-102: tokens =
+    ``set(mecab.morphs(s)) | set(s.split())``), expressed in this
+    engine's ordered-stream form: every kept surface token is emitted
+    as-is, followed by its morphemes when the analyzer splits it into
+    ≥ 2 pieces (same emission rule as ``KoreanLexiconAnalyzer``, so the
+    two are drop-in interchangeable via ``IndexConfig.analyzer_factory``).
+
+    Import-guarded: requires one of the public Korean analyzers —
+    ``python-mecab-ko`` (``mecab.MeCab()``, what the reference imports)
+    or ``kiwipiepy`` (``Kiwi``). Neither ships in this sandbox, so tests
+    cover the duck-typed injection path and the ImportError fallback;
+    on a cluster with mecab installed the factory works unchanged:
+    ``IndexConfig(analyzer_factory=MecabMorphemeAnalyzer)``.
+
+    ``backend``: optional pre-built object exposing ``morphs(text) ->
+    list[str]`` (dependency injection for tests / custom analyzers).
+    """
+
+    def __init__(self, backend=None):
+        if backend is None:
+            backend = self._load_backend()
+        self._m = backend
+        self._memo: dict[str, list[str]] = {}
+
+    @staticmethod
+    def _load_backend():
+        try:
+            import mecab  # python-mecab-ko
+
+            return mecab.MeCab()
+        except ImportError:
+            pass
+        try:
+            from kiwipiepy import Kiwi
+
+            kiwi = Kiwi()
+
+            class _KiwiMorphs:  # adapt to the mecab.morphs() protocol
+                def morphs(self, text: str) -> list[str]:
+                    return [t.form for t in kiwi.tokenize(text)]
+
+            return _KiwiMorphs()
+        except ImportError:
+            raise ImportError(
+                "MecabMorphemeAnalyzer needs python-mecab-ko or kiwipiepy; "
+                "neither is installed. Use KoreanLexiconAnalyzer (bundled) "
+                "or pass a backend exposing morphs(text) -> list[str].")
+
+    def _morphs(self, word: str) -> list[str]:
+        hit = self._memo.get(word)
+        if hit is not None:
+            return hit
+        out = list(self._m.morphs(word))
+        if len(out) < 2:
+            out = []  # single-morpheme segmentation adds nothing
+        if len(self._memo) < 1_000_000:  # bounded per-worker cache
+            self._memo[word] = out
+        return out
+
+    def tokenize_many(self, texts: list[str]) -> list[list[str]]:
+        out = []
+        for text in texts:
+            toks = []
+            for raw in sanitize(text).split():
+                t = normalize_token(raw)
+                if t is None:
+                    continue
+                toks.append(t)
+                toks.extend(self._morphs(t))
+            out.append(toks)
+        return out
+
+
 def _coded_from_token_lists(
     token_lists: list[list[str]],
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -213,19 +214,36 @@ def topk_per_jamo_prefix(
     prefixes; a grouped top-k replaces the evict-min counter."""
 
     def explode(t: pa.Table) -> pa.Table:
-        terms = t[term_col].to_pylist()
-        counts = t[count_col].to_pylist()
-        p_out, t_out, c_out = [], [], []
-        for term, cnt in zip(terms, counts):
-            j = decompose_jamo(term)
-            for i in range(1, len(j) + 1):
-                p_out.append(j[:i])
-                t_out.append(term)
-                c_out.append(cnt)
+        """term → every jamo prefix, vectorized: one bulk decompose, one
+        np.repeat fan-out, and all prefixes built at once by masking the
+        fixed-width UCS4 codepoint matrix (trailing zeros terminate numpy
+        "U" strings) — no per-term Python loop."""
+        terms = t[term_col]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        counts = t[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = decompose_jamo_bulk(terms.to_pylist())
+        empty = pa.table({"prefix": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "hits": pa.array([], pa.int64())})
+        if not keys:
+            return empty
+        ku = np.asarray(keys, dtype="U")
+        width = ku.dtype.itemsize // 4
+        if width == 0:
+            return empty
+        lens = np.char.str_len(ku).astype(np.int64)
+        rep = np.repeat(np.arange(len(ku), dtype=np.int64), lens)
+        total = int(lens.sum())
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        plen = np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + 1
+        mat = ku.view(np.uint32).reshape(len(ku), width)
+        rows = mat[rep] * (np.arange(width)[None, :] < plen[:, None])
+        prefixes = rows.reshape(-1).view(f"U{width}")
         return pa.table({
-            "prefix": pa.array(p_out, pa.string()),
-            "term": pa.array(t_out, pa.string()),
-            "hits": pa.array(c_out, pa.int64()),
+            "prefix": pa.array(prefixes),
+            "term": pc.take(terms, pa.array(rep)).cast(pa.string()),
+            "hits": pa.array(counts[rep], pa.int64()),
         })
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:

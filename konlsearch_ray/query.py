@@ -205,6 +205,18 @@ class IndexReader:
             self.avgdl = (live_tokens / self.n_docs) if self.n_docs else 1.0
         self._min_dl = float(self._dl_vals.min()) if len(self._dl_vals) else 1.0
 
+    def sample_terms(self, n: int) -> list[str]:
+        """First ``n`` stored terms in segment order — bench/test helper
+        (term enumeration is not a serving-path operation)."""
+        out: list[str] = []
+        for tab, _s in self._segments:
+            col = tab["term"]
+            take = min(n - len(out), len(col))
+            out.extend(col.slice(0, take).to_pylist())
+            if len(out) >= n:
+                break
+        return out
+
     # --- posting access -------------------------------------------------
     def _locate(self, term: str) -> list[tuple[int, int]]:
         """term → [(segment_idx, row)] via one binary search per segment

@@ -80,3 +80,48 @@ def test_morph_entry_matches_oracle(ray_session):
     from entry_harness import run
 
     assert run("/root/testdata/sf0.001", only=["search_morph"]) == 0
+
+
+def test_mecab_adapter_injected_backend(ray_session, tmp_path):
+    """MecabMorphemeAnalyzer with a duck-typed backend: surface token
+    followed by its morphemes when the split yields >= 2 pieces — the
+    reference's mecab-union shape (index.py:98-102) in ordered form."""
+    import ray.data
+
+    from konlsearch_ray.analyzer import MecabMorphemeAnalyzer
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.query import IndexReader
+
+    class FakeMecab:
+        def morphs(self, text):
+            # Split camel-free compounds at a fixed point, like a tiny
+            # morphological analyzer would.
+            if text == "searchindex":
+                return ["search", "index"]
+            return [text]
+
+    an = MecabMorphemeAnalyzer(backend=FakeMecab())
+    assert an.tokenize_many(["searchindex plain"]) == [
+        ["searchindex", "search", "index", "plain"]]
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["searchindex here", "nothing else"]),
+    })
+    idx = str(tmp_path / "i")
+    cfg = IndexConfig(content_col="text", id_col="doc_id", sort_keys=[],
+                      shard_size=8,
+                      analyzer_factory=lambda: MecabMorphemeAnalyzer(
+                          backend=FakeMecab()))
+    build_index(ray.data.from_arrow(t), idx, cfg)
+    r = IndexReader(idx)
+    # Findable by surface AND by morpheme.
+    assert r.search(["searchindex"], "AND") == [1]
+    assert r.search(["search", "index"], "AND") == [1]
+
+
+def test_mecab_adapter_import_error_without_libs():
+    from konlsearch_ray.analyzer import MecabMorphemeAnalyzer
+
+    with pytest.raises(ImportError, match="KoreanLexiconAnalyzer"):
+        MecabMorphemeAnalyzer()

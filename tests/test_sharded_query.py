@@ -44,9 +44,7 @@ def test_complex_matches(built):
 
 def test_bm25_rank_and_score_identical(built):
     engine, reader = built
-    vocab = []
-    for t, _ in zip(reader._term_locs.keys(), range(500)):
-        vocab.append(t)
+    vocab = reader.sample_terms(500)
     rng = random.Random(3)
     queries = [["def", "return", "import"], ["def"], ["마법", "건담"]]
     for _ in range(20):
