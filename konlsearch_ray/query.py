@@ -659,19 +659,47 @@ def sharded_query_pipeline(
     ]
     u = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        mode = g["mode"].iloc[0]
-        if mode == "BM25":
-            k = int(g["k"].iloc[0])
-            g = g.sort_values(["score", "doc_id"],
-                              ascending=[False, True]).head(k)
-        else:
-            g = g.sort_values("doc_id")
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int64)
-        return g[["qid", "doc_id", "rank", "score"]]
+    def merge_block(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized multi-qid merge: qids bucket into a few dozen
+        ``part`` groups (qid % nparts), so each merge call handles a
+        whole bucket with one pandas sort + grouped cumcount instead of
+        one Python call per qid (the per-qid map_groups path spent more
+        time in per-group slicing than in the merge itself)."""
+        cols = ["qid", "doc_id", "rank", "score"]
+        if not len(g):
+            return g[cols] if set(cols) <= set(g.columns) else pd.DataFrame(
+                {c: pd.Series(dtype="float64") for c in cols})
+        bm = g["mode"] == "BM25"
+        outs = []
+        b = g[bm]
+        if len(b):
+            b = b.sort_values(["qid", "score", "doc_id"],
+                              ascending=[True, False, True])
+            r = b.groupby("qid", sort=False).cumcount()
+            keep = r.to_numpy() < b["k"].to_numpy()
+            b = b.assign(rank=r.to_numpy())[keep]
+            outs.append(b[cols])
+        nb = g[~bm]
+        if len(nb):
+            nb = nb.sort_values(["qid", "doc_id"])
+            nb = nb.assign(
+                rank=nb.groupby("qid", sort=False).cumcount().to_numpy())
+            outs.append(nb[cols])
+        return pd.concat(outs, ignore_index=True)
 
-    return u.groupby("qid").map_groups(merge, batch_format="pandas")
+    per = (concurrency_per_subset[1]
+           if isinstance(concurrency_per_subset, tuple)
+           else concurrency_per_subset)
+    nparts = max(4, 2 * per * len(parts))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        q = t["qid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(q % nparts, pa.int64()))
+
+    return (u.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda g: merge_block(g.drop(columns=["part"])),
+                        batch_format="pandas"))
 
 
 class ShardQueryActor:
