@@ -40,12 +40,16 @@ def _grouped_topk_merge(parts_ds: ray.data.Dataset, k: int) -> pa.Table:
     asc; output sorted (qid asc, rk asc), cos rounded to 4."""
     from konlsearch_ray.functions.blocks import nonempty_blocks
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         idx = np.lexsort((g["neighbor"].to_numpy(),
                           -g["cos"].to_numpy()))[:k]
         g = g.iloc[idx].reset_index(drop=True)
         g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["qid", "neighbor", "cos", "rk"]]
+        # Arrow out with a metadata-free schema: uniform block format
+        # avoids executor schema-mismatch noise downstream.
+        return pa.Table.from_pandas(
+            g[["qid", "neighbor", "cos", "rk"]],
+            preserve_index=False).replace_schema_metadata(None)
 
     parts_ds = nonempty_blocks(parts_ds, ("qid", "neighbor", "cos"))
     res = (parts_ds.groupby("qid")

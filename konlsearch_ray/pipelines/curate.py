@@ -108,7 +108,12 @@ def curate_documents(
         if langs is not None:
             keep = pc.and_(keep, pc.is_in(
                 t["lang_guess"], value_set=pa.array(list(langs))))
-        return t.filter(keep).drop_columns(["n_tokens", "ttr", "lang_guess"])
+        # Metadata-free schema: parquet-read blocks carry pandas metadata
+        # dicts that make pa.Schema unhashable — the downstream hash-join
+        # aggregators then log "Failed to hash the schemas" per partition.
+        return (t.filter(keep)
+                .drop_columns(["n_tokens", "ttr", "lang_guess"])
+                .replace_schema_metadata(None))
 
     # Pin the gated stage once (refs only): it feeds BOTH the winner
     # computation and the join's left side — left lazy, Ray would

@@ -163,6 +163,22 @@ def _rewrite_shard(batch: pa.Table, index_dir: str, dead: np.ndarray) -> pa.Tabl
     return pa.table({"shard": pa.array(out_rows, pa.int64())})
 
 
+def _rewrite_docs_file_body(path: str, dead: np.ndarray) -> int:
+    """Drop dead rows from one docstore file. The doc_id column probes
+    first (columnar, cheap) so untouched files skip the full
+    decompress/re-compress entirely."""
+    from konlsearch_ray.build import _atomic_write_parquet
+
+    ids = pq.read_table(path, columns=["doc_id"],
+                        use_threads=False)["doc_id"].to_numpy()
+    keep = ~np.isin(ids, dead)
+    if keep.all():
+        return 0
+    t = pq.read_table(path, use_threads=False)
+    _atomic_write_parquet(t.filter(pa.array(keep)), path)
+    return int(len(keep) - keep.sum())
+
+
 def compact_index(index_dir: str) -> dict:
     """Physically remove tombstoned docs from every shard, refresh stats
     and dictionary, clear the tombstone table. Returns the new stats."""
@@ -188,27 +204,26 @@ def compact_index(index_dir: str) -> dict:
     def task(batch: pa.Table) -> pa.Table:
         return _rewrite_shard(batch, index_dir, ray.get(dead_ref))
 
-    (ray.data.from_arrow(pa.table({"shard": pa.array(shards, pa.int64())}))
+    # One BLOCK per shard: map_batches parallelism follows blocks, so a
+    # single from_arrow block would rewrite every shard inside one task.
+    (ray.data.from_items([{"shard": int(s)} for s in shards],
+                         override_num_blocks=len(shards))
      .map_batches(task, batch_format="pyarrow", batch_size=1)
      .materialize())
 
-    # Also drop tombstoned rows from the docstore partitions.
+    # Also drop tombstoned rows from the docstore partitions — one task
+    # per file (the driver-serial loop this replaces decompressed and
+    # re-compressed the whole docstore single-threaded; the docstore is
+    # the BULK of the index bytes, so this dominated compaction time).
     docs_dir = os.path.join(index_dir, "docs")
+    doc_files = []
     for name in sorted(os.listdir(docs_dir)):
         sub = os.path.join(docs_dir, name)
-        if not os.path.isdir(sub) or not name.startswith("shard="):
-            continue
-        for fn in sorted(os.listdir(sub)):
-            if not fn.endswith(".parquet"):
-                continue
-            p = os.path.join(sub, fn)
-            t = pq.read_table(p)
-            keep = ~np.isin(t["doc_id"].to_numpy(), dead)
-            if keep.all():
-                continue
-            tmp = p + ".tmp"
-            pq.write_table(t.filter(pa.array(keep)), tmp, compression="zstd")
-            os.replace(tmp, p)
+        if os.path.isdir(sub) and name.startswith("shard="):
+            doc_files += [os.path.join(sub, fn) for fn in sorted(os.listdir(sub))
+                          if fn.endswith(".parquet")]
+    rewrite_file = ray.remote(_rewrite_docs_file_body)
+    ray.get([rewrite_file.remote(p, dead_ref) for p in doc_files])
 
     stats = _finalize(index_dir)
     ts_dir = os.path.join(index_dir, TOMBSTONE_DIR)

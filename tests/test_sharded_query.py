@@ -103,3 +103,31 @@ def test_sharded_query_pipeline_matches_whole_index(ray_session, tmp_path):
     assert whole[["qid", "doc_id", "rank"]].values.tolist() == \
         shard[["qid", "doc_id", "rank"]].values.tolist()
     assert (whole["score"].to_numpy() == shard["score"].to_numpy()).all()  # bit-identical
+
+
+def test_sharded_pipeline_bucketed_merge_path(ray_session, tmp_path):
+    """merge_partitions > 1 (the offline-batch shuffle merge) must agree
+    with the default coalesced merge."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.corpus import write_corpus
+    from konlsearch_ray.query import sharded_query_pipeline
+
+    corpus = write_corpus(str(tmp_path / "qc"), 300, seed=23)
+    idx = str(tmp_path / "qi")
+    build_index(corpus, idx, IndexConfig(shard_size=64))
+    qt = pa.table({
+        "qid": pa.array(range(4), pa.int64()),
+        "tokens": pa.array([["def", "return"], ["import"], ["def"],
+                            ["class"]], pa.list_(pa.string())),
+        "mode": pa.array(["BM25", "AND", "BM25", "OR"]),
+        "k": pa.array([5, 0, 3, 0], pa.int64()),
+    })
+    a = (sharded_query_pipeline(idx, rd.from_arrow(qt), num_subsets=2)
+         .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    b = (sharded_query_pipeline(idx, rd.from_arrow(qt), num_subsets=2,
+                                merge_partitions=3)
+         .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    assert a.values.tolist() == b.values.tolist()
