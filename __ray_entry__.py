@@ -229,6 +229,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return ds.select_columns(["doc_id", "lang", "source", "n_chars"])
 
+    def doc_tokens(sf_dir):
+        # J3 get_tokens parity through the DocStore API: ordered kept
+        # token stream of docs [1, 20), one row per (doc, pos).
+        from konlsearch_ray.docstore import DocStore
+
+        store = DocStore(_index_dir(sf_dir))
+        ids, poss, terms = [], [], []
+        for d in range(1, 20):
+            toks = store.get_ordered_tokens(d)
+            if toks is None:
+                continue
+            ids.extend([d] * len(toks))
+            poss.extend(range(len(toks)))
+            terms.extend(toks)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "term": pa.array(terms, pa.string())})
+
     def dedup_exact(sf_dir):
         from konlsearch_ray.functions.dedup import exact_dedup_groups
 
@@ -453,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": index_stats,
         "doc_sha256": doc_sha256,
         "docstore_range": docstore_range,
+        "doc_tokens": doc_tokens,
         "dedup_exact": dedup_exact,
         "dedup_ngram": dedup_ngram,
         "dedup_minhash": dedup_minhash,
@@ -596,6 +615,11 @@ SELECT count(*)::BIGINT AS n_docs,
 FROM kept""",
         "doc_sha256": "SELECT doc_id::BIGINT AS doc_id, sha256(text) AS content_sha256 "
                       "FROM documents ORDER BY doc_id",
+        "doc_tokens": f"""WITH {_KEPT}
+SELECT doc_id::BIGINT AS doc_id,
+       (generate_subscripts(toks, 1) - 1)::BIGINT AS pos,
+       unnest(toks) AS term
+FROM kept WHERE doc_id >= 1 AND doc_id < 20""",
         "docstore_range": """SELECT doc_id::BIGINT AS doc_id, lang, source,
 n_chars::BIGINT AS n_chars FROM documents
 WHERE doc_id >= 100 AND doc_id < 120 ORDER BY doc_id""",
