@@ -15,6 +15,7 @@ from itertools import combinations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Min
@@ -48,24 +49,55 @@ def exact_dedup_groups(
     )
 
 
-def _shingle_batch(batch: pa.Table, content_col: str, id_col: str, n: int) -> pa.Table:
-    """Per doc: distinct n-gram (token) shingles, exploded to (doc, shingle)."""
-    occ = analyze_strings(batch[content_col])
-    doc_idx, terms = occ["doc_idx"], occ["term"]
+def _shingle_codes(batch: pa.Table, content_col: str, id_col: str, n: int):
+    """Vectorized shingle core: per doc, the DISTINCT ordered n-gram code
+    tuples of the kept token stream. Returns ``(ids, doc_row, code_cols,
+    dictionary)`` where ``doc_row`` indexes the batch row of each
+    distinct shingle and ``code_cols[j]`` is its j-th term code — no
+    per-doc Python loop anywhere (the token stream factorizes once, the
+    n-gram windows are shifted slices, dedup is one lexsort)."""
+    from konlsearch_ray.analyzer import analyze_strings_coded
+
+    doc_idx, codes, _pos, dictionary = analyze_strings_coded(batch[content_col])
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    out_doc, out_sh = [], []
-    counts = np.bincount(doc_idx, minlength=batch.num_rows)
-    offsets = np.concatenate(([0], np.cumsum(counts)))
-    for i in range(batch.num_rows):
-        toks = terms[offsets[i]: offsets[i + 1]]
-        if len(toks) < n:
-            continue
-        sh = {" ".join(toks[j: j + n]) for j in range(len(toks) - n + 1)}
-        out_doc.extend([ids[i]] * len(sh))
-        out_sh.extend(sh)
-    return pa.table(
-        {"doc_id": pa.array(out_doc, pa.int64()), "shingle": pa.array(out_sh, pa.string())}
-    )
+    m = len(doc_idx)
+    empty = np.zeros(0, dtype=np.int64)
+    if m < n:
+        return ids, empty, [empty] * n, dictionary
+    w = m - n + 1
+    valid = np.ones(w, dtype=bool)
+    for j in range(1, n):  # window stays inside one doc
+        valid &= doc_idx[:w] == doc_idx[j:w + j]
+    starts = np.flatnonzero(valid)
+    if not len(starts):
+        return ids, empty, [empty] * n, dictionary
+    d = doc_idx[starts]
+    cols = [codes[starts + j] for j in range(n)]
+    order = np.lexsort(tuple(reversed(cols)) + (d,))
+    d_s = d[order]
+    cols_s = [c[order] for c in cols]
+    first = np.ones(len(d_s), dtype=bool)
+    first[1:] = d_s[1:] != d_s[:-1]
+    for c in cols_s:
+        first[1:] |= c[1:] != c[:-1]
+    return ids, d_s[first], [c[first] for c in cols_s], dictionary
+
+
+def _shingle_batch(batch: pa.Table, content_col: str, id_col: str, n: int) -> pa.Table:
+    """Per doc: distinct n-gram (token) shingles, exploded to (doc, shingle).
+
+    The shingle strings build in ONE vectorized pass: dictionary take per
+    window position + ``binary_join_element_wise`` — values identical to
+    the per-doc ``" ".join`` they replace (the DuckDB oracle is unchanged
+    and stays green)."""
+    ids, d, cols, dictionary = _shingle_codes(batch, content_col, id_col, n)
+    if not len(d):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "shingle": pa.array([], pa.string())})
+    parts = [pc.take(dictionary, pa.array(c.astype(np.int64))).cast(pa.string())
+             for c in cols]
+    sh = pc.binary_join_element_wise(*parts, " ")
+    return pa.table({"doc_id": pa.array(ids[d], pa.int64()), "shingle": sh})
 
 
 def ngram_jaccard_pairs(
@@ -174,22 +206,37 @@ def _minhash_params(seed: int = 7):
     return a, b
 
 
+# Polynomial combine base for shingle hashes (any odd constant < M works;
+# order-sensitive so "a b c" and "c b a" hash differently).
+_SHINGLE_BASE = np.uint64(1_000_003)
+
+
 def _shingle_hash_sets(batch: pa.Table, content_col: str, id_col: str, n: int):
-    occ = analyze_strings(batch[content_col])
-    doc_idx, terms = occ["doc_idx"], occ["term"]
-    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    counts = np.bincount(doc_idx, minlength=batch.num_rows)
-    offsets = np.concatenate(([0], np.cumsum(counts)))
-    out = []
-    for i in range(batch.num_rows):
-        toks = terms[offsets[i]: offsets[i + 1]]
-        if len(toks) < n:
-            out.append((int(ids[i]), np.array([], dtype=np.uint64)))
-            continue
-        sh = {" ".join(toks[j: j + n]) for j in range(len(toks) - n + 1)}
-        hs = np.unique(_token_hashes(np.array(sorted(sh), dtype=object)))
-        out.append((int(ids[i]), hs))
-    return out
+    """Per doc: the sorted-unique 31-bit hash set of its distinct ordered
+    n-gram shingles — fully vectorized: per-TERM hashes compute once over
+    the batch dictionary and combine per shingle with a rolling
+    polynomial mod M31 (every product < 2^62, exact in uint64). The hash
+    function is spec'd here (not an oracle surface): MinHash/Jaccard
+    consumers only need a deterministic, well-mixed shingle→int map."""
+    ids, d, cols, dictionary = _shingle_codes(batch, content_col, id_col, n)
+    out_sets = [np.array([], dtype=np.uint64)] * len(ids)
+    if len(d):
+        tok_h = _token_hashes(
+            dictionary.to_numpy(zero_copy_only=False)) if len(dictionary) \
+            else np.zeros(0, np.uint64)
+        h = np.zeros(len(d), dtype=np.uint64)
+        for c in cols:
+            h = (h * _SHINGLE_BASE + tok_h[c]) % FP_MOD
+        order = np.lexsort((h, d))
+        d_s, h_s = d[order], h[order]
+        keep = np.ones(len(d_s), dtype=bool)  # collide-equal hashes dedup
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_s, h_s = d_s[keep], h_s[keep]
+        counts = np.bincount(d_s, minlength=len(ids))
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        for i in np.flatnonzero(counts):
+            out_sets[i] = h_s[offsets[i]:offsets[i + 1]]
+    return [(int(ids[i]), out_sets[i]) for i in range(len(ids))]
 
 
 def minhash_lsh_pairs(
