@@ -142,15 +142,8 @@ def ngram_jaccard_pairs(
         sizes_ds.map_batches(_norm_sizes, batch_format="pyarrow"),
         ("doc_id", "sz"))
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].to_numpy())
-        if len(docs) < 2 or (max_shingle_df is not None
-                             and len(docs) > max_shingle_df):
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        a, b = zip(*combinations(docs.tolist(), 2))
-        return pd.DataFrame({"a": a, "b": b})
-
-    pairs = shingles.groupby("shingle").map_groups(emit_pairs, batch_format="pandas")
+    pairs = _emit_pairs_bucketed(shingles, ["shingle"],
+                                 cap=max_shingle_df)
     inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
 
     def _norm_inter(t: pa.Table) -> pa.Table:
@@ -188,6 +181,118 @@ def ngram_jaccard_pairs(
 
 # Shared implementation lives in functions/blocks.py.
 _nonempty_blocks = nonempty_blocks
+
+
+def _string_bucket_hash(col) -> np.ndarray:
+    """Vectorized 64-bit string hash (byte-column FNV-style polynomial
+    over the fixed-width bytes matrix) — used only for BUCKETING, never
+    for identity (grouping inside a bucket compares exact values)."""
+    from konlsearch_ray.query import _string_col_to_S
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = _string_col_to_S(col)
+    if not len(s):
+        return np.zeros(0, dtype=np.uint64)
+    mat = s.view(np.uint8).reshape(len(s), s.dtype.itemsize)
+    lens = pc.binary_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    h = np.full(len(s), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    for j in range(mat.shape[1]):  # width-bounded loop, each pass is C
+        # Padding columns must be no-ops: the matrix width is BATCH-local
+        # (the widest string in this batch), and a hash that mixed the
+        # padding would give the same string different buckets in
+        # different batches — splitting its group across emit calls.
+        live = j < lens
+        h = np.where(live, h * prime + mat[:, j], h)
+    return h
+
+
+def _emit_pairs_bucketed(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    cap: int | None = None,
+    nbuckets: int | None = None,
+) -> ray.data.Dataset:
+    """All within-group (a < b) id pairs, emitted with ONE vectorized
+    call per hash BUCKET instead of one Python call per group.
+
+    ``groupby(shingle).map_groups`` pays per-group slicing + a Python
+    call for every distinct shingle / band key — billions of groups at
+    corpus scale. Here groups bucket by a hash of the key columns
+    (``groupby("bucket")``), and inside a bucket the pairs derive from
+    one lexsort + run-length pass; the only Python-level loop is over
+    DISTINCT GROUP SIZES (bounded by ``cap``), each iteration emitting
+    every pair of every group of that size via a triangular index
+    template. Group identity inside a bucket is exact (factorized
+    columns), the hash only routes.
+
+    ``cap``: groups larger than this emit nothing (the stop-shingle
+    guard — same semantics as the per-group emitters this replaces).
+    """
+    nbuckets = nbuckets or max(
+        16, 4 * int(ray.cluster_resources().get("CPU", 4)))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = np.full(t.num_rows, 0x9E3779B97F4A7C15, dtype=np.uint64)
+        for c in group_cols:
+            col = t[c]
+            if pa.types.is_integer(col.type):
+                hv = (col.to_numpy(zero_copy_only=False)
+                      .astype(np.int64).view(np.uint64))
+                hv = hv * np.uint64(0xFF51AFD7ED558CCD)
+                hv ^= hv >> np.uint64(33)
+            else:
+                hv = _string_bucket_hash(col)
+            h = h * np.uint64(0x100000001B3) + hv
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(nbuckets)).astype(np.int64)))
+
+    def emit(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        codes_list = [
+            pd.factorize(g[c], sort=False)[0].astype(np.int64)
+            for c in group_cols
+        ]
+        docs = g[id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((docs,) + tuple(reversed(codes_list)))
+        d_s = docs[order]
+        c_s = [c[order] for c in codes_list]
+        n = len(d_s)
+        new = np.ones(n, dtype=bool)
+        new[1:] = False
+        for c in c_s:
+            new[1:] |= c[1:] != c[:-1]
+        # Drop duplicate (group, doc) rows so sizes count distinct docs.
+        keep = new.copy()
+        keep[1:] |= d_s[1:] != d_s[:-1]
+        d_s, new = d_s[keep], new[keep]
+        gstart = np.flatnonzero(new)
+        gsize = np.diff(np.append(gstart, len(d_s)))
+        ok = gsize >= 2
+        if cap is not None:
+            ok &= gsize <= cap
+        out_a, out_b = [], []
+        for s in np.unique(gsize[ok]):
+            offs = gstart[ok & (gsize == s)]
+            ti, tj = np.triu_indices(int(s), k=1)
+            out_a.append(d_s[(offs[:, None] + ti[None, :]).ravel()])
+            out_b.append(d_s[(offs[:, None] + tj[None, :]).ravel()])
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(emit, batch_format="pandas"))
+    # Empty bucket partitions BYPASS the emit UDF and surface with the
+    # stale upstream schema — downstream groupbys then see mixed-schema
+    # blocks and can silently drop rows. Keep only real (a, b) blocks.
+    return nonempty_blocks(out, ("a", "b"))
 
 
 # --------------------------------------------------------------------------
@@ -299,15 +404,7 @@ def minhash_lsh_pairs(
 
     sig_ds = ds.map_batches(signatures, batch_format="pyarrow")
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].unique())
-        if len(docs) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        a, b = zip(*combinations(docs.tolist(), 2))
-        return pd.DataFrame({"a": a, "b": b})
-
-    cand = sig_ds.groupby(["band"] + [f"k{j}" for j in range(r)]).map_groups(
-        emit, batch_format="pandas")
+    cand = _emit_pairs_bucketed(sig_ds, ["band"] + [f"k{j}" for j in range(r)])
     cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="nbands"))
 
     def _norm_pairs(t: pa.Table) -> pa.Table:

@@ -400,3 +400,47 @@ def test_bpe_token_counts(ray_session):
          "text": pa.array(["Hello, world! it's 42 tokens", "가나다 abc123", ""])}))
     out = bpe_token_counts(ds, "text", "doc_id").to_pandas().set_index("doc_id")
     assert list(out["n_bpe_tokens"]) == [8, 3, 0]
+
+
+def test_emit_pairs_bucketed_matches_per_group_golden(ray_session):
+    """Bucketed vectorized pair emission == per-group itertools golden,
+    including when the SAME key appears in batches with different max
+    string widths (the bucket hash must be padding-invariant, else a
+    group splits across buckets and silently loses pairs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from itertools import combinations
+
+    from konlsearch_ray.functions.dedup import _emit_pairs_bucketed
+
+    rng = np.random.default_rng(3)
+    docs, keys = [], []
+    for g in range(60):
+        # Mix short and very long keys so batch max widths differ.
+        key = f"k{g}" if g % 2 == 0 else f"key-{'x' * (g % 37)}-{g}"
+        for m in sorted(set(rng.integers(0, 50, size=rng.integers(1, 7)).tolist())):
+            docs.append(m)
+            keys.append(key)
+    t = pa.table({"doc_id": pa.array(docs, pa.int64()),
+                  "shingle": pa.array(keys)})
+    golden = set()
+    for key in set(keys):
+        mem = sorted({d for d, k in zip(docs, keys) if k == key})
+        golden |= set(combinations(mem, 2))
+    # Many small blocks → the same key crosses batch boundaries.
+    out = _emit_pairs_bucketed(
+        rd.from_arrow(t).repartition(7), ["shingle"]).to_pandas()
+    assert set(zip(out["a"], out["b"])) == golden
+    # Multi-column int keys (the MinHash band shape).
+    t2 = pa.table({"doc_id": pa.array(docs, pa.int64()),
+                   "band": pa.array([hash(k) % 4 for k in keys], pa.int64()),
+                   "k0": pa.array([len(k) for k in keys], pa.int64())})
+    golden2 = set()
+    for bk in {(hash(k) % 4, len(k)) for k in keys}:
+        mem = sorted({d for d, k in zip(docs, keys)
+                      if (hash(k) % 4, len(k)) == bk})
+        golden2 |= set(combinations(mem, 2))
+    out2 = _emit_pairs_bucketed(
+        rd.from_arrow(t2).repartition(5), ["band", "k0"]).to_pandas()
+    assert set(zip(out2["a"], out2["b"])) == golden2
