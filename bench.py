@@ -277,6 +277,19 @@ def run_bench() -> dict:
         "text", "doc_id", min_tokens=40, langs=["en"]).materialize()
     queries["curate_docs_sec"] = round(time.perf_counter() - t0, 3)
 
+    # --- near-dup dedup pipelines at 100x the oracle-entry doc count ------
+    from konlsearch_ray.functions.dedup import minhash_lsh_pairs, simhash_pairs
+
+    docs_ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.perf_counter()
+    mh = minhash_lsh_pairs(docs_ds, "text", "doc_id", n=3, tau=0.5).materialize()
+    queries["minhash_pairs_docs_sec"] = round(time.perf_counter() - t0, 3)
+    queries["minhash_pairs_found"] = mh.count()
+    t0 = time.perf_counter()
+    sp = simhash_pairs(docs_ds, "text", "doc_id", max_hamming=3).materialize()
+    queries["simhash_pairs_docs_sec"] = round(time.perf_counter() - t0, 3)
+    queries["simhash_pairs_found"] = sp.count()
+
     # --- delete + compaction over the code index (runs last: rewrites it) -
     from konlsearch_ray.tombstone import compact_index, delete_docs
 
