@@ -41,7 +41,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from konlsearch_ray.analyzer import normalize_query_tokens
-from konlsearch_ray.codec import decode_doc_ids, decode_positions, decode_tfs
 
 K1 = 1.2
 B = 0.75

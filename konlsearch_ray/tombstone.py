@@ -23,7 +23,6 @@ test_konlsearch.py:345-356).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import uuid
