@@ -52,8 +52,10 @@ def _grouped_topk_merge(parts_ds: ray.data.Dataset, k: int) -> pa.Table:
             preserve_index=False).replace_schema_metadata(None)
 
     parts_ds = nonempty_blocks(parts_ds, ("qid", "neighbor", "cos"))
-    res = (parts_ds.groupby("qid")
-           .map_groups(merge, batch_format="pandas").to_pandas())
+    merged = parts_ds.groupby("qid").map_groups(merge, batch_format="pandas")
+    # Bypassed empty group partitions carry the rk-less partial schema —
+    # drop them so the driver frame's dtypes stay stable.
+    res = nonempty_blocks(merged, ("qid", "neighbor", "cos", "rk")).to_pandas()
     if not len(res):
         res = pd.DataFrame({"qid": pd.Series(dtype="int64"),
                             "neighbor": pd.Series(dtype="int64"),
@@ -440,4 +442,10 @@ def lsh_bucketed_pairs(
         within, batch_format="pandas")
     from ray.data.aggregate import Count
 
+    from konlsearch_ray.functions.blocks import nonempty_blocks
+
+    # Empty bucket partitions BYPASS `within` and surface with the stale
+    # upstream schema; feeding those into the (a, b) aggregate can
+    # silently drop rows (mixed-schema hazard) — keep real blocks only.
+    pairs = nonempty_blocks(pairs, ("a", "b"))
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="nb")).select_columns(["a", "b"])

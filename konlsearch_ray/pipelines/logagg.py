@@ -206,4 +206,8 @@ def assign_seq_ids(
         return g[[id_col, "sec", "seq"]]
 
     with_sec = events.map_batches(add_sec, batch_format="pyarrow")
-    return with_sec.groupby("sec").map_groups(per_second, batch_format="pandas")
+    from konlsearch_ray.functions.blocks import nonempty_blocks
+
+    out = with_sec.groupby("sec").map_groups(per_second, batch_format="pandas")
+    # Bypassed empty group partitions carry the seq-less upstream schema.
+    return nonempty_blocks(out, ("event_id", "sec", "seq"))

@@ -252,8 +252,12 @@ def topk_per_jamo_prefix(
         g["rk"] = pd.Series(range(1, len(g) + 1), dtype="int64")
         return g[["prefix", "term", "hits", "rk"]]
 
-    return (frequency.map_batches(explode, batch_format="pyarrow")
-            .groupby("prefix").map_groups(topk, batch_format="pandas"))
+    from konlsearch_ray.functions.blocks import nonempty_blocks
+
+    out = (frequency.map_batches(explode, batch_format="pyarrow")
+           .groupby("prefix").map_groups(topk, batch_format="pandas"))
+    # Bypassed empty group partitions carry the rk-less upstream schema.
+    return nonempty_blocks(out, ("prefix", "term", "hits", "rk"))
 
 
 def topk_per_prefix(
@@ -272,8 +276,11 @@ def topk_per_prefix(
         g["rk"] = range(1, len(g) + 1)
         return g[["prefix", "term", count_col, "rk"]]
 
-    return (
+    from konlsearch_ray.functions.blocks import nonempty_blocks
+
+    out = (
         dictionary.map_batches(add_prefix, batch_format="pyarrow")
         .groupby("prefix")
         .map_groups(topk, batch_format="pandas")
     )
+    return nonempty_blocks(out, ("prefix", "term", count_col, "rk"))
