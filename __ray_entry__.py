@@ -109,6 +109,24 @@ def _ids_table(ids: list[int]) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+def _schema_stable(ds):
+    """Dataset → DataFrame preserving the schema when EMPTY:
+    ``Dataset.to_pandas()`` on a 0-row dataset returns a column-less
+    frame, which would read as a schema change downstream. Used by the
+    entries whose legitimate result can be empty (near-dup pairs)."""
+    import ray.data
+
+    if not isinstance(ds, ray.data.Dataset):
+        return ds
+    df = ds.to_pandas()
+    if not len(df.columns):
+        sch = ds.schema()
+        if sch is not None:
+            df = pa.schema(
+                list(zip(sch.names, sch.types))).empty_table().to_pandas()
+    return df
+
+
 # --- entry -----------------------------------------------------------------
 
 
@@ -258,7 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _docs(sf_dir).map_batches(
             lambda t: t.filter(pc.less(t["doc_id"], NGRAM_MAXDOC)),
             batch_format="pyarrow")
-        return ngram_jaccard_pairs(ds, "text", "doc_id", n=3, tau=NGRAM_TAU)
+        return _schema_stable(
+            ngram_jaccard_pairs(ds, "text", "doc_id", n=3, tau=NGRAM_TAU))
 
     def dedup_minhash(sf_dir):  # rows-only (LSH recall < 1 by design)
         from konlsearch_ray.functions.dedup import minhash_lsh_pairs
@@ -266,7 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _docs(sf_dir).map_batches(
             lambda t: t.filter(pc.less(t["doc_id"], NGRAM_MAXDOC)),
             batch_format="pyarrow")
-        return minhash_lsh_pairs(ds, "text", "doc_id", n=3, tau=NGRAM_TAU)
+        return _schema_stable(
+            minhash_lsh_pairs(ds, "text", "doc_id", n=3, tau=NGRAM_TAU))
 
     def dedup_simhash(sf_dir):
         # Fully oracle-gated: the term hash is an md5 prefix (DuckDB-
@@ -279,12 +299,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _docs(sf_dir).map_batches(
             lambda t: t.filter(pc.less(t["doc_id"], NGRAM_MAXDOC)),
             batch_format="pyarrow")
-        return simhash_pairs(ds, "text", "doc_id", max_hamming=16)
+        return _schema_stable(
+            simhash_pairs(ds, "text", "doc_id", max_hamming=16))
 
     def embed_neardup(sf_dir):
         from konlsearch_ray.functions.similarity import cosine_pairs
 
-        return cosine_pairs(_embeddings(sf_dir), EMBED_TAU)
+        return _schema_stable(cosine_pairs(_embeddings(sf_dir), EMBED_TAU))
 
     def ann_topk(sf_dir):
         from konlsearch_ray.functions.similarity import ann_topk as _ann

@@ -4,8 +4,15 @@
 shuffle/aggregate partitions emit 0-row blocks that BYPASS map UDFs
 entirely, so they reach downstream operators with empty (or stale
 upstream) schemas, which the hash-join operator rejects ("No match for
-FieldRef"). Rebuilding the dataset from its non-empty block refs moves
+FieldRef").  Rebuilding the dataset from its non-empty block refs moves
 only refs to the driver — the blocks stay in the object store.
+
+``nonempty_refs`` additionally reports the row count, so join chains can
+SHORT-CIRCUIT on an empty side: Ray's hash-shuffle join crashes when a
+side contributes zero rows (the aggregator's empty partition loses its
+schema and Acero raises "No match or multiple matches for key field
+reference ... on left side of the join"), so an empty input must never
+reach a join at all.
 """
 
 from __future__ import annotations
@@ -14,18 +21,44 @@ import pyarrow as pa
 import ray.data
 
 
-def nonempty_blocks(
-    ds: ray.data.Dataset, cols: tuple[str, ...]
-) -> ray.data.Dataset:
-    """Rebuild a dataset from its non-empty Arrow block refs (refs only —
-    no data moves). Falls back to one empty int64-typed block carrying
-    ``cols`` when nothing survives."""
-    refs = []
+def nonempty_refs(ds: ray.data.Dataset) -> tuple[list, int]:
+    """Collect the dataset's non-empty Arrow block refs plus the total
+    row count (refs only — no block data moves to the driver)."""
+    refs, rows = [], 0
     for bundle in ds.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             if meta.num_rows:
                 refs.append(ref)
+                rows += meta.num_rows
+    return refs, rows
+
+
+def nonempty_blocks(
+    ds: ray.data.Dataset,
+    cols: tuple[str, ...],
+    fallback: pa.Table | None = None,
+) -> ray.data.Dataset:
+    """Rebuild a dataset from its non-empty Arrow block refs (refs only —
+    no data moves).  Falls back to ``fallback`` (or one empty int64-typed
+    block carrying ``cols``) when nothing survives."""
+    refs, _ = nonempty_refs(ds)
     if not refs:
         return ray.data.from_arrow(
-            pa.table({c: pa.array([], pa.int64()) for c in cols}))
+            fallback if fallback is not None
+            else pa.table({c: pa.array([], pa.int64()) for c in cols}))
     return ray.data.from_arrow_refs(refs)
+
+
+def pinned_nonempty(
+    ds: ray.data.Dataset,
+    cols: tuple[str, ...],
+    fallback: pa.Table | None = None,
+) -> tuple[ray.data.Dataset, int]:
+    """``nonempty_blocks`` + the surviving row count, for callers that
+    must short-circuit a downstream join when a side is empty."""
+    refs, rows = nonempty_refs(ds)
+    if not refs:
+        return ray.data.from_arrow(
+            fallback if fallback is not None
+            else pa.table({c: pa.array([], pa.int64()) for c in cols})), 0
+    return ray.data.from_arrow_refs(refs), rows

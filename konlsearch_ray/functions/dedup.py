@@ -20,8 +20,17 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from konlsearch_ray.analyzer import analyze_strings
-from konlsearch_ray.functions.blocks import nonempty_blocks
+from konlsearch_ray.functions.blocks import nonempty_blocks, pinned_nonempty
 from konlsearch_ray.functions.text import FP_MOD, _token_hashes
+
+
+def _empty_pairs(*extra: tuple[str, pa.DataType]) -> pa.Table:
+    """Typed empty (a, b[, ...]) result — returned directly whenever a
+    join input has zero rows (Ray's hash join crashes on empty sides)."""
+    cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    for name, typ in extra:
+        cols[name] = pa.array([], typ)
+    return pa.table(cols)
 
 
 def _md5_batch(batch: pa.Table, content_col: str) -> pa.Table:
@@ -150,16 +159,20 @@ def ngram_jaccard_pairs(
                          "b": t["b"].cast(pa.int64()),
                          "inter": t["inter"].cast(pa.int64())})
 
-    inter = _nonempty_blocks(
+    inter, inter_rows = pinned_nonempty(
         inter.map_batches(_norm_inter, batch_format="pyarrow"),
         ("a", "b", "inter"))
+    if not inter_rows:  # no co-shingling pair anywhere: done, skip joins
+        return ray.data.from_arrow(_empty_pairs())
 
     # Per-doc set sizes attach via hash joins (once per side) — the sizes
     # table is one row per doc and never lands on the driver.
     nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 4))))
     j = inter.join(sizes_ds, "inner", num_partitions=nparts,
                    on=("a",), right_on=("doc_id",)).rename_columns({"sz": "sz_a"})
-    j = _nonempty_blocks(j, ("a", "b", "inter", "sz_a"))  # empty join parts
+    j, j_rows = pinned_nonempty(j, ("a", "b", "inter", "sz_a"))
+    if not j_rows:
+        return ray.data.from_arrow(_empty_pairs())
     j = j.join(sizes_ds, "inner", num_partitions=nparts,
                on=("b",), right_on=("doc_id",)).rename_columns({"sz": "sz_b"})
 
@@ -175,7 +188,10 @@ def ngram_jaccard_pairs(
             {"a": pa.array(a[keep].astype(np.int64)),
              "b": pa.array(b[keep].astype(np.int64))})
 
-    return j.map_batches(score, batch_format="pyarrow")
+    # Empty join partitions bypass `score` and would surface with the
+    # join schema — keep real (a, b) blocks only (typed empty fallback).
+    return nonempty_blocks(j.map_batches(score, batch_format="pyarrow"),
+                           ("a", "b"), fallback=_empty_pairs())
 
 
 # Shared implementation lives in functions/blocks.py.
@@ -435,13 +451,20 @@ def minhash_lsh_pairs(
     # Empty upstream partitions emit 0-row blocks that BYPASS map UDFs and
     # so carry stale or empty schemas; Ray's hash join rejects them. Drop
     # them by rebuilding from the non-empty block refs (refs only — no
-    # data moves, blocks stay in the object store).
-    cand = _nonempty_blocks(cand, ("a", "b"))
-    sets_ds = _nonempty_blocks(sets_ds, ("doc_id", "hs"))
+    # data moves, blocks stay in the object store). A side with ZERO rows
+    # must not reach the join at all (the empty partition loses its
+    # schema inside the hash-shuffle aggregator) — short-circuit instead.
+    empty_out = _empty_pairs(("jacc", pa.float64()))
+    cand, cand_rows = pinned_nonempty(cand, ("a", "b"))
+    sets_ds, sets_rows = pinned_nonempty(sets_ds, ("doc_id", "hs"))
+    if not cand_rows or not sets_rows:
+        return ray.data.from_arrow(empty_out)
     j = cand.join(sets_ds, "inner", num_partitions=nparts,
                   on=("a",), right_on=("doc_id",))
-    j = _nonempty_blocks(j.rename_columns({"hs": "hs_a"}),
-                         ("a", "b", "hs_a"))
+    j, j_rows = pinned_nonempty(j.rename_columns({"hs": "hs_a"}),
+                                ("a", "b", "hs_a"))
+    if not j_rows:
+        return ray.data.from_arrow(empty_out)
     j = j.join(sets_ds, "inner", num_partitions=nparts,
                on=("b",), right_on=("doc_id",))
     j = j.rename_columns({"hs": "hs_b"})
@@ -492,7 +515,8 @@ def minhash_lsh_pairs(
             {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
              "jacc": pa.array(np.round(jac[keep], 4), pa.float64())})
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    return nonempty_blocks(j.map_batches(verify, batch_format="pyarrow"),
+                           ("a", "b", "jacc"), fallback=empty_out)
 
 
 # --------------------------------------------------------------------------
@@ -571,13 +595,18 @@ def simhash_pairs(
         return pa.table({"a": t["a"].cast(pa.int64()),
                          "b": t["b"].cast(pa.int64())})
 
-    cand = _nonempty_blocks(
+    empty_out = _empty_pairs(("hamming", pa.int64()))
+    cand, cand_rows = pinned_nonempty(
         cand.map_batches(_norm, batch_format="pyarrow"), ("a", "b"))
+    if not cand_rows:  # empty join sides crash the hash-shuffle join
+        return ray.data.from_arrow(empty_out)
     nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 4))))
     j = cand.join(sh, "inner", num_partitions=nparts,
                   on=("a",), right_on=(id_col,))
-    j = _nonempty_blocks(j.rename_columns({"simhash": "sim_a"}),
-                         ("a", "b", "sim_a"))
+    j, j_rows = pinned_nonempty(j.rename_columns({"simhash": "sim_a"}),
+                                ("a", "b", "sim_a"))
+    if not j_rows:
+        return ray.data.from_arrow(empty_out)
     j = j.join(sh, "inner", num_partitions=nparts,
                on=("b",), right_on=(id_col,))
     j = j.rename_columns({"simhash": "sim_b"})
@@ -594,4 +623,5 @@ def simhash_pairs(
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                          "hamming": pa.array(ham[keep])})
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    return nonempty_blocks(j.map_batches(verify, batch_format="pyarrow"),
+                           ("a", "b", "hamming"), fallback=empty_out)

@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from konlsearch_ray.functions.blocks import pinned_nonempty
 from konlsearch_ray.functions.dedup import (
     _md5_batch,
     _nonempty_blocks,
@@ -118,9 +119,11 @@ def curate_documents(
     # Pin the gated stage once (refs only): it feeds BOTH the winner
     # computation and the join's left side — left lazy, Ray would
     # re-execute the whole annotate+gate chain per consumer.
-    gated = _nonempty_blocks(
+    gated, gated_rows = pinned_nonempty(
         ann.map_batches(gate, batch_format="pyarrow"),
         (id_col, content_col))
+    if not gated_rows:  # empty join sides crash the hash-shuffle join
+        return gated
 
     # 2. exact dedup: winner id per content hash, kept via left_semi join.
     hashed = gated.map_batches(
@@ -140,10 +143,14 @@ def curate_documents(
 
     # 3. near-dup drop: MinHash pairs → left_anti against the b side.
     # Same pinning: deduped feeds pair generation AND the anti-join.
-    deduped = _nonempty_blocks(deduped, (id_col, content_col))
+    deduped, deduped_rows = pinned_nonempty(deduped, (id_col, content_col))
+    if not deduped_rows:
+        return deduped
     pairs = minhash_lsh_pairs(
         deduped, content_col, id_col, n=ngram_n, tau=near_dup_tau)
-    drops = pairs.select_columns(["b"])
+    drops, drop_rows = pinned_nonempty(pairs.select_columns(["b"]), ("b",))
+    if not drop_rows:  # nothing to drop — skip the anti-join entirely
+        return deduped
     return deduped.join(
-        _nonempty_blocks(drops, ("b",)), "left_anti",
+        drops, "left_anti",
         num_partitions=nparts, on=(id_col,), right_on=("b",))

@@ -19,7 +19,13 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if not len(df.columns):  # 0-row Datasets lose their schema
+            sch = res.schema()
+            if sch is not None:
+                df = pa.schema(
+                    list(zip(sch.names, sch.types))).empty_table().to_pandas()
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res

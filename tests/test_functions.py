@@ -444,3 +444,66 @@ def test_emit_pairs_bucketed_matches_per_group_golden(ray_session):
     out2 = _emit_pairs_bucketed(
         rd.from_arrow(t2).repartition(5), ["band", "k0"]).to_pandas()
     assert set(zip(out2["a"], out2["b"])) == golden2
+
+
+def test_pair_pipelines_empty_candidates_no_crash(ray_session):
+    """Zero-candidate inputs must short-circuit the hash joins: Ray's
+    hash-shuffle join crashes on an empty side ("No match or multiple
+    matches for key field reference"), which surfaced at sf0.1 when the
+    entry's 150-doc cap produced no LSH candidates. Each pair pipeline
+    must return a typed empty result instead."""
+    import ray.data
+
+    from konlsearch_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    # All-distinct contents spread over MANY blocks (mirrors the filtered
+    # sf0.1 layout: most blocks empty, no shared shingles anywhere).
+    # Pure-alpha words: the analyzer drops digit-containing tokens.
+    def word(i, s):
+        return "abcdefghij"[i // 10] + "abcdefghij"[i % 10] + s
+
+    rows = [{"doc_id": i,
+             "text": " ".join(word(i, s) for s in
+                              ["xa", "xb", "xc", "xd", "xe"])}
+            for i in range(40)]
+    ds = ray.data.from_items(rows, override_num_blocks=16).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                            "text": t["text"].cast(pa.string())}),
+        batch_format="pyarrow")
+
+    # NOTE: Dataset.to_pandas() drops the schema of a 0-row dataset (the
+    # entry layer compensates via _schema_stable) — assert on the Dataset.
+    mh = minhash_lsh_pairs(ds, "text", "doc_id", n=3, tau=0.5)
+    assert mh.count() == 0 and mh.schema().names == ["a", "b", "jacc"]
+
+    ng = ngram_jaccard_pairs(ds, "text", "doc_id", n=3, tau=0.5)
+    assert ng.count() == 0 and ng.schema().names == ["a", "b"]
+
+    sp = simhash_pairs(ds, "text", "doc_id", max_hamming=0)
+    assert sp.count() == 0 and sp.schema().names == ["a", "b", "hamming"]
+
+
+def test_curate_neardup_no_pairs_keeps_all(ray_session):
+    """curate_documents(near_dup_tau=...) over a corpus with NO near-dups
+    must skip the anti-join (empty right side) and keep every doc."""
+    import ray.data
+
+    from konlsearch_ray.pipelines.curate import curate_documents
+
+    def word(i, s):
+        return "abcdefghij"[i // 10] + "abcdefghij"[i % 10] + s
+
+    rows = [{"doc_id": i,
+             "text": " ".join(word(i, s) for s in
+                              ["wa", "wb", "wc", "wd", "we", "wf"])}
+            for i in range(30)]
+    ds = ray.data.from_items(rows, override_num_blocks=8).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                            "text": t["text"].cast(pa.string())}),
+        batch_format="pyarrow")
+    out = curate_documents(ds, "text", "doc_id", near_dup_tau=0.9).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(30))
