@@ -302,6 +302,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _schema_stable(
             simhash_pairs(ds, "text", "doc_id", max_hamming=16))
 
+    def dedup_clusters(sf_dir):
+        # Duplicate CLUSTERS from the SimHash pair graph: distributed
+        # min-label propagation with pointer jumping (O(log diameter)
+        # rounds of hash joins). Oracle: recursive-CTE transitive closure
+        # over the same SQL-derived pair set.
+        from konlsearch_ray.functions.dedup import (
+            connected_components,
+            simhash_pairs,
+        )
+
+        ds = _docs(sf_dir).map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], NGRAM_MAXDOC)),
+            batch_format="pyarrow")
+        pairs = simhash_pairs(ds, "text", "doc_id", max_hamming=16)
+        return _schema_stable(connected_components(pairs))
+
     def embed_neardup(sf_dir):
         from konlsearch_ray.functions.similarity import cosine_pairs
 
@@ -497,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": dedup_ngram,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_clusters": dedup_clusters,
         "embed_neardup": embed_neardup,
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
@@ -568,6 +585,34 @@ def oracle_sql() -> dict[str, str]:
 
     lex_vals = ", ".join(f"('{w}')" for w in DEFAULT_LEXICON)
     morph_terms = _sql_in(MORPH_TOKENS)
+    # SimHash pair CTE chain, shared by dedup_simhash and dedup_clusters
+    # (must follow a `kept` CTE; final CTE `sp` is the kept pair set).
+    simhash_ctes = f"""occ2 AS (SELECT doc_id, unnest(toks) AS term FROM kept
+         WHERE doc_id < {NGRAM_MAXDOC}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM occ2 GROUP BY 1, 2),
+h AS (SELECT term, CAST('0x' || substr(md5(term), 1, 16) AS UBIGINT) AS h64
+      FROM (SELECT DISTINCT term FROM occ2)),
+bitsrc AS (SELECT unnest(generate_series(0, 63)) AS bit),
+sums AS (SELECT tf.doc_id, b.bit,
+                sum(CASE WHEN (h.h64 >> b.bit) & 1 = 1
+                         THEN tf.tf ELSE -tf.tf END) AS s
+         FROM tf JOIN h USING (term) CROSS JOIN bitsrc b GROUP BY 1, 2),
+grid AS (SELECT k.doc_id, b.bit
+         FROM (SELECT DISTINCT doc_id FROM kept
+               WHERE doc_id < {NGRAM_MAXDOC}) k CROSS JOIN bitsrc b),
+sgn AS (SELECT g.doc_id, g.bit, coalesce(s.s, 0) > 0 AS g
+        FROM grid g LEFT JOIN sums s
+        ON g.doc_id = s.doc_id AND g.bit = s.bit),
+prs AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                 sum((x.g <> y.g)::INT)::BIGINT AS hamming,
+                 sum(CASE WHEN x.bit // 16 = 0 AND x.g <> y.g THEN 1 ELSE 0 END) AS h0,
+                 sum(CASE WHEN x.bit // 16 = 1 AND x.g <> y.g THEN 1 ELSE 0 END) AS h1,
+                 sum(CASE WHEN x.bit // 16 = 2 AND x.g <> y.g THEN 1 ELSE 0 END) AS h2,
+                 sum(CASE WHEN x.bit // 16 = 3 AND x.g <> y.g THEN 1 ELSE 0 END) AS h3
+          FROM sgn x JOIN sgn y
+          ON x.bit = y.bit AND x.doc_id < y.doc_id GROUP BY 1, 2),
+sp AS (SELECT a, b, hamming FROM prs
+       WHERE hamming <= 16 AND least(h0, h1, h2, h3) = 0)"""
     out = {
         "search_morph": f"""WITH RECURSIVE {_KEPT}, {_OCC},
 d AS (SELECT DISTINCT doc_id, term FROM occ),
@@ -651,33 +696,18 @@ count(*)::BIGINT AS n FROM documents GROUP BY 1""",
         # condition (least(h0..h3) = 0) reproduces the engine's pigeonhole
         # candidate generation exactly (4 x 16-bit chunks; chunk labels
         # are a bijection, so "some chunk equal" is order-free).
-        "dedup_simhash": f"""WITH {_KEPT},
-occ2 AS (SELECT doc_id, unnest(toks) AS term FROM kept
-         WHERE doc_id < {NGRAM_MAXDOC}),
-tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM occ2 GROUP BY 1, 2),
-h AS (SELECT term, CAST('0x' || substr(md5(term), 1, 16) AS UBIGINT) AS h64
-      FROM (SELECT DISTINCT term FROM occ2)),
-bitsrc AS (SELECT unnest(generate_series(0, 63)) AS bit),
-sums AS (SELECT tf.doc_id, b.bit,
-                sum(CASE WHEN (h.h64 >> b.bit) & 1 = 1
-                         THEN tf.tf ELSE -tf.tf END) AS s
-         FROM tf JOIN h USING (term) CROSS JOIN bitsrc b GROUP BY 1, 2),
-grid AS (SELECT k.doc_id, b.bit
-         FROM (SELECT DISTINCT doc_id FROM kept
-               WHERE doc_id < {NGRAM_MAXDOC}) k CROSS JOIN bitsrc b),
-sgn AS (SELECT g.doc_id, g.bit, coalesce(s.s, 0) > 0 AS g
-        FROM grid g LEFT JOIN sums s
-        ON g.doc_id = s.doc_id AND g.bit = s.bit),
-pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                 sum((x.g <> y.g)::INT)::BIGINT AS hamming,
-                 sum(CASE WHEN x.bit // 16 = 0 AND x.g <> y.g THEN 1 ELSE 0 END) AS h0,
-                 sum(CASE WHEN x.bit // 16 = 1 AND x.g <> y.g THEN 1 ELSE 0 END) AS h1,
-                 sum(CASE WHEN x.bit // 16 = 2 AND x.g <> y.g THEN 1 ELSE 0 END) AS h2,
-                 sum(CASE WHEN x.bit // 16 = 3 AND x.g <> y.g THEN 1 ELSE 0 END) AS h3
-          FROM sgn x JOIN sgn y
-          ON x.bit = y.bit AND x.doc_id < y.doc_id GROUP BY 1, 2)
-SELECT a::BIGINT AS a, b::BIGINT AS b, hamming FROM pairs
-WHERE hamming <= 16 AND least(h0, h1, h2, h3) = 0""",
+        "dedup_simhash": f"""WITH {_KEPT}, {simhash_ctes}
+SELECT a::BIGINT AS a, b::BIGINT AS b, hamming FROM sp""",
+        # Duplicate clusters over the SAME SimHash pair set: transitive
+        # closure by recursive CTE; cluster_id = min reachable doc_id.
+        "dedup_clusters": f"""WITH RECURSIVE {_KEPT}, {simhash_ctes},
+edges AS (SELECT a AS u, b AS v FROM sp UNION SELECT b, a FROM sp),
+walk(node, reach) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u)
+SELECT node::BIGINT AS doc_id, min(reach)::BIGINT AS cluster_id
+FROM walk GROUP BY node""",
         "dedup_ngram": f"""WITH {_KEPT}, {shingle_cte},
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i FROM sh a

@@ -625,3 +625,117 @@ def simhash_pairs(
 
     return nonempty_blocks(j.map_batches(verify, batch_format="pyarrow"),
                            ("a", "b", "hamming"), fallback=empty_out)
+
+
+# --------------------------------------------------------------------------
+# Duplicate clusters (connected components over the pair graph)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 50,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Connected components over a near-dup pair graph: every node that
+    appears in ``pairs`` gets ``cluster_id`` = the MINIMUM id reachable
+    from it. Output columns: ``doc_id``, ``cluster_id``.
+
+    This is the stage that turns pair detection (ngram / MinHash /
+    SimHash / cosine pairs) into actual duplicate CLUSTERS — the
+    canonical corpus-dedup step: keep one representative per cluster
+    (the row where ``cluster_id == doc_id``), drop the rest. Pair-greedy
+    dropping (remove the b side of each pair) over-keeps when a
+    non-minimal node has only larger neighbors — e.g. pairs (2,3),(1,3)
+    keep {1, 2} greedily but form ONE cluster {1,2,3} here.
+
+    Scale shape: distributed min-label propagation. Each round does
+    (1) neighbor propagation — one hash join of the symmetric edge table
+    against the label table, so every node offers its label to its
+    neighbors — plus (2) pointer jumping — one label-table self-join so
+    labels hop to their label's label — then one ``groupby(node).min``.
+    Data moved per round is O(E + V) through hash-partitioned exchanges;
+    pointer jumping makes chain-shaped clusters converge in O(log
+    diameter) rounds instead of O(diameter). Convergence is detected
+    with a driver-side scalar: the label-sum is strictly decreasing
+    until the fixpoint (labels only ever decrease). Per-round label
+    tables are pinned as block refs so no round re-executes its
+    predecessors. Near-dup graphs have tiny components in practice;
+    ``max_iters`` bounds adversarial inputs.
+    """
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "cluster_id": pa.array([], pa.int64())})
+    pairs, prows = pinned_nonempty(pairs, (a_col, b_col))
+    if not prows:
+        return ray.data.from_arrow(out_empty)
+    nparts = num_partitions or max(
+        2, min(8, int(ray.cluster_resources().get("CPU", 4))))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    edges = nonempty_blocks(
+        pairs.map_batches(to_edges, batch_format="pyarrow"), ("u", "v"))
+
+    def to_labels(t: pa.Table) -> pa.Table:
+        u = np.unique(t["u"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"node": pa.array(u), "lab": pa.array(u)})
+
+    def norm_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"].cast(pa.int64()),
+                         "lab": t["lab"].cast(pa.int64())})
+
+    labels = nonempty_blocks(
+        edges.map_batches(to_labels, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("lab", alias_name="lab"))
+        .map_batches(norm_labels, batch_format="pyarrow"),
+        ("node", "lab"))
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # (1) neighbor propagation: u offers lab(u) to v.
+        nbr = (edges.join(labels, "inner", num_partitions=nparts,
+                          on=("u",), right_on=("node",))
+               .select_columns(["v", "lab"])
+               .rename_columns({"v": "node"}))
+        nbr, nbr_rows = pinned_nonempty(
+            nbr.map_batches(norm_labels, batch_format="pyarrow"),
+            ("node", "lab"))
+        # (2) pointer jump: node takes lab(lab(node)).
+        jump = (labels.join(
+                    labels.rename_columns({"node": "n2", "lab": "lab2"}),
+                    "inner", num_partitions=nparts,
+                    on=("lab",), right_on=("n2",))
+                .select_columns(["node", "lab2"])
+                .rename_columns({"lab2": "lab"}))
+        jump, jump_rows = pinned_nonempty(
+            jump.map_batches(norm_labels, batch_format="pyarrow"),
+            ("node", "lab"))
+        # Union only the non-empty parts (an all-empty fallback block
+        # would trigger per-iteration schema-mismatch log noise).
+        merged = labels
+        if nbr_rows:
+            merged = merged.union(nbr)
+        if jump_rows:
+            merged = merged.union(jump)
+        new_labels = (merged
+                      .groupby("node").aggregate(Min("lab", alias_name="lab"))
+                      .map_batches(norm_labels, batch_format="pyarrow"))
+        labels = nonempty_blocks(new_labels, ("node", "lab"))
+        cur_sum = labels.sum("lab")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"].cast(pa.int64()),
+                         "cluster_id": t["lab"].cast(pa.int64())})
+
+    return nonempty_blocks(
+        labels.map_batches(finish, batch_format="pyarrow"),
+        ("doc_id", "cluster_id"), fallback=out_empty)

@@ -507,3 +507,33 @@ def test_curate_neardup_no_pairs_keeps_all(ray_session):
         batch_format="pyarrow")
     out = curate_documents(ds, "text", "doc_id", near_dup_tau=0.9).to_pandas()
     assert sorted(out["doc_id"]) == list(range(30))
+
+
+def test_connected_components(ray_session):
+    """Min-label propagation clusters: a 5-node chain (forces >1 round
+    without pointer jumping), a triangle sharing no nodes with it, an
+    isolated pair, and the empty-graph short-circuit."""
+    import ray.data
+
+    from konlsearch_ray.functions.dedup import connected_components
+
+    def run(pairs):
+        t = pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                      "b": pa.array([p[1] for p in pairs], pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(4)
+        df = connected_components(ds).to_pandas()
+        return dict(zip(df["doc_id"], df["cluster_id"]))
+
+    # chain 9-7-5-3-1 (decreasing min-label path) + triangle + pair
+    got = run([(9, 7), (7, 5), (5, 3), (3, 1),
+               (20, 21), (21, 22), (20, 22),
+               (40, 41)])
+    assert got == {1: 1, 3: 1, 5: 1, 7: 1, 9: 1,
+                   20: 20, 21: 20, 22: 20,
+                   40: 40, 41: 40}
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    out = connected_components(ray.data.from_arrow(empty))
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "cluster_id"]
