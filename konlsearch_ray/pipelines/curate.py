@@ -12,10 +12,13 @@ training-data run needs, entirely as streaming Dataset stages:
    ``groupby`` produces the winner id per distinct content, then a
    ``left_semi`` hash join keeps exactly the winners. No driver state.
 3. **near-dup drop (optional)** — MinHash+LSH pairs (functions/dedup.py,
-   itself join-verified) → drop the higher id of every pair via one
-   ``left_anti`` hash join. Pair-greedy (keeps the lowest id of each
-   connected pair, not full clustering) — the standard first pass at
-   corpus scale; chains collapse over repeated application.
+   itself join-verified) → ``connected_components`` over the pair graph
+   (O(log diameter) rounds of hash joins) → drop every non-representative
+   cluster member via one ``left_anti`` hash join. Pair-greedy b-side
+   dropping (``cluster_near_dups=False``) remains as the cheaper
+   single-pass mode, but it over-keeps when a non-minimal doc has only
+   larger neighbors (pairs (2,3),(1,3) greedily keep {1,2}; the cluster
+   is {1,2,3} and only 1 should survive).
 
 Every wide step is a hash-partitioned groupby or join; per-stage data
 movement is one pass over the rows plus the pair set. Nothing
@@ -34,6 +37,7 @@ from konlsearch_ray.functions.blocks import pinned_nonempty
 from konlsearch_ray.functions.dedup import (
     _md5_batch,
     _nonempty_blocks,
+    connected_components,
     minhash_lsh_pairs,
 )
 from konlsearch_ray.functions.text import LANG_ORDER, STOPWORDS, _doc_coded_arrays
@@ -85,6 +89,7 @@ def curate_documents(
     langs: list[str] | None = None,
     near_dup_tau: float | None = None,
     ngram_n: int = 3,
+    cluster_near_dups: bool = True,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """The composed cleaning pipeline; returns the surviving rows with
@@ -141,14 +146,23 @@ def curate_documents(
     if near_dup_tau is None:
         return deduped
 
-    # 3. near-dup drop: MinHash pairs → left_anti against the b side.
+    # 3. near-dup drop: MinHash pairs → cluster → left_anti the
+    # non-representatives (or pair-greedy: left_anti the b sides).
     # Same pinning: deduped feeds pair generation AND the anti-join.
     deduped, deduped_rows = pinned_nonempty(deduped, (id_col, content_col))
     if not deduped_rows:
         return deduped
     pairs = minhash_lsh_pairs(
         deduped, content_col, id_col, n=ngram_n, tau=near_dup_tau)
-    drops, drop_rows = pinned_nonempty(pairs.select_columns(["b"]), ("b",))
+    if cluster_near_dups:
+        clusters = connected_components(pairs, num_partitions=nparts)
+        drops = clusters.map_batches(
+            lambda t: (t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
+                       .select(["doc_id"]).rename_columns(["b"])),
+            batch_format="pyarrow")
+    else:
+        drops = pairs.select_columns(["b"])
+    drops, drop_rows = pinned_nonempty(drops, ("b",))
     if not drop_rows:  # nothing to drop — skip the anti-join entirely
         return deduped
     return deduped.join(

@@ -295,6 +295,13 @@ def test_curate_documents_pipeline(ray_session):
     out2 = curate_documents(
         ds, "text", "doc_id", min_tokens=12, langs=["en"]).to_pandas()
     assert sorted(out2["doc_id"]) == [0, 4, 5]
+    # Pair-greedy mode (no clustering): same result on this single-pair
+    # corpus; cluster-vs-greedy divergence is covered at unit level by
+    # test_connected_components.
+    out3 = curate_documents(
+        ds, "text", "doc_id", min_tokens=12, langs=["en"],
+        near_dup_tau=0.6, cluster_near_dups=False).to_pandas()
+    assert sorted(out3["doc_id"]) == [0, 5]
 
 
 def test_ivf_store_partition_pruned_search(ray_session, tmp_path):
