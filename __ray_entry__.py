@@ -495,6 +495,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sample_frames(ds, "props", "event_id").select_columns(
             ["event_id", "frame_idx", "n_frames"])
 
+    def _typed_events(sf_dir, et):
+        return _events(sf_dir).map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], et)),
+            batch_format="pyarrow")
+
+    def window_tumbling(sf_dir):
+        # Daily tumbling-window aggregate keyed by event_type; the
+        # per-batch pandas combine keeps the exchange at
+        # O(windows x keys x blocks) — event-count independent.
+        from konlsearch_ray.functions.temporal import tumbling_window
+
+        return tumbling_window(_events(sf_dir), "ts", 86400, "value",
+                               key_col="event_type")
+
+    def sessionize_events(sf_dir):
+        # 30-minute-gap sessionization per user; one key-bucket exchange,
+        # in-bucket lexsort + diff (no per-row Python).
+        from konlsearch_ray.functions.temporal import sessionize
+
+        return sessionize(_events(sf_dir), "ts", "user_id", gap_s=1800)
+
+    def event_asof(sf_dir):
+        # Backward as-of join (purchase -> latest view <= 1 day earlier,
+        # per user), left-outer. DuckDB ASOF LEFT JOIN is the oracle; the
+        # tolerance is a post-filter CASE because the best match is the
+        # latest one (an out-of-tolerance best implies no in-tolerance
+        # match at all).
+        from konlsearch_ray.functions.temporal import asof_join
+
+        return asof_join(
+            _typed_events(sf_dir, "purchase"), _typed_events(sf_dir, "view"),
+            "user_id", "ts", left_cols=("event_id",),
+            right_cols=("event_id",), how="left", tolerance_s=86400)
+
+    def event_band_count(sf_dir):
+        # Keyed band join, count mode: events in the preceding hour of
+        # each purchase (left-outer count, 0 when none).
+        from konlsearch_ray.functions.temporal import band_join
+
+        return band_join(
+            _typed_events(sf_dir, "purchase"), _events(sf_dir),
+            "user_id", "ts", lo_s=-3600, hi_s=0,
+            left_cols=("event_id",), mode="count")
+
+    def event_band_pairs(sf_dir):
+        # Band join, pair-expansion mode: (purchase, click) pairs within
+        # +/- 1 hour for the same user.
+        from konlsearch_ray.functions.temporal import band_join
+
+        return _schema_stable(band_join(
+            _typed_events(sf_dir, "purchase"), _typed_events(sf_dir, "click"),
+            "user_id", "ts", lo_s=-3600, hi_s=3600,
+            left_cols=("event_id",), right_cols=("event_id",), mode="pairs"))
+
     return {
         "search_and": search_and,
         "search_or": search_or,
@@ -534,6 +588,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_topk": freq_topk,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
+        "window_tumbling": window_tumbling,
+        "sessionize": sessionize_events,
+        "event_asof": event_asof,
+        "event_band_count": event_band_count,
+        "event_band_pairs": event_band_pairs,
     }
 
 
@@ -821,6 +880,62 @@ SELECT event_id::BIGINT AS event_id,
        unnest(list_distinct([0, n // 2, n - 1]))::BIGINT AS frame_idx,
        n::BIGINT AS n_frames
 FROM probe""",
+        # Integer-cents sum keeps the value aggregate exact and
+        # engine-independent (numpy round == SQL round here: 2-decimal
+        # inputs never land exactly on .5 cents).
+        "window_tumbling": """SELECT
+  (epoch_us(ts) // 86400000000 * 86400)::BIGINT AS win_start, event_type,
+  count(*)::BIGINT AS n,
+  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+  min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2""",
+        "sessionize": """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (SELECT user_id, t,
+        sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS seq FROM m)
+SELECT user_id::BIGINT AS user_id, seq::BIGINT AS session_seq,
+       min(t)::BIGINT AS session_start_us, max(t)::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, seq""",
+        # Tolerance as a post-filter CASE: the as-of best match is the
+        # LATEST right row, so if it is out of tolerance every earlier
+        # one is too (ASOF JOIN + tolerance inequality is unsupported).
+        "event_asof": """WITH
+l AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+      WHERE event_type = 'purchase'),
+r AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+      WHERE event_type = 'view'),
+j AS (SELECT l.user_id, l.t AS lt, l.event_id AS le, r.t AS rt,
+             r.event_id AS re
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t)
+SELECT user_id::BIGINT AS user_id, lt::BIGINT AS ts_us,
+       le::BIGINT AS event_id,
+       (CASE WHEN lt - rt <= 86400000000 THEN rt END)::BIGINT AS r_ts_us,
+       (CASE WHEN lt - rt <= 86400000000 THEN re END)::BIGINT AS r_event_id
+FROM j""",
+        "event_band_count": """WITH
+l AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+      WHERE event_type = 'purchase'),
+r AS (SELECT user_id, epoch_us(ts) AS t FROM events)
+SELECT l.user_id::BIGINT AS user_id, l.t::BIGINT AS ts_us,
+       l.event_id::BIGINT AS event_id, count(r.t)::BIGINT AS n_matches
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+  AND r.t BETWEEN l.t - 3600000000 AND l.t
+GROUP BY 1, 2, 3""",
+        "event_band_pairs": """WITH
+l AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+      WHERE event_type = 'purchase'),
+r AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+      WHERE event_type = 'click')
+SELECT l.user_id::BIGINT AS user_id, l.t::BIGINT AS ts_us,
+       l.event_id::BIGINT AS event_id, r.t::BIGINT AS r_ts_us,
+       r.event_id::BIGINT AS r_event_id
+FROM l JOIN r ON l.user_id = r.user_id
+  AND r.t BETWEEN l.t - 3600000000 AND l.t + 3600000000""",
     }
     out["bm25_sharded"] = out["bm25_topk"]
     out["ann_ivf_store"] = out["ann_topk"]

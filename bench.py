@@ -56,7 +56,14 @@ def _silence_schema_hash_noise() -> None:
     """Ray's HashShuffleAggregator logs "Failed to hash the schemas (for
     deduplication): unhashable type: 'dict'" during joins — harmless
     upstream noise (pandas-metadata dicts in the schema) that buries real
-    warnings in the bench tail. Filter exactly that message."""
+    warnings in the bench tail. Filter exactly that message.
+
+    Same treatment for the streaming executor's "produced a RefBundle
+    with a different schema" warning: Ray emits it for the 0-row blocks
+    that BYPASS map UDFs (empty shuffle partitions keep an empty/stale
+    schema); every consumer in this repo drops those via
+    ``nonempty_blocks`` before they matter, so the warning is known-benign
+    noise here."""
     import logging
 
     class _Drop(logging.Filter):
@@ -65,6 +72,15 @@ def _silence_schema_hash_noise() -> None:
 
     logging.getLogger(
         "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_Drop())
+
+    class _DropEmptySchema(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return ("produced a RefBundle with a different schema"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state").addFilter(
+        _DropEmptySchema())
 
 
 def run_bench() -> dict:
@@ -289,6 +305,36 @@ def run_bench() -> dict:
     sp = simhash_pairs(docs_ds, "text", "doc_id", max_hamming=3).materialize()
     queries["simhash_pairs_docs_sec"] = round(time.perf_counter() - t0, 3)
     queries["simhash_pairs_found"] = sp.count()
+
+    # --- temporal operators over the events table --------------------------
+    import pyarrow.compute as _pc
+
+    from konlsearch_ray.functions.temporal import (
+        asof_join,
+        band_join,
+        sessionize,
+        tumbling_window,
+    )
+
+    ev = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+
+    def _typed(et):
+        return ev.map_batches(
+            lambda t: t.filter(_pc.equal(t["event_type"], et)),
+            batch_format="pyarrow")
+
+    t0 = time.perf_counter()
+    tumbling_window(ev, "ts", 86400, "value",
+                    key_col="event_type").materialize()
+    sessionize(ev, "ts", "user_id", gap_s=1800).materialize()
+    queries["temporal_window_session_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    asof_join(_typed("purchase"), _typed("view"), "user_id", "ts",
+              left_cols=("event_id",), right_cols=("event_id",),
+              how="left", tolerance_s=86400).materialize()
+    band_join(_typed("purchase"), ev, "user_id", "ts", lo_s=-3600, hi_s=0,
+              left_cols=("event_id",), mode="count").materialize()
+    queries["temporal_asof_band_sec"] = round(time.perf_counter() - t0, 3)
 
     # --- delete + compaction over the code index (runs last: rewrites it) -
     from konlsearch_ray.tombstone import compact_index, delete_docs

@@ -2,6 +2,8 @@
 
 Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
 cosine), similarity search (brute-force + bucketed ANN), text analysis
-(language-ID, quality scoring, token counting, fingerprinting) and
-multimodal plumbing — all as Ray Data ``Dataset`` pipelines.
+(language-ID, quality scoring, token counting, fingerprinting),
+multimodal plumbing and temporal operators (tumbling windows,
+sessionization, as-of / band joins) — all as Ray Data ``Dataset``
+pipelines.
 """

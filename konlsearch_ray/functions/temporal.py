@@ -1,0 +1,515 @@
+"""Temporal operators: tumbling-window aggregate, sessionization,
+as-of join, band (range) join.
+
+Ray Data has no native window / as-of / range-join operators, so each is
+composed from the house bucketed-groupby pattern (see
+``dedup.bucketed_pairs``): a cheap vectorized hash routes rows into
+``O(cluster CPUs)`` buckets, ``groupby("bucket").map_groups`` brings each
+bucket to one task, and inside the bucket everything is one lexsort /
+searchsorted pass — the partitioning key (the join/session key) fully
+determines the bucket, so in-bucket results are globally exact.
+
+Scale notes:
+- ``tumbling_window`` pre-aggregates inside ``map_batches`` (per-batch
+  pandas groupby) so the global exchange moves only
+  ``O(windows x keys x blocks)`` partial rows, never the raw events.
+- The joins move each row exactly once (one hash exchange on the key
+  bucket); match resolution is ``np.searchsorted`` over a per-bucket
+  composite ``key_code * time_span + t_rel`` (overflow-guarded with a
+  per-key-segment fallback), so cost is ``O(n log n)`` per bucket with
+  no per-row Python.
+- Skew: one bucket holds ~``rows / nbuckets`` rows; a single hot key
+  cannot exceed its own row count. For a pathological single-key
+  dataset, raise ``nbuckets`` only spreads OTHER keys — the hot key's
+  bucket is the floor, same as any keyed shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from konlsearch_ray.functions.blocks import nonempty_blocks
+from konlsearch_ray.functions.dedup import _string_bucket_hash
+
+US = 1_000_000  # microseconds per second
+
+
+def _default_nbuckets() -> int:
+    return max(16, 4 * int(ray.cluster_resources().get("CPU", 4)))
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Normalize a timestamp[s/ms/us/ns] or integer column to int64
+    epoch microseconds (zero-copy for timestamp[us])."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        col = pc.cast(col, pa.timestamp("us"))
+        return pc.cast(col, pa.int64())
+    return pc.cast(col, pa.int64())
+
+
+def _key_bucket(col, nbuckets: int) -> np.ndarray:
+    """Vectorized bucket id for an int or string key column. Routing
+    only — in-bucket grouping compares exact values."""
+    if pa.types.is_integer(col.type):
+        hv = (col.to_numpy(zero_copy_only=False)
+              .astype(np.int64).view(np.uint64))
+        hv = hv * np.uint64(0xFF51AFD7ED558CCD)
+        hv ^= hv >> np.uint64(33)
+    else:
+        hv = _string_bucket_hash(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    return (hv % np.uint64(nbuckets)).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Tumbling-window aggregate
+# --------------------------------------------------------------------------
+
+def tumbling_window(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    width_s: int,
+    value_col: str,
+    key_col: str | None = None,
+) -> ray.data.Dataset:
+    """Fixed (tumbling) window aggregate: rows bucket into
+    ``[k*width, (k+1)*width)`` second windows, optionally sub-keyed.
+
+    Output columns: ``win_start`` (epoch seconds, BIGINT), ``key_col``
+    (if given), ``n``, ``sum_cents`` (value summed in integer cents —
+    exact, engine-independent), ``min_value``, ``max_value``.
+
+    Scale: the per-batch pandas groupby collapses each block to at most
+    ``windows x keys`` partial rows before the global exchange, so the
+    shuffle volume is independent of event count. This is the
+    map-side-combine shape a 100-TB windowed aggregate needs.
+    """
+    width_us = int(width_s) * US
+    keys = [key_col] if key_col else []
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        tus = _ts_us(t[ts_col]).to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({
+            "win": tus // width_us,
+            "cents": np.round(v * 100.0).astype(np.int64),
+            "v": v,
+        })
+        for k in keys:
+            df[k] = t[k].to_numpy(zero_copy_only=False)
+        g = df.groupby(["win"] + keys, sort=False)
+        out = g.agg(n=("v", "size"), sum_cents=("cents", "sum"),
+                    min_value=("v", "min"), max_value=("v", "max"))
+        return out.reset_index()
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["win"] + keys)
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sum_cents", alias_name="sum_cents"),
+                        Min("min_value", alias_name="min_value"),
+                        Max("max_value", alias_name="max_value")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        win = pc.multiply(pc.cast(t["win"], pa.int64()), int(width_s))
+        cols = {"win_start": win}
+        for k in keys:
+            cols[k] = t[k]
+        for c in ("n", "sum_cents"):
+            cols[c] = pc.cast(t[c], pa.int64())
+        for c in ("min_value", "max_value"):
+            cols[c] = pc.cast(t[c], pa.float64())
+        return pa.table(cols)
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    cols = tuple(["win_start"] + keys + ["n", "sum_cents",
+                                         "min_value", "max_value"])
+    return nonempty_blocks(out, cols)
+
+
+# --------------------------------------------------------------------------
+# Sessionization
+# --------------------------------------------------------------------------
+
+def sessionize(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    key_col: str,
+    gap_s: int,
+    nbuckets: int | None = None,
+) -> ray.data.Dataset:
+    """Split each key's event stream into sessions at gaps > ``gap_s``.
+
+    Output: one row per session — ``key_col``, ``session_seq`` (1-based
+    per key in time order), ``session_start_us``, ``session_end_us``
+    (epoch microseconds), ``n_events``.
+
+    All events of a key land in one bucket (bucket = hash(key)), so the
+    in-bucket lexsort + diff pass is globally exact; the only exchange
+    is the one bucket groupby.
+    """
+    gap_us = int(gap_s) * US
+    nbuckets = nbuckets or _default_nbuckets()
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t[key_col],
+            "t": _ts_us(t[ts_col]),
+            "bucket": pa.array(_key_bucket(t[key_col], nbuckets)),
+        })
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key_col: pd.Series([], dtype=g["k"].dtype if len(g) else "int64"),
+            "session_seq": pd.Series([], dtype="int64"),
+            "session_start_us": pd.Series([], dtype="int64"),
+            "session_end_us": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+        })
+        if not len(g):
+            return empty
+        codes = pd.factorize(g["k"], sort=False)[0].astype(np.int64)
+        t = g["t"].to_numpy().astype(np.int64)
+        order = np.lexsort((t, codes))
+        ks, ts = codes[order], t[order]
+        n = len(ts)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = ks[1:] != ks[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_sess)  # 1-based global session counter
+        # per-key 1-based sequence: subtract the key's base session id
+        key_start = np.flatnonzero(new_key)
+        key_sizes = np.diff(np.append(key_start, n))
+        base = np.repeat(sid[key_start], key_sizes)
+        seq = sid - base + 1
+        s_start = np.flatnonzero(new_sess)
+        s_sizes = np.diff(np.append(s_start, n))
+        s_end = np.append(s_start[1:], n) - 1
+        key_vals = g["k"].to_numpy()[order][s_start]
+        return pd.DataFrame({
+            key_col: key_vals,
+            "session_seq": seq[s_start].astype(np.int64),
+            "session_start_us": ts[s_start],
+            "session_end_us": ts[s_end],
+            "n_events": s_sizes.astype(np.int64),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit, batch_format="pandas"))
+    return nonempty_blocks(out, (key_col, "session_seq", "session_start_us",
+                                 "session_end_us", "n_events"))
+
+
+# --------------------------------------------------------------------------
+# Shared two-sided bucketed union (as-of + band joins)
+# --------------------------------------------------------------------------
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    s = ds.schema(fetch_if_missing=True)
+    return getattr(s, "base_schema", s)
+
+
+def _union_sides(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: tuple[str, ...],
+    right_cols: tuple[str, ...],
+    right_prefix: str,
+    nbuckets: int,
+) -> tuple[ray.data.Dataset, dict[str, pa.DataType]]:
+    """Normalize both sides to one padded schema — ``__k``, ``__t``
+    (int64 us), ``__side`` (0=right, 1=left), left payload columns,
+    prefixed right payload columns (each null on the other side) — add
+    the key bucket, and union. One pass over each side, no shuffle yet.
+    """
+    lsch, rsch = _arrow_schema(left), _arrow_schema(right)
+    ltypes = {c: lsch.field(c).type for c in left_cols}
+    rtypes = {right_prefix + c: rsch.field(c).type for c in right_cols}
+
+    def norm(ts_name: str, side: int, own: dict[str, pa.DataType],
+             own_cols: tuple[str, ...], other: dict[str, pa.DataType],
+             prefix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict[str, object] = {
+                "__k": t[key_col],
+                "__t": _ts_us(t[ts_name]),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+                "bucket": pa.array(_key_bucket(t[key_col], nbuckets)),
+            }
+            for out_name, typ in own.items():
+                src = out_name[len(prefix):] if prefix else out_name
+                cols[out_name] = pc.cast(t[src], typ)
+            for out_name, typ in other.items():
+                cols[out_name] = pa.nulls(n, typ)
+            return pa.table(cols)
+        return fn
+
+    lds = left.map_batches(
+        norm(left_ts, 1, ltypes, left_cols, rtypes, ""),
+        batch_format="pyarrow")
+    rds = right.map_batches(
+        norm(right_ts, 0, rtypes, right_cols, ltypes, right_prefix),
+        batch_format="pyarrow")
+    return lds.union(rds), {**ltypes, **rtypes}
+
+
+def _composite(codes: np.ndarray, t_rel: np.ndarray,
+               span: int) -> np.ndarray | None:
+    """``code * span + t_rel`` — a single sortable int64 encoding of
+    (key, time) within a bucket. Returns None on int64 overflow (caller
+    falls back to per-key segments)."""
+    kmax = int(codes.max()) if len(codes) else 0
+    if (kmax + 1) * span >= (1 << 62):
+        return None
+    return codes * np.int64(span) + t_rel
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    left_ts: str,
+    right_ts: str | None = None,
+    left_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] = (),
+    right_prefix: str = "r_",
+    tolerance_s: float | None = None,
+    how: str = "inner",
+    nbuckets: int | None = None,
+) -> ray.data.Dataset:
+    """Backward as-of join: for each left row, the right row with the
+    largest ``right_ts <= left_ts`` and the same key (DuckDB
+    ``ASOF JOIN ... ON l.k = r.k AND l.t >= r.t`` semantics).
+
+    Output: ``key_col``, ``ts_us`` (left time), ``left_cols``,
+    ``{right_prefix}ts_us`` (matched right time) and prefixed
+    ``right_cols``. ``how="left"`` keeps unmatched left rows with null
+    right columns; ``tolerance_s`` drops matches older than the window.
+
+    Scale: each side is read once, exchanged once on the key bucket;
+    match resolution is one searchsorted over the bucket's composite
+    (key, time) encoding. No driver materialization, no row loops.
+    """
+    right_ts = right_ts or left_ts
+    nbuckets = nbuckets or _default_nbuckets()
+    unioned, ptypes = _union_sides(
+        left, right, key_col, left_ts, right_ts,
+        left_cols, right_cols, right_prefix, nbuckets)
+    tol_us = None if tolerance_s is None else int(tolerance_s * US)
+    out_names = ([key_col, "ts_us"] + list(left_cols)
+                 + [right_prefix + "ts_us"]
+                 + [right_prefix + c for c in right_cols])
+
+    def emit(g: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            cols: dict[str, pa.Array] = {}
+            ktyp = g["__k"].type if g.num_rows >= 0 else pa.int64()
+            cols[key_col] = pa.array([], ktyp)
+            cols["ts_us"] = pa.array([], pa.int64())
+            for c in left_cols:
+                cols[c] = pa.array([], ptypes[c])
+            cols[right_prefix + "ts_us"] = pa.array([], pa.int64())
+            for c in right_cols:
+                cols[right_prefix + c] = pa.array([], ptypes[right_prefix + c])
+            return pa.table(cols)
+
+        if not g.num_rows:
+            return empty()
+        g = g.combine_chunks()
+        codes = pd.factorize(g["__k"].to_pandas(), sort=False)[0].astype(np.int64)
+        t = g["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        is_l, is_r = side == 1, side == 0
+        if not is_l.any():
+            return empty()
+        t0 = int(t.min())
+        span = int(t.max()) - t0 + 2
+        t_rel = t - t0
+        comp = _composite(codes, t_rel, span)
+        li = np.flatnonzero(is_l)
+        ri = np.flatnonzero(is_r)
+        if not len(ri):  # left rows, no right rows in this bucket
+            match = np.zeros(len(li), dtype=np.int64)
+            valid = np.zeros(len(li), dtype=bool)
+        elif comp is not None:
+            r_order = ri[np.argsort(comp[ri], kind="stable")]
+            idx = np.searchsorted(comp[r_order], comp[li], side="right") - 1
+            valid = idx >= 0
+            match = r_order[np.clip(idx, 0, None)]
+            valid &= codes[match] == codes[li]
+        else:  # overflow fallback: per-key segments (keys, not rows)
+            match = np.full(len(li), -1, dtype=np.int64)
+            valid = np.zeros(len(li), dtype=bool)
+            r_order_all = ri[np.lexsort((t[ri], codes[ri]))]
+            rk = codes[r_order_all]
+            for k in np.unique(codes[li]):
+                seg = r_order_all[rk == k]
+                sel = codes[li] == k
+                if not len(seg):
+                    continue
+                j = np.searchsorted(t[seg], t[li][sel], side="right") - 1
+                ok = j >= 0
+                match[sel] = np.where(ok, seg[np.clip(j, 0, None)], -1)
+                valid[sel] = ok
+        if tol_us is not None:
+            valid &= np.where(valid, t[li] - t[np.clip(match, 0, None)],
+                              np.int64(0)) <= tol_us
+        if how == "inner":
+            li, match = li[valid], match[valid]
+            valid = np.ones(len(li), dtype=bool)
+        if not len(li):
+            return empty()
+        vmask = pa.array(valid)
+        m_safe = np.where(valid, match, 0)
+        cols = {key_col: g["__k"].take(pa.array(li)),
+                "ts_us": pa.array(t[li])}
+        for c in left_cols:
+            cols[c] = g[c].take(pa.array(li))
+        rts = pa.array(t[m_safe])
+        cols[right_prefix + "ts_us"] = pc.if_else(vmask, rts,
+                                                  pa.nulls(len(li), pa.int64()))
+        for c in right_cols:
+            name = right_prefix + c
+            vals = g[name].take(pa.array(m_safe))
+            cols[name] = pc.if_else(vmask, vals,
+                                    pa.nulls(len(li), vals.type))
+        return pa.table(cols)
+
+    out = unioned.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+    return nonempty_blocks(out, tuple(out_names))
+
+
+def band_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    left_ts: str,
+    lo_s: float,
+    hi_s: float,
+    right_ts: str | None = None,
+    left_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] = (),
+    right_prefix: str = "r_",
+    mode: str = "count",
+    nbuckets: int | None = None,
+) -> ray.data.Dataset:
+    """Keyed band (range) join: match right rows with
+    ``left_ts + lo_s <= right_ts <= left_ts + hi_s`` and equal key.
+
+    ``mode="count"`` emits one row per LEFT row (``key_col``, ``ts_us``,
+    ``left_cols``, ``n_matches`` — 0 when nothing matches, i.e. a
+    left-outer count). ``mode="pairs"`` expands every match:
+    ``key_col``, ``ts_us``, ``left_cols``, ``{right_prefix}ts_us``,
+    prefixed ``right_cols``.
+
+    Scale: identical movement profile to :func:`asof_join` — one
+    exchange on the key bucket, two searchsorteds per bucket. For a
+    KEYLESS range join, pass a constant key column bucketed by
+    ``floor(ts / (hi_s - lo_s))`` with +/-1 neighbor replication of the
+    right side; that variant is intentionally not hidden behind this
+    API because its cost model (replication factor) should be explicit
+    in the pipeline.
+    """
+    right_ts = right_ts or left_ts
+    nbuckets = nbuckets or _default_nbuckets()
+    unioned, ptypes = _union_sides(
+        left, right, key_col, left_ts, right_ts,
+        left_cols, right_cols, right_prefix, nbuckets)
+    lo_us, hi_us = int(round(lo_s * US)), int(round(hi_s * US))
+    if mode == "count":
+        out_names = [key_col, "ts_us"] + list(left_cols) + ["n_matches"]
+    else:
+        out_names = ([key_col, "ts_us"] + list(left_cols)
+                     + [right_prefix + "ts_us"]
+                     + [right_prefix + c for c in right_cols])
+
+    def emit(g: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            ktyp = g["__k"].type
+            cols: dict[str, pa.Array] = {key_col: pa.array([], ktyp),
+                                         "ts_us": pa.array([], pa.int64())}
+            for c in left_cols:
+                cols[c] = pa.array([], ptypes[c])
+            if mode == "count":
+                cols["n_matches"] = pa.array([], pa.int64())
+            else:
+                cols[right_prefix + "ts_us"] = pa.array([], pa.int64())
+                for c in right_cols:
+                    cols[right_prefix + c] = pa.array(
+                        [], ptypes[right_prefix + c])
+            return pa.table(cols)
+
+        if not g.num_rows:
+            return empty()
+        g = g.combine_chunks()
+        codes = pd.factorize(g["__k"].to_pandas(), sort=False)[0].astype(np.int64)
+        t = g["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 1)
+        ri = np.flatnonzero(side == 0)
+        if not len(li):
+            return empty()
+        t0 = int(t.min()) + (lo_us if lo_us < 0 else 0)
+        span = int(t.max()) + (hi_us if hi_us > 0 else 0) - t0 + 2
+        t_rel = t - t0
+        comp = _composite(codes, t_rel, span)
+        if comp is None:
+            # Overflow fallback mirrors asof_join: per-key segments.
+            r_order = ri[np.lexsort((t[ri], codes[ri]))]
+            rk = codes[r_order]
+            lo_idx = np.zeros(len(li), dtype=np.int64)
+            hi_idx = np.zeros(len(li), dtype=np.int64)
+            for k in np.unique(codes[li]):
+                seg = r_order[rk == k]
+                sel = codes[li] == k
+                base = np.searchsorted(rk, k, side="left")
+                lo_idx[sel] = base + np.searchsorted(
+                    t[seg], t[li][sel] + lo_us, side="left")
+                hi_idx[sel] = base + np.searchsorted(
+                    t[seg], t[li][sel] + hi_us, side="right")
+        else:
+            r_order = ri[np.argsort(comp[ri], kind="stable")]
+            q_lo = codes[li] * np.int64(span) + np.clip(
+                t[li] + lo_us - t0, 0, span - 1)
+            q_hi = codes[li] * np.int64(span) + np.clip(
+                t[li] + hi_us - t0, 0, span - 1)
+            lo_idx = np.searchsorted(comp[r_order], q_lo, side="left")
+            hi_idx = np.searchsorted(comp[r_order], q_hi, side="right")
+        counts = (hi_idx - lo_idx).astype(np.int64)
+        if mode == "count":
+            cols = {key_col: g["__k"].take(pa.array(li)),
+                    "ts_us": pa.array(t[li])}
+            for c in left_cols:
+                cols[c] = g[c].take(pa.array(li))
+            cols["n_matches"] = pa.array(counts)
+            return pa.table(cols)
+        total = int(counts.sum())
+        if not total:
+            return empty()
+        rep = np.repeat(np.arange(len(li)), counts)
+        starts = np.cumsum(counts) - counts
+        within = np.arange(total) - np.repeat(starts, counts)
+        rpos = r_order[np.repeat(lo_idx, counts) + within]
+        lsel = li[rep]
+        cols = {key_col: g["__k"].take(pa.array(lsel)),
+                "ts_us": pa.array(t[lsel])}
+        for c in left_cols:
+            cols[c] = g[c].take(pa.array(lsel))
+        cols[right_prefix + "ts_us"] = pa.array(t[rpos])
+        for c in right_cols:
+            cols[right_prefix + c] = g[right_prefix + c].take(pa.array(rpos))
+        return pa.table(cols)
+
+    out = unioned.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+    return nonempty_blocks(out, tuple(out_names))

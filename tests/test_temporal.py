@@ -1,0 +1,186 @@
+"""Temporal operators: tumbling window, sessionization, as-of join,
+band join (functions/temporal.py).
+
+Timestamps here are raw int64 microseconds (the operators accept both
+timestamp columns and integers); oracle expectations are hand-derived on
+purpose-built inputs, including the composite-key int64-overflow
+fallback and the empty-right-bucket edge the first implementation
+crashed on.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from konlsearch_ray.functions.temporal import (
+    asof_join,
+    band_join,
+    sessionize,
+    tumbling_window,
+)
+
+US = 1_000_000
+
+
+def _ds(tbl: dict):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(tbl))
+
+
+def _sorted(ds, cols):
+    return ds.to_pandas().sort_values(cols).reset_index(drop=True)
+
+
+@pytest.fixture()
+def events(ray_session):
+    # Two keys; key 1 has two sessions split by a > 60 s gap (gap == 60 s
+    # exactly must NOT split), key 2 one session.
+    return _ds({
+        "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "t": pa.array([0, 60 * US, 121 * US + 1, 130 * US,
+                       5 * US, 65 * US], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()),
+    })
+
+
+def test_tumbling_window_keyed(events):
+    out = _sorted(tumbling_window(events, "t", 60, "v", key_col="k"),
+                  ["win_start", "k"])
+    # windows of 60 s: key1 -> {0: [1.0], 60: [2.0], 120: [3.0, 4.0]},
+    # key2 -> {0: [5.0], 60: [6.0]}
+    assert out["win_start"].tolist() == [0, 0, 60, 60, 120]
+    assert out["k"].tolist() == [1, 2, 1, 2, 1]
+    assert out["n"].tolist() == [1, 1, 1, 1, 2]
+    assert out["sum_cents"].tolist() == [100, 500, 200, 600, 700]
+    assert out["min_value"].tolist() == [1.0, 5.0, 2.0, 6.0, 3.0]
+    assert out["max_value"].tolist() == [1.0, 5.0, 2.0, 6.0, 4.0]
+
+
+def test_tumbling_window_unkeyed(events):
+    out = _sorted(tumbling_window(events, "t", 3600, "v"), ["win_start"])
+    assert out["win_start"].tolist() == [0]
+    assert out["n"].tolist() == [6]
+    assert out["sum_cents"].tolist() == [2100]
+
+
+def test_sessionize(events):
+    out = _sorted(sessionize(events, "t", "k", gap_s=60), ["k", "session_seq"])
+    # key 1: gap 0->60 is exactly 60 s (same session); 60->121.000001 s
+    # splits; 121.000001->130 stays. key 2: 5->65 is 60 s, same session.
+    assert out["k"].tolist() == [1, 1, 2]
+    assert out["session_seq"].tolist() == [1, 2, 1]
+    assert out["session_start_us"].tolist() == [0, 121 * US + 1, 5 * US]
+    assert out["session_end_us"].tolist() == [60 * US, 130 * US, 65 * US]
+    assert out["n_events"].tolist() == [2, 2, 2]
+
+
+def test_asof_inner_and_ties(ray_session):
+    left = _ds({"k": pa.array([1, 1, 2, 3], pa.int64()),
+                "t": pa.array([100, 200, 150, 10], pa.int64()),
+                "lv": pa.array([10, 20, 30, 40], pa.int64())})
+    right = _ds({"k": pa.array([1, 1, 2], pa.int64()),
+                 "t": pa.array([100, 150, 250], pa.int64()),
+                 "rv": pa.array([7, 8, 9], pa.int64())})
+    out = _sorted(asof_join(left, right, "k", "t",
+                            left_cols=("lv",), right_cols=("rv",)),
+                  ["k", "ts_us"])
+    # (1,100) matches the EQUAL right ts (backward as-of is <=);
+    # (1,200)->150; (2,150) has no right <= 150; key 3 has no right rows.
+    assert out["k"].tolist() == [1, 1]
+    assert out["ts_us"].tolist() == [100, 200]
+    assert out["r_ts_us"].tolist() == [100, 150]
+    assert out["r_rv"].tolist() == [7, 8]
+
+
+def test_asof_left_with_tolerance(ray_session):
+    left = _ds({"k": pa.array([1, 1, 9], pa.int64()),
+                "t": pa.array([100 * US, 500 * US, 50], pa.int64())})
+    right = _ds({"k": pa.array([1, 1], pa.int64()),
+                 "t": pa.array([90 * US, 100 * US], pa.int64()),
+                 "rv": pa.array([5, 6], pa.int64())})
+    out = _sorted(asof_join(left, right, "k", "t", right_cols=("rv",),
+                            how="left", tolerance_s=60),
+                  ["k", "ts_us"])
+    # (1,100s)->100s (in tolerance); (1,500s) best match is 400 s stale ->
+    # null; key 9 unmatched -> null row kept by how="left".
+    assert out["k"].tolist() == [1, 1, 9]
+    assert out["r_rv"].fillna(-1).tolist() == [6, -1, -1]
+    assert out["r_ts_us"].fillna(-1).tolist() == [100 * US, -1, -1]
+
+
+def test_band_join_count_and_pairs(ray_session):
+    left = _ds({"k": pa.array([1, 2], pa.int64()),
+                "t": pa.array([100 * US, 100 * US], pa.int64()),
+                "lv": pa.array([1, 2], pa.int64())})
+    right = _ds({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                 "t": pa.array([40 * US, 100 * US, 161 * US, 300 * US],
+                               pa.int64()),
+                 "rv": pa.array([4, 5, 6, 7], pa.int64())})
+    cnt = _sorted(band_join(left, right, "k", "t", lo_s=-60, hi_s=60,
+                            left_cols=("lv",), mode="count"), ["k"])
+    # key1 window [40s, 160s]: right 40, 100 in; 161 out. key2: nothing.
+    assert cnt["n_matches"].tolist() == [2, 0]
+    pairs = _sorted(band_join(left, right, "k", "t", lo_s=-60, hi_s=60,
+                              left_cols=("lv",), right_cols=("rv",),
+                              mode="pairs"), ["k", "r_ts_us"])
+    assert pairs["k"].tolist() == [1, 1]
+    assert pairs["r_rv"].tolist() == [4, 5]
+
+
+def test_asof_composite_overflow_fallback(ray_session):
+    # A time span wide enough that code * span overflows int64 with >= 2
+    # keys — exercises the per-key-segment fallback path.
+    big = np.int64(1) << 61
+    left = _ds({"k": pa.array([1, 2], pa.int64()),
+                "t": pa.array([int(big), 10], pa.int64())})
+    right = _ds({"k": pa.array([1, 1, 2], pa.int64()),
+                 "t": pa.array([0, int(big) - 5, 20], pa.int64()),
+                 "rv": pa.array([1, 2, 3], pa.int64())})
+    out = _sorted(asof_join(left, right, "k", "t", right_cols=("rv",),
+                            nbuckets=1), ["k"])
+    assert out["k"].tolist() == [1]
+    assert out["r_rv"].tolist() == [2]
+    band = _sorted(band_join(left, right, "k", "t", lo_s=-1e12, hi_s=0,
+                             mode="count", nbuckets=1), ["k"])
+    assert band["n_matches"].tolist() == [1, 0]
+
+
+def test_band_pairs_empty_result(ray_session):
+    left = _ds({"k": pa.array([1], pa.int64()),
+                "t": pa.array([0], pa.int64())})
+    right = _ds({"k": pa.array([2], pa.int64()),
+                 "t": pa.array([0], pa.int64()),
+                 "rv": pa.array([1], pa.int64())})
+    out = band_join(left, right, "k", "t", lo_s=-1, hi_s=1,
+                    right_cols=("rv",), mode="pairs").to_pandas()
+    assert len(out) == 0
+
+
+def test_string_key_bucketing(ray_session):
+    # String keys route through the byte-matrix hash; grouping inside a
+    # bucket still compares exact values.
+    ds = _ds({"k": pa.array(["a", "a", "bb", "bb"], pa.string()),
+              "t": pa.array([0, 10 * US, 0, 200 * US], pa.int64())})
+    out = _sorted(sessionize(ds, "t", "k", gap_s=60), ["k", "session_seq"])
+    assert out["k"].tolist() == ["a", "bb", "bb"]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    right = _ds({"k": pa.array(["a", "bb"], pa.string()),
+                 "t": pa.array([5 * US, 100 * US], pa.int64()),
+                 "rv": pa.array([1, 2], pa.int64())})
+    j = _sorted(asof_join(ds, right, "k", "t", right_cols=("rv",),
+                          how="left"), ["k", "ts_us"])
+    assert j["r_rv"].fillna(-1).tolist() == [-1, 1, -1, 2]
+
+
+def test_timestamp_column_input(ray_session):
+    # timestamp[us] columns normalize identically to raw int64 us.
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:02:00"])
+    ds = _ds({"k": pa.array([1, 1], pa.int64()),
+              "t": pa.array(ts, pa.timestamp("us")),
+              "v": pa.array([1.5, 2.5], pa.float64())})
+    out = _sorted(tumbling_window(ds, "t", 60, "v"), ["win_start"])
+    assert out["n"].tolist() == [1, 1]
+    sess = _sorted(sessionize(ds, "t", "k", gap_s=60), ["k", "session_seq"])
+    assert sess["n_events"].tolist() == [1, 1]  # 120 s gap > 60 s splits
