@@ -549,6 +549,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "user_id", "ts", lo_s=-3600, hi_s=3600,
             left_cols=("event_id",), right_cols=("event_id",), mode="pairs"))
 
+    def window_sliding(sf_dir):
+        # Hopping window (2-day width, 1-day slide): rows replicate by
+        # the explicit width/slide factor inside the per-batch combine.
+        from konlsearch_ray.functions.temporal import sliding_window
+
+        return sliding_window(_events(sf_dir), "ts", 172800, 86400, "value",
+                              key_col="event_type")
+
+    def split_assign(sf_dir):
+        # Deterministic train/val/test split: md5(salt || id) bucket —
+        # reproducible across runs, partitionings and engines.
+        from konlsearch_ray.functions.sampling import hash_split
+
+        return hash_split(_docs(sf_dir), "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1},
+                          salt="v1").select_columns(["doc_id", "split"])
+
+    def sample_hash(sf_dir):
+        # Deterministic ~25% subsample by the same ID-hash bucketing.
+        from konlsearch_ray.functions.sampling import hash_sample
+
+        return hash_sample(_docs(sf_dir), "doc_id", 0.25,
+                           salt="v1").select_columns(["doc_id"])
+
     return {
         "search_and": search_and,
         "search_or": search_or,
@@ -589,6 +613,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
         "window_tumbling": window_tumbling,
+        "window_sliding": window_sliding,
+        "split_assign": split_assign,
+        "sample_hash": sample_hash,
         "sessionize": sessionize_events,
         "event_asof": event_asof,
         "event_band_count": event_band_count,
@@ -889,6 +916,24 @@ FROM probe""",
   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
   min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY 1, 2""",
+        "window_sliding": """WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+x AS (SELECT event_type, value,
+        unnest(generate_series((t - 172800000000) // 86400000000 + 1,
+                               t // 86400000000)) AS win FROM e)
+SELECT (win * 86400)::BIGINT AS win_start, event_type, count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+       min(value) AS min_value, max(value) AS max_value
+FROM x GROUP BY 1, 2""",
+        "split_assign": """WITH b AS (SELECT doc_id,
+  CAST('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+    % 10000 AS bk FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+  CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
+       ELSE 'test' END AS split
+FROM b""",
+        "sample_hash": """SELECT doc_id::BIGINT AS doc_id FROM documents
+WHERE CAST('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+      % 10000 < 2500""",
         "sessionize": """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
 m AS (SELECT user_id, t,
         CASE WHEN lag(t) OVER w IS NULL

@@ -3,7 +3,7 @@
 Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
 cosine), similarity search (brute-force + bucketed ANN), text analysis
 (language-ID, quality scoring, token counting, fingerprinting),
-multimodal plumbing and temporal operators (tumbling windows,
-sessionization, as-of / band joins) — all as Ray Data ``Dataset``
-pipelines.
+multimodal plumbing, temporal operators (tumbling/sliding windows,
+sessionization, as-of / band joins) and deterministic hash-based
+splitting/sampling — all as Ray Data ``Dataset`` pipelines.
 """

@@ -1,0 +1,96 @@
+"""Deterministic hash-based splitting / sampling for training-data
+pipelines.
+
+A train/val/test split over 100 TB must be (a) reproducible across runs
+and engines, (b) stable under re-partitioning (a row's split cannot
+depend on which block it landed in), and (c) computable per batch with
+no global state. Hashing the row's ID gives all three: bucket =
+``md5(salt || str(id))`` first 8 hex digits mod 10_000, and the split
+label is a cumulative-fraction table lookup. md5 is deliberate — it is
+the one digest both this engine and SQL oracles (DuckDB ``md5()``)
+produce bit-identically, the same trade the exact-dedup path makes
+(functions/dedup.py). The digest runs buffer-direct per row
+(build.hash_hex_column), matching the ingest sha256 cost profile.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+BUCKETS = 10_000  # basis points: fractions resolve to 0.01%
+
+
+def _bucket_of(ids: pa.ChunkedArray | pa.Array, salt: str) -> np.ndarray:
+    """md5-derived bucket in [0, BUCKETS) per row — engine-independent
+    (DuckDB: ``CAST('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 8)
+    AS UBIGINT) % 10000``)."""
+    from konlsearch_ray.build import hash_hex_column
+
+    s = pc.cast(ids, pa.string())
+    if salt:
+        s = pc.binary_join_element_wise(pa.scalar(salt), s, "")
+    hx = hash_hex_column(s, "md5")
+    # first 8 hex chars -> uint32; vectorized via the fixed-width bytes
+    # view (digests are constant-width, so the "S" cast is exact)
+    from konlsearch_ray.query import _string_col_to_S
+
+    s = _string_col_to_S(hx)
+    mat = s.view(np.uint8).reshape(len(s), s.dtype.itemsize)
+    nib = np.where(mat[:, :8] >= ord("a"), mat[:, :8] - ord("a") + 10,
+                   mat[:, :8] - ord("0")).astype(np.uint64)
+    val = np.zeros(len(hx), dtype=np.uint64)
+    for j in range(8):  # 8 fixed passes, each vectorized
+        val = (val << np.uint64(4)) | nib[:, j]
+    return (val % np.uint64(BUCKETS)).astype(np.int64)
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Attach a ``split`` label column by deterministic ID hash.
+
+    ``fractions`` maps label -> fraction (must sum to 1 within 1e-6);
+    labels take cumulative bucket ranges in the given dict order, e.g.
+    ``{"train": .8, "val": .1, "test": .1}`` -> buckets [0,8000) /
+    [8000,9000) / [9000,10000).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    labels = list(fractions)
+    bounds = np.cumsum([int(round(f * BUCKETS)) for f in fractions.values()])
+    bounds[-1] = BUCKETS  # absorb rounding drift into the last label
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t[id_col], salt)
+        lab = np.searchsorted(bounds, b, side="right")
+        return t.append_column(
+            "split", pa.DictionaryArray.from_arrays(
+                pa.array(lab, pa.int32()), pa.array(labels)).cast(pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Deterministic ~``fraction`` subsample by ID hash (bucket <
+    fraction * 10_000). Stable across runs, partitionings and engines —
+    unlike ``Dataset.random_sample``, re-running selects the SAME rows."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = int(round(fraction * BUCKETS))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(_bucket_of(t[id_col], salt) < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -109,6 +109,67 @@ def tumbling_window(
                     min_value=("v", "min"), max_value=("v", "max"))
         return out.reset_index()
 
+    return _window_agg_finish(ds, partial, keys, start_mul=int(width_s))
+
+
+def sliding_window(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    width_s: int,
+    slide_s: int,
+    value_col: str,
+    key_col: str | None = None,
+) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate: window ``k`` covers
+    ``[k*slide, k*slide + width)`` seconds, so each row lands in
+    ``ceil(width/slide)`` consecutive windows (``width == slide`` is the
+    tumbling case). Output matches :func:`tumbling_window` with
+    ``win_start = k * slide`` (epoch seconds).
+
+    Scale: rows replicate by the constant ``width/slide`` factor INSIDE
+    the per-batch combine (np.repeat, no Python loop), then collapse to
+    at most ``windows x keys`` partials per block — the exchange stays
+    event-count independent; the replication factor is an explicit cost
+    the caller picks via ``width/slide``.
+    """
+    if slide_s <= 0 or width_s < slide_s:
+        raise ValueError("need width_s >= slide_s > 0")
+    width_us, slide_us = int(width_s) * US, int(slide_s) * US
+    keys = [key_col] if key_col else []
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        tus = _ts_us(t[ts_col]).to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # windows containing t: k in [(t-width)//slide + 1, t//slide]
+        # (int64 floor division handles pre-epoch times correctly)
+        k_hi = tus // slide_us
+        k_lo = (tus - width_us) // slide_us + 1
+        nrep = (k_hi - k_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(tus)), nrep)
+        offs = np.arange(len(idx)) - np.repeat(np.cumsum(nrep) - nrep, nrep)
+        df = pd.DataFrame({
+            "win": k_lo[idx] + offs,
+            "cents": np.round(v * 100.0).astype(np.int64)[idx],
+            "v": v[idx],
+        })
+        for k in keys:
+            df[k] = t[k].to_numpy(zero_copy_only=False)[idx]
+        g = df.groupby(["win"] + keys, sort=False)
+        out = g.agg(n=("v", "size"), sum_cents=("cents", "sum"),
+                    min_value=("v", "min"), max_value=("v", "max"))
+        return out.reset_index()
+
+    return _window_agg_finish(ds, partial, keys, start_mul=int(slide_s))
+
+
+def _window_agg_finish(
+    ds: ray.data.Dataset,
+    partial,
+    keys: list[str],
+    start_mul: int,
+) -> ray.data.Dataset:
+    """Shared tail of the window aggregates: global merge of the
+    per-batch partials + typed output projection."""
     agg = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["win"] + keys)
              .aggregate(Sum("n", alias_name="n"),
@@ -117,7 +178,7 @@ def tumbling_window(
                         Max("max_value", alias_name="max_value")))
 
     def finish(t: pa.Table) -> pa.Table:
-        win = pc.multiply(pc.cast(t["win"], pa.int64()), int(width_s))
+        win = pc.multiply(pc.cast(t["win"], pa.int64()), start_mul)
         cols = {"win_start": win}
         for k in keys:
             cols[k] = t[k]

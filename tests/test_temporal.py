@@ -158,6 +158,57 @@ def test_band_pairs_empty_result(ray_session):
     assert len(out) == 0
 
 
+def test_sliding_window(events):
+    from konlsearch_ray.functions.temporal import sliding_window
+
+    out = _sorted(sliding_window(events, "t", 120, 60, "v"),
+                  ["win_start"])
+    # width 120 s / slide 60 s: a row at t lands in windows
+    # floor((t-120)/60)+1 .. floor(t/60). Events at 0, 60, 121.000001,
+    # 130, 5, 65 s -> window -60 covers [_-60,60): {0, 5};
+    # window 0 covers [0,120): {0, 60, 5, 65}; window 60 covers
+    # [60,180): {60, 121.000001, 130, 65}; window 120 covers [120,240):
+    # {121.000001, 130}.
+    assert out["win_start"].tolist() == [-60, 0, 60, 120]
+    assert out["n"].tolist() == [2, 4, 4, 2]
+    # tumbling is the width == slide special case
+    t1 = _sorted(tumbling_window(events, "t", 60, "v"), ["win_start"])
+    t2 = _sorted(sliding_window(events, "t", 60, 60, "v"), ["win_start"])
+    pd.testing.assert_frame_equal(t1, t2)
+
+
+def test_hash_split_and_sample(ray_session):
+    from konlsearch_ray.functions.sampling import hash_sample, hash_split
+
+    ids = list(range(1000))
+    ds = _ds({"doc_id": pa.array(ids, pa.int64())})
+    out = hash_split(ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                     salt="s").to_pandas()
+    assert len(out) == 1000 and set(out["split"]) == {"train", "val", "test"}
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9  # hash spread, not exact
+    # determinism + partitioning-independence: same labels at 1 block
+    # and at 8 blocks
+    ds8 = ds.repartition(8)
+    out8 = hash_split(ds8, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                      salt="s").to_pandas()
+    merged = out.merge(out8, on="doc_id", suffixes=("_1", "_8"))
+    assert (merged["split_1"] == merged["split_8"]).all()
+    # sample is the prefix of the same bucket order: a 10% sample is a
+    # subset of the 25% sample
+    s10 = set(hash_sample(ds, "doc_id", 0.10, salt="s").to_pandas()["doc_id"])
+    s25 = set(hash_sample(ds, "doc_id", 0.25, salt="s").to_pandas()["doc_id"])
+    assert s10 <= s25 and len(s25) > len(s10) > 0
+
+
+def test_hash_split_bad_fractions(ray_session):
+    from konlsearch_ray.functions.sampling import hash_split
+
+    ds = _ds({"doc_id": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        hash_split(ds, "doc_id", {"a": 0.5, "b": 0.2})
+
+
 def test_string_key_bucketing(ray_session):
     # String keys route through the byte-matrix hash; grouping inside a
     # bucket still compares exact values.
