@@ -293,6 +293,10 @@ def _union_sides(
     prefixed right payload columns (each null on the other side) — add
     the key bucket, and union. One pass over each side, no shuffle yet.
     """
+    reserved = {"__k", "__t", "__side", "bucket"}
+    bad = reserved & (set(left_cols) | {right_prefix + c for c in right_cols})
+    if bad:
+        raise ValueError(f"payload columns collide with internal names: {bad}")
     lsch, rsch = _arrow_schema(left), _arrow_schema(right)
     ltypes = {c: lsch.field(c).type for c in left_cols}
     rtypes = {right_prefix + c: rsch.field(c).type for c in right_cols}
