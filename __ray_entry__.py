@@ -549,6 +549,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "user_id", "ts", lo_s=-3600, hi_s=3600,
             left_cols=("event_id",), right_cols=("event_id",), mode="pairs"))
 
+    def ngram_count(sf_dir):
+        # Corpus bigram frequency table (LM-style occurrence counts) —
+        # per-batch run-length partials, groupby moves vocabulary-sized
+        # rows only.
+        from konlsearch_ray.functions.ngrams import ngram_counts
+
+        return ngram_counts(_docs(sf_dir), "text", n=2, min_count=5)
+
+    def decontaminate(sf_dir):
+        # Benchmark decontamination: per-doc distinct 3-gram overlap
+        # against a benchmark slice (docs < 20), hash-partitioned joins.
+        from konlsearch_ray.functions.ngrams import contamination
+
+        bench = _docs(sf_dir).map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 20)),
+            batch_format="pyarrow")
+        return contamination(_docs(sf_dir), bench, "text", "doc_id", n=3)
+
     def window_sliding(sf_dir):
         # Hopping window (2-day width, 1-day slide): rows replicate by
         # the explicit width/slide factor inside the per-batch combine.
@@ -612,6 +630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_topk": freq_topk,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
+        "ngram_count": ngram_count,
+        "decontaminate": decontaminate,
         "window_tumbling": window_tumbling,
         "window_sliding": window_sliding,
         "split_assign": split_assign,
@@ -907,6 +927,30 @@ SELECT event_id::BIGINT AS event_id,
        unnest(list_distinct([0, n // 2, n - 1]))::BIGINT AS frame_idx,
        n::BIGINT AS n_frames
 FROM probe""",
+        "ngram_count": f"""WITH {_KEPT},
+g AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        list_transform(generate_series(1, len(toks)-1),
+                       i -> toks[i] || ' ' || toks[i+1])
+      ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM kept)
+SELECT ngram, count(*)::BIGINT AS cnt FROM g GROUP BY 1
+HAVING count(*) >= 5""",
+        # frac_bp = integer basis points (hit*10000 // total): exact
+        # integer arithmetic both engines reproduce bit-identically
+        # (float round modes differ: pyarrow half-to-even vs SQL
+        # half-away).
+        "decontaminate": f"""WITH {_KEPT},
+csh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+          list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        ELSE CAST([] AS VARCHAR[]) END)) AS shingle FROM kept),
+bsh AS (SELECT DISTINCT shingle FROM csh WHERE doc_id < 20),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY 1),
+hit AS (SELECT c.doc_id, count(*) AS n_hit FROM csh c JOIN bsh USING (shingle)
+        GROUP BY 1)
+SELECT t.doc_id::BIGINT AS doc_id, t.n_shingles::BIGINT AS n_shingles,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       (coalesce(h.n_hit, 0) * 10000 // t.n_shingles)::BIGINT AS frac_bp
+FROM tot t LEFT JOIN hit h USING (doc_id)""",
         # Integer-cents sum keeps the value aggregate exact and
         # engine-independent (numpy round == SQL round here: 2-decimal
         # inputs never land exactly on .5 cents).

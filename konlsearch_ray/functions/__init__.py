@@ -4,6 +4,7 @@ Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
 cosine), similarity search (brute-force + bucketed ANN), text analysis
 (language-ID, quality scoring, token counting, fingerprinting),
 multimodal plumbing, temporal operators (tumbling/sliding windows,
-sessionization, as-of / band joins) and deterministic hash-based
-splitting/sampling — all as Ray Data ``Dataset`` pipelines.
+sessionization, as-of / band joins), deterministic hash-based
+splitting/sampling, and corpus n-gram stats + benchmark decontamination
+— all as Ray Data ``Dataset`` pipelines.
 """
