@@ -360,14 +360,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qmat = np.stack([np.asarray(v, float) for v in q["embedding"]])
         return ivf_store_topk(out, qids, qmat, k=ANN_K, n_probe=8)
 
-    def suggest_jamo_prefix(sf_dir):  # rows-only (jamo decomposition not in SQL)
+    def suggest_jamo_prefix(sf_dir):
         # Range scan over the finalize-time sorted (jamo_key, term) table
         # — per-query cost tracks the match range, not the vocabulary.
+        # Oracle-gated: Hangul decomposition is pure codepoint arithmetic,
+        # reproduced in SQL (see _jamo_sql; equality with the Python
+        # decomposition over all 11,172 syllables is pytest-proved in
+        # test_jamo_oracle). The driver corpus is Latin-only, so the
+        # prefix is Latin here; Hangul jamo matching is covered by the
+        # synthetic-corpus suggest tests.
         from konlsearch_ray.pipelines.suggest import suggest_jamo_indexed
 
         return suggest_jamo_indexed(_index_dir(sf_dir), "s")
 
-    def freq_topk_jamo(sf_dir):  # rows-only (jamo decomposition not in SQL)
+    def freq_topk_jamo(sf_dir):
         import ray.data
 
         from konlsearch_ray.pipelines.suggest import topk_per_jamo_prefix
@@ -422,7 +428,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_token_counts(_docs(sf_dir), "text", "doc_id")
 
-    def text_fingerprint(sf_dir):  # rows-only (rolling hash not in SQL)
+    def text_fingerprint(sf_dir):
+        # Oracle-gated: token hash = md5 prefix mod M31, and the
+        # polynomial Σ h_i·B^(n-1-i) mod M31 is Horner's rule — a SQL
+        # list_reduce fold reproduces it exactly.
         from konlsearch_ray.functions.text import fingerprints
 
         return fingerprints(_docs(sf_dir), "text", "doc_id")
@@ -667,6 +676,26 @@ def _and_sql(tokens: list[str]) -> str:
 SELECT doc_id::BIGINT AS doc_id FROM (SELECT DISTINCT doc_id, term FROM occ)
 WHERE term IN {_sql_in(tokens)}
 GROUP BY doc_id HAVING count(*) = {len(tokens)} ORDER BY doc_id"""
+
+
+def _jamo_sql(col: str) -> str:
+    """DuckDB expression reproducing ``pipelines.suggest.decompose_jamo``
+    exactly (verified char-for-char against all 11,172 precomposed
+    syllables): Hangul decomposition is codepoint arithmetic — initial =
+    (c-0xAC00)//588, medial = %588//28, final = %28 (0 = none) — mapped
+    through the same compatibility-jamo tables the engine uses."""
+    from konlsearch_ray.pipelines.suggest import _CHO, _JONG, _JUNG
+
+    cho = "[" + ", ".join(f"'{c}'" for c in _CHO) + "]"
+    jung = "[" + ", ".join(f"'{c}'" for c in _JUNG) + "]"
+    jong = "[" + ", ".join(f"'{c}'" for c in _JONG[1:]) + "]"  # [0] -> NULL
+    u = f"unicode(substring({col}, i, 1))"
+    return f"""coalesce(list_aggregate(list_transform(generate_series(1, length({col})), i ->
+      CASE WHEN {u} BETWEEN 44032 AND 55203 THEN
+        ({cho})[({u} - 44032) // 588 + 1]
+        || ({jung})[(({u} - 44032) % 588) // 28 + 1]
+        || coalesce(({jong})[({u} - 44032) % 28], '')
+      ELSE substring({col}, i, 1) END), 'string_agg', ''), '')"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1026,6 +1055,40 @@ SELECT l.user_id::BIGINT AS user_id, l.t::BIGINT AS ts_us,
 FROM l JOIN r ON l.user_id = r.user_id
   AND r.t BETWEEN l.t - 3600000000 AND l.t + 3600000000""",
     }
+    # fp(doc) = Σ h_i·131^(n-1-i) mod M31 == Horner fold
+    # ((h1·131+h2)·131+h3)… — list_reduce reproduces it exactly;
+    # acc < 2^31 so acc*131 + x < 2^39 never overflows BIGINT.
+    out["text_fingerprint"] = f"""WITH {_KEPT},
+h AS (SELECT doc_id, list_transform(toks, t ->
+        (CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT)
+         % 2147483647)::BIGINT) AS hs
+      FROM kept)
+SELECT doc_id::BIGINT AS doc_id,
+       (CASE WHEN len(hs) = 0 THEN 0
+             ELSE list_reduce(hs, (a, x) -> (a * 131 + x) % 2147483647)
+        END)::BIGINT AS fingerprint
+FROM h"""
+    from konlsearch_ray.pipelines.suggest import decompose_jamo
+
+    jq = decompose_jamo("s")  # the suggest_jamo_prefix query key
+    out["suggest_jamo_prefix"] = f"""WITH {_KEPT}, {_OCC},
+v AS (SELECT DISTINCT term FROM occ)
+SELECT term FROM v WHERE starts_with({_jamo_sql('term')}, '{jq}')
+ORDER BY term"""
+    # Top-5 per jamo prefix: ranking is per-prefix independent, so
+    # restricting to the entry's len<=2 prefixes BEFORE ranking is
+    # identical to ranking all prefixes and filtering after.
+    out["freq_topk_jamo"] = f"""WITH {_KEPT}, {_OCC},
+terms AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM occ GROUP BY 1),
+j AS (SELECT term, df, {_jamo_sql('term')} AS jk FROM terms),
+p AS (SELECT substring(jk, 1, L) AS prefix, term, df AS hits
+      FROM j CROSS JOIN (SELECT unnest([1, 2]) AS L) WHERE length(jk) >= L)
+SELECT prefix, term, hits, rk::BIGINT AS rk FROM (
+  SELECT prefix, term, hits,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY hits DESC, term) AS rk
+  FROM p) WHERE rk <= 5"""
     out["bm25_sharded"] = out["bm25_topk"]
     out["ann_ivf_store"] = out["ann_topk"]
     return out

@@ -306,9 +306,28 @@ def run_bench() -> dict:
     queries["simhash_pairs_docs_sec"] = round(time.perf_counter() - t0, 3)
     queries["simhash_pairs_found"] = sp.count()
 
-    # --- temporal operators over the events table --------------------------
+    # --- n-gram stats, decontamination, split over sf documents -----------
     import pyarrow.compute as _pc
 
+    from konlsearch_ray.functions.ngrams import contamination, ngram_counts
+    from konlsearch_ray.functions.sampling import hash_split
+
+    docs_ds2 = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.perf_counter()
+    ngram_counts(docs_ds2, "text", n=2, min_count=5).materialize()
+    queries["ngram_counts_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    bench_slice = docs_ds2.map_batches(
+        lambda t: t.filter(_pc.less(t["doc_id"], 200)),
+        batch_format="pyarrow")
+    contamination(docs_ds2, bench_slice, "text", "doc_id", n=3).materialize()
+    queries["decontaminate_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    hash_split(docs_ds2, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+               salt="bench").materialize()
+    queries["hash_split_sec"] = round(time.perf_counter() - t0, 3)
+
+    # --- temporal operators over the events table --------------------------
     from konlsearch_ray.functions.temporal import (
         asof_join,
         band_join,

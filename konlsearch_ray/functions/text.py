@@ -179,11 +179,16 @@ def bpe_token_counts(
 
 
 def _token_hashes(terms: np.ndarray) -> np.ndarray:
-    """Deterministic 31-bit hash per token (blake2b prefix mod M31)."""
+    """Deterministic 31-bit hash per token: md5 4-byte prefix mod M31.
+
+    md5 (not blake2b) so SQL engines reproduce the fingerprint
+    bit-identically (DuckDB ``md5()``) — the same digest trade the
+    SimHash and hash-split paths make; per-UNIQUE-term cost, bounded per
+    batch."""
     uniq, inv = np.unique(terms, return_inverse=True) if len(terms) else (
         np.array([], dtype=object), np.array([], dtype=np.int64))
     hashes = np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "big")
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
          % int(FP_MOD) for t in uniq],
         dtype=np.uint64,
     )
