@@ -558,6 +558,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "user_id", "ts", lo_s=-3600, hi_s=3600,
             left_cols=("event_id",), right_cols=("event_id",), mode="pairs"))
 
+    def value_quantiles(sf_dir):
+        # Per-event-type exact discrete quantiles: integer-indexed spec
+        # (sorted[(n-1)*bp // 10000]) — no interpolation ambiguity, any
+        # engine reproduces it bit-identically.
+        from konlsearch_ray.functions.stats import grouped_quantiles
+
+        return grouped_quantiles(_events(sf_dir), "event_type", "value")
+
     def ngram_count(sf_dir):
         # Corpus bigram frequency table (LM-style occurrence counts) —
         # per-batch run-length partials, groupby moves vocabulary-sized
@@ -639,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_topk": freq_topk,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
+        "value_quantiles": value_quantiles,
         "ngram_count": ngram_count,
         "decontaminate": decontaminate,
         "window_tumbling": window_tumbling,
@@ -956,6 +965,15 @@ SELECT event_id::BIGINT AS event_id,
        unnest(list_distinct([0, n // 2, n - 1]))::BIGINT AS frame_idx,
        n::BIGINT AS n_frames
 FROM probe""",
+        "value_quantiles": """WITH v AS (SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+SELECT event_type, max(n)::BIGINT AS n,
+       max(CASE WHEN rn = (n-1) * 5000 // 10000 THEN value END) AS p50,
+       max(CASE WHEN rn = (n-1) * 9000 // 10000 THEN value END) AS p90,
+       max(CASE WHEN rn = (n-1) * 9900 // 10000 THEN value END) AS p99
+FROM v GROUP BY 1""",
         "ngram_count": f"""WITH {_KEPT},
 g AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
         list_transform(generate_series(1, len(toks)-1),

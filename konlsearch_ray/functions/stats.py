@@ -1,0 +1,60 @@
+"""Grouped numeric profiling: exact discrete quantiles per key.
+
+The quantile spec is deliberately integer-indexed — ``q`` in basis
+points picks ``sorted_values[(n-1) * q_bp // 10000]`` — so any engine
+(numpy, SQL row_number arithmetic) reproduces the result bit-identically
+with no interpolation or float round-mode ambiguity.
+
+Scale note: exact quantiles need each key's values co-located, so this
+is a ``groupby(key).map_groups`` stage — the standard keyed-shuffle
+assumption (one key's values fit one task, same contract as any
+map_groups). For keys too hot for that, bucket values into a fixed-point
+histogram inside ``map_batches`` and aggregate histograms instead; the
+exact path here is the oracle-comparable configuration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from konlsearch_ray.functions.blocks import nonempty_blocks
+
+DEFAULT_QS = (("p50", 5000), ("p90", 9000), ("p99", 9900))
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[tuple[str, int], ...] = DEFAULT_QS,
+) -> ray.data.Dataset:
+    """Per-key exact discrete quantiles of ``value_col``.
+
+    Output: ``key_col``, ``n`` (group row count), one float64 column per
+    ``(label, q_bp)`` entry holding ``sorted[(n-1) * q_bp // 10000]``.
+    """
+    labels = [lb for lb, _ in qs]
+    bps = np.array([bp for _, bp in qs], dtype=np.int64)
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        cols: dict[str, object] = {
+            key_col: pd.Series([], dtype=g[key_col].dtype),
+            "n": pd.Series([], dtype="int64"),
+        }
+        for lb in labels:
+            cols[lb] = pd.Series([], dtype="float64")
+        if not len(g):
+            return pd.DataFrame(cols)
+        v = np.sort(g[value_col].to_numpy().astype(np.float64))
+        n = len(v)
+        idx = (n - 1) * bps // 10_000
+        out = {key_col: [g[key_col].iloc[0]], "n": [n]}
+        for lb, i in zip(labels, idx):
+            out[lb] = [float(v[i])]
+        return pd.DataFrame(out)
+
+    out = ds.groupby(key_col).map_groups(emit, batch_format="pandas")
+    return nonempty_blocks(out, tuple([key_col, "n"] + labels))

@@ -45,6 +45,24 @@ def test_contamination(ray_session):
     assert out["frac_bp"].tolist() == [5000, 0, 5000]
 
 
+def test_grouped_quantiles(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_quantiles
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"] * 5 + ["b"], pa.string()),
+        "v": pa.array([5.0, 1.0, 3.0, 2.0, 4.0, 7.5], pa.float64())}))
+    out = grouped_quantiles(ds, "k", "v").to_pandas().sort_values(
+        "k").reset_index(drop=True)
+    # key a sorted [1..5]: p50 idx (5-1)*5000//10000=2 -> 3.0;
+    # p90 idx 3 -> 4.0; p99 idx 3 -> 4.0. key b single value.
+    assert out["n"].tolist() == [5, 1]
+    assert out["p50"].tolist() == [3.0, 7.5]
+    assert out["p90"].tolist() == [4.0, 7.5]
+    assert out["p99"].tolist() == [4.0, 7.5]
+
+
 def test_contamination_empty_bench(ray_session):
     corpus = _ds(["a b c d"], ids=[1])
     bench = _ds(["q"], ids=[9])  # too short for any trigram
