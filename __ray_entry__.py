@@ -608,6 +608,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hash_sample(_docs(sf_dir), "doc_id", 0.25,
                            salt="v1").select_columns(["doc_id"])
 
+    def json_field(sf_dir):
+        # Source normalization: pull a numeric field out of the flat-JSON
+        # props column in one vectorized regex pass (no per-row parser).
+        from konlsearch_ray.functions.text import json_int_field
+
+        return json_int_field(_events(sf_dir), "props", "k", "event_id")
+
     return {
         "search_and": search_and,
         "search_or": search_or,
@@ -658,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_asof": event_asof,
         "event_band_count": event_band_count,
         "event_band_pairs": event_band_pairs,
+        "json_field": json_field,
     }
 
 
@@ -1072,6 +1080,12 @@ SELECT l.user_id::BIGINT AS user_id, l.t::BIGINT AS ts_us,
        r.event_id::BIGINT AS r_event_id
 FROM l JOIN r ON l.user_id = r.user_id
   AND r.t BETWEEN l.t - 3600000000 AND l.t + 3600000000""",
+        # Same anchored-regex semantics as the engine's fast path (flat
+        # JSON only), so a malformed/missing field nulls identically.
+        "json_field": r"""SELECT event_id::BIGINT AS event_id,
+       CAST(nullif(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '')
+            AS BIGINT) AS k
+FROM events""",
     }
     # fp(doc) = Σ h_i·131^(n-1-i) mod M31 == Horner fold
     # ((h1·131+h2)·131+h3)… — list_reduce reproduces it exactly;

@@ -228,3 +228,32 @@ def fingerprints(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.dat
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def json_int_field(
+    ds: ray.data.Dataset,
+    col: str,
+    key: str,
+    id_col: str,
+    out_col: str | None = None,
+) -> ray.data.Dataset:
+    """Extract an integer field from FLAT JSON metadata strings — the
+    source-normalization shape for simple props columns — as one
+    vectorized ``pc.extract_regex`` pass per batch (no per-row parser).
+    Rows without the field yield null. For nested or general JSON,
+    use a real parser inside an actor-pool stage instead; this fast
+    path is spec'd for non-nested numeric fields only (the regex
+    anchors on the quoted key, so it cannot cross into nested objects
+    that repeat the key — callers with such schemas need the parser).
+    """
+    import re as _re
+
+    out_col = out_col or key
+    pattern = f'"{_re.escape(key)}"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[col], pattern)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({id_col: t[id_col].cast(pa.int64()), out_col: v})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
