@@ -608,6 +608,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hash_sample(_docs(sf_dir), "doc_id", 0.25,
                            salt="v1").select_columns(["doc_id"])
 
+    def sample_stratified(sf_dir):
+        # Corpus rebalancing: per-language keep rates, same md5-bucket
+        # determinism as hash_sample.
+        from konlsearch_ray.functions.sampling import stratified_sample
+
+        # Prune BEFORE the filter stage: only the id/group columns are
+        # read, and every output block (even empty ones, which bypass a
+        # downstream Project) carries the same schema.
+        return stratified_sample(
+            _docs(sf_dir).select_columns(["doc_id", "lang"]),
+            "doc_id", "lang", {"en": 0.5, "es": 0.2},
+            default_rate=0.1, salt="v1")
+
+    def pack_offset(sf_dir):
+        # Token-budget shard assignment: distributed ordered prefix sum
+        # over n_chars, pack = starting offset // 4096.
+        from konlsearch_ray.functions.packing import pack_by_offset
+
+        return pack_by_offset(_docs(sf_dir), "doc_id", "n_chars", 4096)
+
+    def repetition(sf_dir):
+        # Gopher-style within-doc repetition signals in basis points.
+        from konlsearch_ray.functions.text import repetition_profile
+
+        return repetition_profile(_docs(sf_dir), "text", "doc_id")
+
     def json_field(sf_dir):
         # Source normalization: pull a numeric field out of the flat-JSON
         # props column in one vectorized regex pass (no per-row parser).
@@ -666,6 +692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_band_count": event_band_count,
         "event_band_pairs": event_band_pairs,
         "json_field": json_field,
+        "sample_stratified": sample_stratified,
+        "pack_offset": pack_offset,
+        "repetition": repetition,
     }
 
 
@@ -1086,6 +1115,38 @@ FROM l JOIN r ON l.user_id = r.user_id
        CAST(nullif(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '')
             AS BIGINT) AS k
 FROM events""",
+        "sample_stratified": """WITH b AS (SELECT doc_id, lang,
+  CAST('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+    % 10000 AS bk FROM documents)
+SELECT doc_id::BIGINT AS doc_id, lang FROM b
+WHERE bk < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2000
+           ELSE 1000 END""",
+        # pack = the doc's EXCLUSIVE prefix-sum offset // budget — the
+        # offset-chunking contract (docs are never split across packs).
+        "pack_offset": """SELECT doc_id::BIGINT AS doc_id,
+       n_chars::BIGINT AS n_chars,
+       ((sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+        // 4096)::BIGINT AS pack_id
+FROM documents""",
+        # Integer basis points: both engines compute x * 10000 // denom
+        # on exact integer counts — bit-identical, no float rounding.
+        "repetition": f"""WITH {_KEPT},
+tok AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd
+        FROM kept),
+bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+         list_transform(generate_series(1, len(toks)-1),
+                        i -> toks[i] || ' ' || toks[i+1])
+       ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM kept),
+bm AS (SELECT doc_id, max(c) AS mc FROM
+        (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT t.doc_id::BIGINT AS doc_id, n::BIGINT AS n_tokens,
+       (CASE WHEN n > 0 THEN (n - nd) * 10000 // n ELSE 0 END)::BIGINT
+         AS dup_token_bp,
+       (CASE WHEN n >= 2 THEN coalesce(mc, 0) * 10000 // (n - 1)
+             ELSE 0 END)::BIGINT AS top_bigram_bp
+FROM tok t LEFT JOIN bm USING (doc_id)""",
     }
     # fp(doc) = Σ h_i·131^(n-1-i) mod M31 == Horner fold
     # ((h1·131+h2)·131+h3)… — list_reduce reproduces it exactly;

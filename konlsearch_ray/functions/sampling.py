@@ -94,3 +94,44 @@ def hash_sample(
         return t.filter(pa.array(_bucket_of(t[id_col], salt) < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Per-group deterministic subsample — the corpus-rebalancing op
+    (e.g. downsample over-represented languages): keep a row iff its ID
+    bucket < its GROUP's rate.  Same hash, same guarantees as
+    ``hash_sample``; the per-row cut resolves through the batch's
+    dictionary-encoded group column (one lookup per DISTINCT group value,
+    fanned out by codes — no per-row Python)."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    default_cut = int(round(default_rate * BUCKETS))
+    cuts = {g: int(round(r * BUCKETS)) for g, r in rates.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        denc = pc.cast(t[group_col], pa.string()).combine_chunks(
+        ).dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        per_value = np.array(
+            [default_cut if v is None else cuts.get(v, default_cut)
+             for v in denc.dictionary.to_pylist()], dtype=np.int64)
+        codes = pc.fill_null(denc.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)  # null group → default
+        cut = np.full(len(t), default_cut, dtype=np.int64)
+        valid = codes >= 0
+        if per_value.size:
+            cut[valid] = per_value[codes[valid]]
+        return t.filter(pa.array(_bucket_of(t[id_col], salt) < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -230,6 +230,59 @@ def fingerprints(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.dat
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_profile(
+    ds: ray.data.Dataset, content_col: str, id_col: str
+) -> ray.data.Dataset:
+    """Per doc: within-document repetition signals for quality filtering
+    (the Gopher-rules shape — Rae et al. 2021, public): duplicate-token
+    fraction and the fraction of bigram slots taken by the single most
+    frequent bigram.  Reported in integer basis points
+    (``x * 10000 // denom``) so any engine reproduces them bit-identically
+    (float rounding modes differ across engines).
+
+    Fully vectorized: tokens come factorized from the analyzer, distinct
+    counts are one combined-key ``np.unique``, and per-doc top-bigram
+    counts are one ``np.unique`` over (doc, code, code) composite keys +
+    ``np.maximum.reduceat`` over the doc segments — no Python loop over
+    occurrences.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts, doc_idx, codes, dictionary = _doc_coded_arrays(batch, content_col)
+        n = batch.num_rows
+        distinct = np.zeros(n, dtype=np.int64)
+        top_bg = np.zeros(n, dtype=np.int64)
+        if len(codes):
+            nv = np.int64(len(dictionary) + 1)
+            uniq = np.unique(doc_idx * nv + codes)
+            distinct = np.bincount(uniq // nv, minlength=n).astype(np.int64)
+            same = doc_idx[:-1] == doc_idx[1:]
+            if same.any():
+                bd = doc_idx[:-1][same]
+                key = (bd * nv + codes[:-1][same]) * nv + codes[1:][same]
+                uk, cnt = np.unique(key, return_counts=True)
+                docs_of = uk // (nv * nv)  # sorted ⇒ non-decreasing
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(docs_of)) + 1))
+                top_bg[docs_of[starts]] = np.maximum.reduceat(cnt, starts)
+        dup_bp = np.zeros(n, dtype=np.int64)
+        nz = counts > 0
+        dup_bp[nz] = (counts[nz] - distinct[nz]) * 10000 // counts[nz]
+        bg_bp = np.zeros(n, dtype=np.int64)
+        m2 = counts >= 2
+        bg_bp[m2] = top_bg[m2] * 10000 // (counts[m2] - 1)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(counts),
+                "dup_token_bp": pa.array(dup_bp),
+                "top_bigram_bp": pa.array(bg_bp),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def json_int_field(
     ds: ray.data.Dataset,
     col: str,

@@ -544,3 +544,103 @@ def test_connected_components(ray_session):
     out = connected_components(ray.data.from_arrow(empty))
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "cluster_id"]
+
+
+def test_pack_by_offset_matches_serial_scan(ray_session):
+    """Distributed prefix-sum pack assignment == the serial definition,
+    independent of partitioning; nulls weigh 0; empty input keeps schema."""
+    import ray.data
+
+    from konlsearch_ray.functions.packing import pack_by_offset
+
+    rng = np.random.RandomState(7)
+    ids = rng.permutation(200).astype(np.int64)  # shuffled arrival order
+    w = rng.randint(0, 50, 200).astype(object)
+    w[3] = None  # null weight -> 0
+    t = pa.table({"id": pa.array(ids), "w": pa.array(list(w), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    df = (pack_by_offset(ds, "id", "w", budget=100, nbuckets=5)
+          .to_pandas().sort_values("id").reset_index(drop=True))
+
+    order = np.argsort(ids, kind="stable")
+    wi = np.array([0 if v is None else v for v in w], dtype=np.int64)[order]
+    packs = (np.cumsum(wi) - wi) // 100
+    assert (df["id"].to_numpy() == ids[order]).all()
+    assert (df["pack_id"].to_numpy() == packs).all()
+
+    empty = ray.data.from_arrow(pa.table(
+        {"id": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}))
+    out = pack_by_offset(empty, "id", "w", budget=10)
+    assert out.count() == 0 and "pack_id" in out.schema().names
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    """Per-group keep decision == hash_sample at that group's rate;
+    unknown/null groups use the default rate; rerun selects same rows."""
+    import ray.data
+
+    from konlsearch_ray.functions.sampling import hash_sample, stratified_sample
+
+    n = 400
+    langs = ["en", "es", "xx", None] * (n // 4)
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "lang": pa.array(langs, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = stratified_sample(ds, "doc_id", "lang", {"en": 0.5, "es": 0.2},
+                            default_rate=0.1, salt="v1").to_pandas()
+    got2 = stratified_sample(ds, "doc_id", "lang", {"en": 0.5, "es": 0.2},
+                             default_rate=0.1, salt="v1").to_pandas()
+    assert sorted(got["doc_id"]) == sorted(got2["doc_id"])  # deterministic
+
+    for lang, rate in [("en", 0.5), ("es", 0.2), ("xx", 0.1)]:
+        member = pa.table({"doc_id": pa.array(
+            [i for i, lg in enumerate(langs) if lg == lang], pa.int64())})
+        want = hash_sample(ray.data.from_arrow(member), "doc_id", rate,
+                           salt="v1").to_pandas()
+        have = got[got["lang"] == lang]["doc_id"]
+        assert sorted(have) == sorted(want["doc_id"])
+    # null group rows fall back to the default rate (non-crash + subset)
+    null_kept = got[got["lang"].isna()]
+    assert len(null_kept) <= n // 4
+
+
+def test_repetition_profile_golden(ray_session):
+    """Hand-computed repetition metrics: all-same doc, all-distinct doc,
+    repeated-bigram doc, empty doc."""
+    import ray.data
+
+    from konlsearch_ray.functions.text import repetition_profile
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "foo foo foo foo",          # n=4 nd=1 top bigram 'foo foo'=3
+            "a b c d",                  # n=4 nd=4, every bigram once
+            "x y x y x",                # n=5 nd=2, 'x y'=2 of 4 slots
+            "",                         # empty -> zeros
+        ], pa.string()),
+    })
+    df = (repetition_profile(ray.data.from_arrow(t), "text", "doc_id")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert df["n_tokens"].tolist() == [4, 4, 5, 0]
+    assert df["dup_token_bp"].tolist() == [
+        3 * 10000 // 4, 0, 3 * 10000 // 5, 0]
+    assert df["top_bigram_bp"].tolist() == [
+        3 * 10000 // 3, 1 * 10000 // 3, 2 * 10000 // 4, 0]
+
+
+def test_json_int_field_nulls_and_negatives(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.text import json_int_field
+
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "props": pa.array(
+            ['{"k": 42}', '{"other": 1}', '{"k": -7, "z": 1}', None],
+            pa.string()),
+    })
+    df = (json_int_field(ray.data.from_arrow(t), "props", "k", "event_id")
+          .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert df["k"][0] == 42 and df["k"][2] == -7
+    assert df["k"].isna()[1] and df["k"].isna()[3]
