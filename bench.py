@@ -327,6 +327,23 @@ def run_bench() -> dict:
                salt="bench").materialize()
     queries["hash_split_sec"] = round(time.perf_counter() - t0, 3)
 
+    # --- corpus shaping + repetition profiling -----------------------------
+    from konlsearch_ray.functions.packing import pack_by_offset
+    from konlsearch_ray.functions.sampling import stratified_sample
+    from konlsearch_ray.functions.text import repetition_profile
+
+    t0 = time.perf_counter()
+    pack_by_offset(docs_ds2, "doc_id", "n_chars", budget=65536).materialize()
+    queries["pack_offset_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    stratified_sample(docs_ds2.select_columns(["doc_id", "lang"]), "doc_id",
+                      "lang", {"en": 0.5, "es": 0.2}, default_rate=0.1,
+                      salt="bench").materialize()
+    queries["stratified_sample_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    repetition_profile(docs_ds2, "text", "doc_id").materialize()
+    queries["repetition_profile_sec"] = round(time.perf_counter() - t0, 3)
+
     # --- temporal operators over the events table --------------------------
     from konlsearch_ray.functions.temporal import (
         asof_join,

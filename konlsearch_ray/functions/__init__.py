@@ -5,6 +5,9 @@ cosine), similarity search (brute-force + bucketed ANN), text analysis
 (language-ID, quality scoring, token counting, fingerprinting),
 multimodal plumbing, temporal operators (tumbling/sliding windows,
 sessionization, as-of / band joins), deterministic hash-based
-splitting/sampling, corpus n-gram stats + benchmark decontamination, and per-key
-exact quantiles — all as Ray Data ``Dataset`` pipelines.
+splitting/sampling (incl. per-group stratified rates), token-budget pack
+assignment (distributed ordered prefix sum), Gopher-style repetition
+profiling, flat-JSON field extraction, corpus n-gram stats + benchmark
+decontamination, per-key exact quantiles, and a resumable partitioned
+Parquet sink — all as Ray Data ``Dataset`` pipelines.
 """

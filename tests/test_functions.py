@@ -644,3 +644,44 @@ def test_json_int_field_nulls_and_negatives(ray_session):
           .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert df["k"][0] == 42 and df["k"][2] == -7
     assert df["k"].isna()[1] and df["k"].isna()[3]
+
+
+def test_resumable_partitioned_sink(ray_session, tmp_path):
+    """Partitioned parquet sink: atomic per-partition commits, rerun
+    skips committed partitions and writes only the missing ones."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from konlsearch_ray.functions.sinks import write_partitioned_parquet
+
+    t = pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "lang": pa.array(["en", "es", "de"] * 20, pa.string()),
+    })
+    out = str(tmp_path / "sink")
+    ds = ray.data.from_arrow(t).repartition(4)
+    r1 = write_partitioned_parquet(ds, out, "lang")
+    assert r1 == {"written": 3, "skipped": 0}
+    got = pq.read_table(f"{out}/lang=en/data.parquet")
+    assert got.num_rows == 20 and set(got["lang"].to_pylist()) == {"en"}
+
+    # rerun: everything committed -> nothing rewritten
+    import os
+    mtime = os.path.getmtime(f"{out}/lang=es/data.parquet")
+    r2 = write_partitioned_parquet(ds, out, "lang")
+    assert r2 == {"written": 0, "skipped": 3}
+    assert os.path.getmtime(f"{out}/lang=es/data.parquet") == mtime
+
+    # crash simulation: one partition lost its marker -> only it rewrites
+    os.remove(f"{out}/lang=de/_SUCCESS")
+    r3 = write_partitioned_parquet(ds, out, "lang")
+    assert r3 == {"written": 1, "skipped": 2}
+    assert pq.read_table(f"{out}/lang=de/data.parquet").num_rows == 20
+
+    # unsafe partition values get escaped tokens
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "src": pa.array(["a/b", "c d"], pa.string())})
+    out2 = str(tmp_path / "sink2")
+    write_partitioned_parquet(ray.data.from_arrow(t2), out2, "src")
+    names = sorted(os.listdir(out2))
+    assert names == ["src=a%2Fb", "src=c%20d"]
