@@ -641,6 +641,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return json_int_field(_events(sf_dir), "props", "k", "event_id")
 
+    def enrich_lookup(sf_dir):
+        # Dimension enrichment WITHOUT a shuffle: nation⋈region folds on
+        # the driver (O(dim)), one ray.put broadcast, the fact table
+        # streams through a single pc.index_in map stage.
+        import pyarrow.parquet as pq
+
+        import ray.data
+        from konlsearch_ray.functions.joins import broadcast_lookup_join
+
+        nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey"
+                          ).select(["n_nationkey", "n_name", "r_name"])
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+        out = broadcast_lookup_join(cust, dim, "c_nationkey", "n_nationkey",
+                                    ["n_name", "r_name"], how="left")
+        return out.drop_columns(["c_nationkey"])
+
+    def chunk_windows(sf_dir):
+        # Pre-embedding context windows: 64-token chunks, stride 32 —
+        # row-expanding single map stage, no shuffle.
+        from konlsearch_ray.functions.chunking import chunk_tokens
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        return chunk_tokens(docs, "text", "doc_id", window=64, stride=32)
+
+    def clean_redact(sf_dir):
+        # Training-text normalization/redaction over the props strings
+        # (the table with digits to redact): sentinel tokens + counts.
+        from konlsearch_ray.functions.text import clean_text
+
+        ev = _events(sf_dir).select_columns(["event_id", "props"])
+        return clean_text(ev, "props", "event_id")
+
+    def top_docs(sf_dir):
+        # Global top-100 docs by size without a global sort: per-block
+        # partial top-k, one O(k·blocks)-row merge task.
+        from konlsearch_ray.functions.stats import global_topk
+
+        dn = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+        return global_topk(
+            dn, [("n_chars", "descending"), ("doc_id", "ascending")], 100)
+
     return {
         "search_and": search_and,
         "search_or": search_or,
@@ -695,6 +740,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": sample_stratified,
         "pack_offset": pack_offset,
         "repetition": repetition,
+        "enrich_lookup": enrich_lookup,
+        "chunk_windows": chunk_windows,
+        "clean_redact": clean_redact,
+        "top_docs": top_docs,
     }
 
 
@@ -1147,6 +1196,42 @@ SELECT t.doc_id::BIGINT AS doc_id, n::BIGINT AS n_tokens,
        (CASE WHEN n >= 2 THEN coalesce(mc, 0) * 10000 // (n - 1)
              ELSE 0 END)::BIGINT AS top_bigram_bp
 FROM tok t LEFT JOIN bm USING (doc_id)""",
+        "enrich_lookup": """SELECT c_custkey::BIGINT AS c_custkey,
+       c_mktsegment, n_name, r_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey""",
+        # Same windowing contract as chunk_tokens: n<=W -> 1 chunk, else
+        # ceil((n-W)/S)+1; chunk k = tokens [k*S, min(k*S+W, n)).
+        "chunk_windows": """WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+x AS (SELECT doc_id, l, len(l) AS n FROM s),
+u AS (SELECT doc_id, l, n,
+      unnest(range(CASE WHEN n <= 64 THEN 1
+                   ELSE (n - 64 + 31) // 32 + 1 END)) AS k FROM x)
+SELECT doc_id::BIGINT AS doc_id, k::BIGINT AS chunk_id,
+       (least(k*32 + 64, n) - k*32)::BIGINT AS n_tokens,
+       array_to_string(l[k*32+1 : least(k*32 + 64, n)], ' ') AS chunk
+FROM u""",
+        # Progressive redaction (URL -> EMAIL -> NUM) so counts never
+        # double-count; RE2 on both engines => identical match spans.
+        "clean_redact": r"""WITH a AS (SELECT event_id,
+  len(regexp_extract_all(props, 'https?://[^\s]+')) AS n_urls,
+  regexp_replace(props, 'https?://[^\s]+', '<URL>', 'g') AS t1 FROM events),
+b AS (SELECT event_id, n_urls,
+  len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+  regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS t2
+  FROM a),
+c AS (SELECT event_id, n_urls, n_emails,
+  len(regexp_extract_all(t2, '[0-9]+')) AS n_nums,
+  regexp_replace(t2, '[0-9]+', '<NUM>', 'g') AS t3 FROM b)
+SELECT event_id::BIGINT AS event_id,
+       trim(regexp_replace(t3, '\s+', ' ', 'g'), ' ') AS text_clean,
+       n_urls::BIGINT AS n_urls, n_emails::BIGINT AS n_emails,
+       n_nums::BIGINT AS n_nums
+FROM c""",
+        "top_docs": """SELECT doc_id::BIGINT AS doc_id,
+       n_chars::BIGINT AS n_chars
+FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100""",
     }
     # fp(doc) = Σ h_i·131^(n-1-i) mod M31 == Horner fold
     # ((h1·131+h2)·131+h3)… — list_reduce reproduces it exactly;

@@ -344,6 +344,39 @@ def run_bench() -> dict:
     repetition_profile(docs_ds2, "text", "doc_id").materialize()
     queries["repetition_profile_sec"] = round(time.perf_counter() - t0, 3)
 
+    # --- chunking, redaction, broadcast enrichment, global top-k -----------
+    from konlsearch_ray.functions.chunking import chunk_tokens
+    from konlsearch_ray.functions.joins import broadcast_lookup_join
+    from konlsearch_ray.functions.stats import global_topk
+    from konlsearch_ray.functions.text import clean_text
+
+    t0 = time.perf_counter()
+    chunk_tokens(docs_ds2.select_columns(["doc_id", "text"]), "text",
+                 "doc_id", window=64, stride=32).materialize()
+    queries["chunk_tokens_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    clean_text(docs_ds2.select_columns(["doc_id", "text"]), "text",
+               "doc_id").materialize()
+    queries["clean_text_sec"] = round(time.perf_counter() - t0, 3)
+    import pyarrow.parquet as _pq
+
+    t0 = time.perf_counter()
+    nation = _pq.read_table(os.path.join(SF_DIR, "nation.parquet"))
+    region = _pq.read_table(os.path.join(SF_DIR, "region.parquet"))
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey"
+                      ).select(["n_nationkey", "n_name", "r_name"])
+    cust = rd.read_parquet(
+        os.path.join(SF_DIR, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    broadcast_lookup_join(cust, dim, "c_nationkey", "n_nationkey",
+                          ["n_name", "r_name"]).materialize()
+    queries["broadcast_enrich_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    global_topk(docs_ds2.select_columns(["doc_id", "n_chars"]),
+                [("n_chars", "descending"), ("doc_id", "ascending")],
+                100).materialize()
+    queries["global_topk_sec"] = round(time.perf_counter() - t0, 3)
+
     # --- temporal operators over the events table --------------------------
     from konlsearch_ray.functions.temporal import (
         asof_join,

@@ -8,6 +8,7 @@ sessionization, as-of / band joins), deterministic hash-based
 splitting/sampling (incl. per-group stratified rates), token-budget pack
 assignment (distributed ordered prefix sum), Gopher-style repetition
 profiling, flat-JSON field extraction, corpus n-gram stats + benchmark
-decontamination, per-key exact quantiles, and a resumable partitioned
-Parquet sink — all as Ray Data ``Dataset`` pipelines.
+decontamination, per-key exact quantiles, a resumable partitioned
+Parquet sink, a zero-shuffle broadcast lookup join, token-window
+chunking, text redaction, and a shuffle-free global top-k — all as Ray Data ``Dataset`` pipelines.
 """

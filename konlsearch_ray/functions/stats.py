@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from konlsearch_ray.functions.blocks import nonempty_blocks
@@ -58,3 +59,33 @@ def grouped_quantiles(
 
     out = ds.groupby(key_col).map_groups(emit, batch_format="pandas")
     return nonempty_blocks(out, tuple([key_col, "n"] + labels))
+
+
+def global_topk(
+    ds: ray.data.Dataset,
+    sort_keys: list[tuple[str, str]],
+    k: int,
+) -> ray.data.Dataset:
+    """Global top-k rows WITHOUT a global sort.
+
+    ``Dataset.sort(...).limit(k)`` range-shuffles every block; for a
+    top-k that is pure waste.  Here each block reduces to its own top-k
+    inside ``map_batches`` (one ``pc.sort_indices`` + ``take`` per
+    block), and the surviving ``k × n_blocks`` rows — k rows per block,
+    independent of data size — collapse in one final merge task
+    (``repartition(1)``).  At 100 TB the exchange volume is O(k·blocks)
+    rows instead of the whole table.
+
+    ``sort_keys``: ``[(col, "ascending"|"descending"), ...]``; include a
+    unique tie-break column (e.g. the ID) for deterministic output.
+    """
+
+    def topk(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        idx = pc.sort_indices(t, sort_keys=sort_keys)[:k]
+        return t.take(idx).replace_schema_metadata(None)
+
+    partial = ds.map_batches(topk, batch_format="pyarrow", batch_size=None)
+    return partial.repartition(1).map_batches(topk, batch_format="pyarrow",
+                                              batch_size=None)

@@ -310,3 +310,50 @@ def json_int_field(
         return pa.table({id_col: t[id_col].cast(pa.int64()), out_col: v})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Redaction patterns: RE2 syntax, which BOTH Arrow and DuckDB compile —
+# the oracle's regexp_replace(..., 'g') is semantics-identical.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+NUM_RE = r"[0-9]+"
+
+
+def clean_text(
+    ds: ray.data.Dataset,
+    content_col: str,
+    id_col: str,
+    url_token: str = "<URL>",
+    email_token: str = "<EMAIL>",
+    num_token: str = "<NUM>",
+) -> ray.data.Dataset:
+    """Normalize/redact text for training: URLs, emails and digit runs
+    become sentinel tokens, whitespace collapses to single spaces, and
+    the result is trimmed — plus per-doc redaction counts (the audit
+    signal a PII/dedup pass wants).
+
+    Pure per-row work: one ``map_batches`` stage, five vectorized RE2
+    kernel passes, no Python loop, no shuffle.  Counts are taken on the
+    progressively-redacted string (an email inside a URL counts as URL
+    only) so engine and oracle agree exactly.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[content_col]
+        n_urls = pc.cast(pc.count_substring_regex(col, URL_RE), pa.int64())
+        col = pc.replace_substring_regex(col, URL_RE, url_token)
+        n_emails = pc.cast(pc.count_substring_regex(col, EMAIL_RE), pa.int64())
+        col = pc.replace_substring_regex(col, EMAIL_RE, email_token)
+        n_nums = pc.cast(pc.count_substring_regex(col, NUM_RE), pa.int64())
+        col = pc.replace_substring_regex(col, NUM_RE, num_token)
+        col = pc.replace_substring_regex(col, r"\s+", " ")
+        col = pc.utf8_trim(col, " ")
+        return pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            "text_clean": col,
+            "n_urls": n_urls,
+            "n_emails": n_emails,
+            "n_nums": n_nums,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

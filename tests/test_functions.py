@@ -685,3 +685,89 @@ def test_resumable_partitioned_sink(ray_session, tmp_path):
     write_partitioned_parquet(ray.data.from_arrow(t2), out2, "src")
     names = sorted(os.listdir(out2))
     assert names == ["src=a%2Fb", "src=c%20d"]
+
+
+def test_broadcast_lookup_join(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.joins import broadcast_lookup_join
+
+    left = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                     "k": pa.array([10, 20, 99, 10], pa.int64())})
+    dim = pa.table({"k": pa.array([10, 20, 30], pa.int64()),
+                    "name": pa.array(["a", "b", "c"], pa.string())})
+    ds = ray.data.from_arrow(left).repartition(2)
+    l = (broadcast_lookup_join(ds, dim, "k", "k", ["name"], how="left")
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    assert l["name"].tolist()[0] == "a" and l["name"].isna()[2]
+    inner = (broadcast_lookup_join(ds, dim, "k", "k", ["name"], how="inner")
+             .to_pandas().sort_values("id").reset_index(drop=True))
+    assert inner["id"].tolist() == [1, 2, 4]
+
+    import pytest as _pt
+    dup = pa.table({"k": pa.array([10, 10], pa.int64()),
+                    "name": pa.array(["a", "b"], pa.string())})
+    with _pt.raises(ValueError, match="not unique"):
+        broadcast_lookup_join(ds, dup, "k", "k", ["name"])
+    with _pt.raises(ValueError, match="collide"):
+        broadcast_lookup_join(ds, dim, "k", "k", ["k"])
+
+
+def test_chunk_tokens_windows(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.chunking import chunk_tokens
+
+    texts = ["a b c", "a b c d", "a b c d e", ""]  # n=3,4,5,1 (split of "")
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (chunk_tokens(ray.data.from_arrow(t), "text", "doc_id", 4, 2)
+           .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    by = {(r.doc_id, r.chunk_id): (r.chunk, r.n_tokens) for r in out.itertuples()}
+    assert by[(0, 0)] == ("a b c", 3)          # n <= window: one chunk
+    assert by[(1, 0)] == ("a b c d", 4)        # n == window: one chunk
+    assert by[(2, 0)] == ("a b c d", 4)        # n=5: two chunks, stride 2
+    assert by[(2, 1)] == ("c d e", 3)
+    assert by[(3, 0)] == ("", 1)               # "" splits to one empty token
+    assert len(out) == 5
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="stride"):
+        chunk_tokens(ray.data.from_arrow(t), "text", "doc_id", 4, 5)
+
+
+def test_clean_text_redaction(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.text import clean_text
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "see https://x.io/a?b=1  and mail bob@x.io now 42 times",
+            "  no  redactions   here  ",
+        ], pa.string()),
+    })
+    df = (clean_text(ray.data.from_arrow(t), "text", "doc_id")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert df["text_clean"][0] == "see <URL> and mail <EMAIL> now <NUM> times"
+    assert (df["n_urls"][0], df["n_emails"][0], df["n_nums"][0]) == (1, 1, 1)
+    assert df["text_clean"][1] == "no redactions here"
+    assert df[["n_urls", "n_emails", "n_nums"]].iloc[1].sum() == 0
+
+
+def test_global_topk(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.stats import global_topk
+
+    t = pa.table({"id": pa.array(range(100), pa.int64()),
+                  "v": pa.array([i % 10 for i in range(100)], pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    top = (global_topk(ds, [("v", "descending"), ("id", "ascending")], 5)
+           .to_pandas())
+    # deterministic: the five smallest ids with v == 9
+    assert top["id"].tolist() == [9, 19, 29, 39, 49]
+    # k larger than the dataset: everything comes back
+    allr = global_topk(ds, [("id", "ascending")], 1000).to_pandas()
+    assert len(allr) == 100 and allr["id"].tolist() == list(range(100))
