@@ -677,6 +677,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _events(sf_dir).select_columns(["event_id", "props"])
         return clean_text(ev, "props", "event_id")
 
+    def distinct_users(sf_dir):
+        # Exact per-type distinct users: per-block distinct pairs (Arrow
+        # C++ group_by) -> one keyed merge; the raw stream never shuffles.
+        from konlsearch_ray.functions.aggregates import distinct_count
+
+        ev = _events(sf_dir).select_columns(["event_type", "user_id"])
+        return distinct_count(ev, "event_type", "user_id")
+
+    def approx_users(sf_dir):
+        # HyperLogLog sketch (2^12 registers) — the sub-linear scale path
+        # beside distinct_users; deterministic splitmix64 hashing, so
+        # rows-only gating still pins exact values. No SQL oracle: the
+        # estimate is approximate by design.
+        from konlsearch_ray.functions.aggregates import approx_distinct
+
+        ev = _events(sf_dir).select_columns(["event_type", "user_id"])
+        return approx_distinct(ev, "event_type", "user_id", p=12)
+
+    def hist_doclen(sf_dir):
+        # Fixed-width doc-length histogram: np.bincount partials, one
+        # O(bins) merge task.
+        from konlsearch_ray.functions.aggregates import histogram
+
+        return histogram(_docs(sf_dir).select_columns(["n_chars"]),
+                         "n_chars", 0, 100, 20)
+
+    def user_top_events(sf_dir):
+        # Per-user top-3 purchases by value: per-block per-key top-k,
+        # then a keyed merge of at most k·blocks rows per key.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from konlsearch_ray.functions.aggregates import grouped_topk
+
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], "purchase"))
+            return pa.table({"user_id": t["user_id"],
+                             "event_id": t["event_id"],
+                             "ts_us": t["ts"].cast(pa.int64()),
+                             "value": t["value"]})
+
+        pur = _events(sf_dir).map_batches(prep, batch_format="pyarrow")
+        return grouped_topk(pur, "user_id",
+                            [("value", "descending"), ("ts_us", "ascending")], 3)
+
+    def tfidf_topk(sf_dir):
+        # Per-doc top-3 keywords by integer tf·idf (tf partials -> df
+        # groupby -> hash join -> grouped top-k).
+        from konlsearch_ray.functions.text import tfidf_keywords
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        return tfidf_keywords(docs, "text", "doc_id", k=3)
+
     def top_docs(sf_dir):
         # Global top-100 docs by size without a global sort: per-block
         # partial top-k, one O(k·blocks)-row merge task.
@@ -744,6 +797,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": chunk_windows,
         "clean_redact": clean_redact,
         "top_docs": top_docs,
+        "distinct_users": distinct_users,
+        "approx_users": approx_users,
+        "hist_doclen": hist_doclen,
+        "user_top_events": user_top_events,
+        "tfidf_topk": tfidf_topk,
     }
 
 
@@ -1232,6 +1290,31 @@ FROM c""",
         "top_docs": """SELECT doc_id::BIGINT AS doc_id,
        n_chars::BIGINT AS n_chars
 FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100""",
+        "distinct_users": """SELECT event_type,
+       COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type""",
+        "hist_doclen": """SELECT least(greatest(n_chars // 100, 0), 19)::BIGINT
+         AS bin,
+       count(*)::BIGINT AS count
+FROM documents GROUP BY 1""",
+        "user_top_events": """SELECT user_id::BIGINT AS user_id,
+       event_id::BIGINT AS event_id, epoch_us(ts)::BIGINT AS ts_us, value
+FROM events WHERE event_type = 'purchase'
+QUALIFY row_number()
+  OVER (PARTITION BY user_id ORDER BY value DESC, epoch_us(ts)) <= 3""",
+        # Integer-only scoring (tf * ((N*1e6) // df)) => bit-identical
+        # ranking across engines; ties break by term asc.
+        "tfidf_topk": f"""WITH {_KEPT}, {_OCC},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       tf.tf * (((SELECT count(*) FROM documents) * 1000000) // df.df)
+         AS score
+       FROM tf JOIN df USING (term))
+SELECT doc_id::BIGINT AS doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
+       score::BIGINT AS score
+FROM sc QUALIFY row_number()
+  OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3""",
     }
     # fp(doc) = Σ h_i·131^(n-1-i) mod M31 == Horner fold
     # ((h1·131+h2)·131+h3)… — list_reduce reproduces it exactly;

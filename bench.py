@@ -377,6 +377,46 @@ def run_bench() -> dict:
                 100).materialize()
     queries["global_topk_sec"] = round(time.perf_counter() - t0, 3)
 
+    # --- distributed aggregates + keyword extraction -----------------------
+    from konlsearch_ray.functions.aggregates import (
+        approx_distinct,
+        distinct_count,
+        grouped_topk,
+        histogram,
+    )
+    from konlsearch_ray.functions.text import tfidf_keywords
+
+    ev_du = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                            columns=["event_type", "user_id"])
+    t0 = time.perf_counter()
+    distinct_count(ev_du, "event_type", "user_id").materialize()
+    queries["distinct_count_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    approx_distinct(ev_du, "event_type", "user_id", p=12).materialize()
+    queries["approx_distinct_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    histogram(docs_ds2.select_columns(["n_chars"]), "n_chars",
+              0, 100, 20).materialize()
+    queries["histogram_sec"] = round(time.perf_counter() - t0, 3)
+    ev_tk = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                            columns=["user_id", "event_id", "ts", "value"])
+
+    def _ev_prep(t):
+        import pyarrow as _pa
+        return _pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                          "ts_us": t["ts"].cast(_pa.int64()),
+                          "value": t["value"]})
+
+    t0 = time.perf_counter()
+    grouped_topk(ev_tk.map_batches(_ev_prep, batch_format="pyarrow"),
+                 "user_id", [("value", "descending"), ("ts_us", "ascending")],
+                 3).materialize()
+    queries["grouped_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    tfidf_keywords(docs_ds2.select_columns(["doc_id", "text"]), "text",
+                   "doc_id", k=3).materialize()
+    queries["tfidf_topk_sec"] = round(time.perf_counter() - t0, 3)
+
     # --- temporal operators over the events table --------------------------
     from konlsearch_ray.functions.temporal import (
         asof_join,

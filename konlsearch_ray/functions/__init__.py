@@ -10,5 +10,7 @@ assignment (distributed ordered prefix sum), Gopher-style repetition
 profiling, flat-JSON field extraction, corpus n-gram stats + benchmark
 decontamination, per-key exact quantiles, a resumable partitioned
 Parquet sink, a zero-shuffle broadcast lookup join, token-window
-chunking, text redaction, and a shuffle-free global top-k — all as Ray Data ``Dataset`` pipelines.
+chunking, text redaction, shuffle-free global and per-key top-k,
+exact + HyperLogLog distinct counting, fixed-width histograms, and
+integer-tf·idf keyword extraction — all as Ray Data ``Dataset`` pipelines.
 """

@@ -1,0 +1,241 @@
+"""Distributed aggregation operators with map-side combine.
+
+Every operator here follows the same 100-TB discipline: reduce INSIDE
+``map_batches`` first (per-block partials whose size is bounded by
+distinct keys / bins / k — not by row count), and only then pay ONE
+keyed exchange (or a single O(partials) merge task) for the final
+answer.  The raw stream never shuffles.
+
+- ``distinct_count``: exact per-key COUNT(DISTINCT value) — per-block
+  distinct (key, value) pairs via Arrow's C++ group_by, then one keyed
+  merge.  The oracle-comparable configuration.
+- ``approx_distinct``: HyperLogLog sketch — the sub-linear scale path
+  for cardinalities too large to co-locate per key.  Sparse register
+  rows (key, register, rho) move instead of values; estimator is the
+  standard HLL bias-corrected harmonic mean with linear-counting fall
+  back for the small range (Flajolet et al. 2007, public algorithm).
+- ``histogram``: fixed-width integer histogram — per-block
+  ``np.bincount`` partials, one tiny merge task (O(bins) rows total).
+- ``grouped_topk``: per-key top-k rows — per-block per-key top-k (one
+  multi-key sort + run-length rank mask, no Python loop), then a keyed
+  groupby applies the SAME kernel to the k·blocks survivors per key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from konlsearch_ray.functions.blocks import nonempty_blocks
+
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.schema:
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def distinct_count(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+) -> ray.data.Dataset:
+    """Exact per-key distinct-value counts.
+
+    Map side reduces each block to its distinct ``(key, value)`` pairs
+    (Arrow C++ hash group-by — vectorized, no Python), so the exchange
+    moves at most one row per distinct pair per block.  The final
+    group task de-dups across blocks with one ``pc.unique``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select([key_col, value_col])
+                .group_by([key_col, value_col]).aggregate([])
+                .replace_schema_metadata(None))
+
+    key_type = _arrow_schema(ds).field(key_col).type
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "n_distinct": pa.array([], pa.int64())})
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty
+        n = len(pc.unique(g[value_col]))
+        return pa.table({key_col: g[key_col][:1],
+                         "n_distinct": pa.array([n], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, (key_col, "n_distinct"), fallback=empty)
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+_SM1 = np.uint64(0x9E3779B97F4A7C15)
+_SM2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain mixing function)."""
+    with np.errstate(over="ignore"):
+        x = (x.astype(np.uint64) + _SM1)
+        x = (x ^ (x >> np.uint64(30))) * _SM2
+        x = (x ^ (x >> np.uint64(27))) * _SM3
+        return x ^ (x >> np.uint64(31))
+
+
+def approx_distinct(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    p: int = 12,
+) -> ray.data.Dataset:
+    """Per-key approximate distinct count (HyperLogLog, 2^p registers).
+
+    Map side emits SPARSE register maxima — at most ``2^p`` rows per
+    (key, block) regardless of row count — so a 100-TB column costs one
+    vocabulary-of-registers exchange.  Deterministic: the value hash is
+    splitmix64, so reruns and different partitionings agree exactly.
+    Integer-valued ``value_col`` only (hash the bytes upstream for
+    strings).  ~1.04/sqrt(2^p) relative error; exact small range via
+    linear counting.
+    """
+    if not (12 <= p <= 16):
+        # p >= 12 keeps the 64-p value bits under 2^53, where the frexp
+        # msb extraction below is exact float64 integer arithmetic.
+        raise ValueError(f"p must be in [12, 16], got {p}")
+    m = 1 << p
+    vbits = 64 - p
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        h = _splitmix64(t[value_col].to_numpy(zero_copy_only=False)
+                        .astype(np.int64).view(np.uint64))
+        reg = (h >> np.uint64(vbits)).astype(np.int64)
+        low = (h & np.uint64((1 << vbits) - 1))
+        # rho = leading zeros of the low vbits + 1; msb position via
+        # frexp — exact because low < 2^52 for p >= 12
+        nz = low > 0
+        msb = np.zeros(len(h), dtype=np.int64)
+        msb[nz] = np.frexp(low[nz].astype(np.float64))[1] - 1
+        rho = np.where(nz, vbits - msb, vbits + 1).astype(np.int64)
+        # reduce to per-(key, reg) max rho: one dictionary encode + sort
+        kd = pc.dictionary_encode(keys.combine_chunks())
+        kidx = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        comb = kidx * m + reg
+        order = np.argsort(comb, kind="stable")
+        cs = comb[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        mx = np.maximum.reduceat(rho[order], starts)
+        u = cs[starts]
+        return pa.table({
+            key_col: pc.take(kd.dictionary, pa.array(u // m, pa.int64())),
+            "reg": pa.array(u % m, pa.int64()),
+            "rho": pa.array(mx, pa.int64()),
+        })
+
+    key_type = _arrow_schema(ds).field(key_col).type
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "n_approx": pa.array([], pa.int64())})
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, g["reg"].to_numpy(zero_copy_only=False),
+                      g["rho"].to_numpy(zero_copy_only=False))
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return pa.table({key_col: g[key_col][:1],
+                         "n_approx": pa.array([int(round(est))], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, (key_col, "n_approx"), fallback=empty)
+
+
+def histogram(
+    ds: ray.data.Dataset,
+    value_col: str,
+    lo: int,
+    width: int,
+    nbins: int,
+) -> ray.data.Dataset:
+    """Fixed-width integer histogram: ``bin = clamp((v - lo) // width)``.
+
+    Per-block ``np.bincount`` partials (≤ nbins rows each, only nonzero
+    bins emitted — matching SQL GROUP BY), merged in one tiny task.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip((v - lo) // width, 0, nbins - 1)
+        cnt = np.bincount(b, minlength=nbins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "count": pa.array(cnt[nz], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        cnt = np.zeros(nbins, dtype=np.int64)
+        np.add.at(cnt, t["bin"].to_numpy(zero_copy_only=False),
+                  t["count"].to_numpy(zero_copy_only=False))
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "count": pa.array(cnt[nz], pa.int64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return part.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+def _topk_within(t: pa.Table, key_col: str,
+                 sort_keys: list[tuple[str, str]], k: int) -> pa.Table:
+    """Keep the top-k rows per key value: one multi-key sort, then a
+    run-length rank mask — no per-key Python loop."""
+    if not t.num_rows:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[(key_col, "ascending"), *sort_keys])
+    t = t.take(idx)
+    kd = pc.dictionary_encode(t[key_col].combine_chunks())
+    codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    change = np.concatenate(([True], codes[1:] != codes[:-1]))
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, len(codes)))
+    rank = np.arange(len(codes)) - np.repeat(starts, lens)
+    return (t.filter(pa.array(rank < k))
+            .replace_schema_metadata(None))
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    key_col: str,
+    sort_keys: list[tuple[str, str]],
+    k: int,
+) -> ray.data.Dataset:
+    """Top-k rows PER KEY without co-locating each key's full row set.
+
+    Stage 1 reduces every block to its own per-key top-k (the partial is
+    bounded by k·distinct-keys-in-block); stage 2 groups the survivors
+    by key — at most k·blocks rows per key — and applies the same
+    kernel.  Include a unique tie-break column in ``sort_keys`` for
+    deterministic output.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _topk_within(t, key_col, sort_keys, k)
+
+    def final(g: pa.Table) -> pa.Table:
+        return _topk_within(g, key_col, sort_keys, k)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby(key_col).map_groups(final, batch_format="pyarrow"))
+    sch = _arrow_schema(ds)
+    return nonempty_blocks(out, tuple(sch.names), fallback=sch.empty_table())

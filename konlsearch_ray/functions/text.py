@@ -357,3 +357,92 @@ def clean_text(
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tfidf_keywords(
+    ds: ray.data.Dataset,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-document top-k keywords by tf·idf.
+
+    The classic IR composition, shaped for scale: (1) per-block per-doc
+    term counts (``tf``) via one combined-key sort — these rows are
+    already the DISTINCT (doc, term) pairs, so (2) ``df`` is a count of
+    that same stream grouped by term (vocabulary-sized exchange), (3) a
+    hash-partitioned join attaches ``df`` back (volume ∝ tf rows), and
+    (4) the per-doc top-k uses the grouped_topk partial+final kernel.
+
+    Scoring is integer-only — ``score = tf * ((N * 1_000_000) // df)``
+    — so any engine (numpy here, SQL window functions in the oracle)
+    reproduces the ranking bit-identically; ties break by term asc.
+    """
+    from konlsearch_ray.functions.aggregates import grouped_topk
+    from konlsearch_ray.functions.blocks import nonempty_blocks, pinned_nonempty
+
+    n_docs = ds.count()
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64())})
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        _counts, doc_idx, codes, dictionary = _doc_coded_arrays(t, content_col)
+        if not len(codes):
+            return empty
+        v = len(dictionary)
+        comb = doc_idx.astype(np.int64) * v + codes.astype(np.int64)
+        order = np.argsort(comb, kind="stable")
+        cs = comb[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        tf = np.diff(np.append(starts, len(cs)))
+        u = cs[starts]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[u // v], pa.int64()),
+            "term": pc.take(dictionary, pa.array(u % v, pa.int64())),
+            "tf": pa.array(tf, pa.int64()),
+        })
+
+    tf_ds, tf_rows = pinned_nonempty(
+        ds.map_batches(tf_batch, batch_format="pyarrow"),
+        (id_col, "term", "tf"), fallback=empty)
+    out_empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+    if not tf_rows:
+        return ray.data.from_arrow(out_empty)
+
+    df_empty = pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+
+    def df_emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return df_empty
+        return pa.table({"term": g["term"][:1],
+                         "df": pa.array([g.num_rows], pa.int64())})
+
+    df_ds = nonempty_blocks(
+        tf_ds.groupby("term").map_groups(df_emit, batch_format="pyarrow"),
+        ("term", "df"), fallback=df_empty)
+
+    j = tf_ds.join(df_ds, "inner", num_partitions=num_partitions,
+                   on=("term",))
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = tf * ((n_docs * 1_000_000) // df)
+        return (t.append_column("score", pa.array(s, pa.int64()))
+                .replace_schema_metadata(None))
+
+    scored, s_rows = pinned_nonempty(
+        j.map_batches(score, batch_format="pyarrow"),
+        (id_col, "term", "tf", "df", "score"), fallback=out_empty)
+    if not s_rows:
+        return ray.data.from_arrow(out_empty)
+    return grouped_topk(scored, id_col,
+                        [("score", "descending"), ("term", "ascending")], k)

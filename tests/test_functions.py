@@ -771,3 +771,92 @@ def test_global_topk(ray_session):
     # k larger than the dataset: everything comes back
     allr = global_topk(ds, [("id", "ascending")], 1000).to_pandas()
     assert len(allr) == 100 and allr["id"].tolist() == list(range(100))
+
+
+def test_distinct_and_approx_distinct(ray_session):
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import approx_distinct, distinct_count
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 3, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 5000, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    exact = (distinct_count(ds, "k", "v").to_pandas()
+             .sort_values("k").reset_index(drop=True))
+    import pandas as pd
+    want = (pd.DataFrame({"k": t["k"].to_numpy(), "v": t["v"].to_numpy()})
+            .groupby("k")["v"].nunique())
+    assert exact["n_distinct"].tolist() == want.tolist()
+
+    approx = (approx_distinct(ds, "k", "v", p=12).to_pandas()
+              .sort_values("k").reset_index(drop=True))
+    rel = abs(approx["n_approx"].to_numpy() - want.to_numpy()) / want.to_numpy()
+    assert rel.max() < 0.05
+    # partition invariance (determinism contract)
+    approx2 = (approx_distinct(ds.repartition(11), "k", "v", p=12).to_pandas()
+               .sort_values("k").reset_index(drop=True))
+    assert approx.equals(approx2)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="p must be"):
+        approx_distinct(ds, "k", "v", p=8)
+
+
+def test_histogram_clamping(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import histogram
+
+    t = pa.table({"v": pa.array([-5, 0, 99, 100, 250, 99999], pa.int64())})
+    h = (histogram(ray.data.from_arrow(t).repartition(3), "v", 0, 100, 3)
+         .to_pandas().sort_values("bin").reset_index(drop=True))
+    # -5 clamps into bin 0; 99999 clamps into the last bin (2)
+    assert h["bin"].tolist() == [0, 1, 2]
+    assert h["count"].tolist() == [3, 1, 2]
+
+
+def test_grouped_topk_ties_and_small_groups(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import grouped_topk
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "v": pa.array([5, 5, 3, 9, 7], pa.int64()),
+        "id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })
+    out = (grouped_topk(ray.data.from_arrow(t).repartition(3), "k",
+                        [("v", "descending"), ("id", "ascending")], 2)
+           .to_pandas().sort_values(["k", "v", "id"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    # key 1: 9 then the id-smaller of the two 5s; key 2: its only row
+    assert out[["k", "v", "id"]].values.tolist() == [[1, 9, 13], [1, 5, 10], [2, 7, 14]]
+
+
+def test_tfidf_keywords_tiny(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.text import tfidf_keywords
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "apple apple banana",
+            "apple cherry",
+            "banana cherry cherry date",
+        ], pa.string()),
+    })
+    out = (tfidf_keywords(ray.data.from_arrow(t).repartition(2),
+                          "text", "doc_id", k=2).to_pandas())
+    # every doc got <= 2 keywords, rarest terms win over common ones
+    top0 = out[out.doc_id == 0].sort_values("score", ascending=False)
+    assert top0.iloc[0]["term"] == "apple"  # tf=2 beats banana tf=1 (same df)
+    top2 = out[out.doc_id == 2].sort_values("score", ascending=False)
+    assert top2.iloc[0]["term"] == "cherry"  # tf=2 ties df, date df=1 tf=1
+    assert (out.groupby("doc_id").size() <= 2).all()
