@@ -730,6 +730,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _docs(sf_dir).select_columns(["doc_id", "text"])
         return tfidf_keywords(docs, "text", "doc_id", k=3)
 
+    def embed_kmeans(sf_dir):
+        # Distributed Lloyd's k-means over the embedding table: per-block
+        # partial sums (O(k·d) per block), driver folds partials in fixed
+        # order, centroids re-broadcast per iteration. No SQL oracle:
+        # iterative float algorithm (rows-only gate).
+        import ray.data
+
+        from konlsearch_ray.functions.clustering import kmeans_assign
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        return kmeans_assign(ds, "embedding", "vec_id", k=8, n_iter=5)
+
     def top_docs(sf_dir):
         # Global top-100 docs by size without a global sort: per-block
         # partial top-k, one O(k·blocks)-row merge task.
@@ -802,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_doclen": hist_doclen,
         "user_top_events": user_top_events,
         "tfidf_topk": tfidf_topk,
+        "embed_kmeans": embed_kmeans,
     }
 
 

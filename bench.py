@@ -416,6 +416,13 @@ def run_bench() -> dict:
     tfidf_keywords(docs_ds2.select_columns(["doc_id", "text"]), "text",
                    "doc_id", k=3).materialize()
     queries["tfidf_topk_sec"] = round(time.perf_counter() - t0, 3)
+    from konlsearch_ray.functions.clustering import kmeans_assign
+
+    emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    t0 = time.perf_counter()
+    kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=5).materialize()
+    queries["kmeans_sec"] = round(time.perf_counter() - t0, 3)
 
     # --- temporal operators over the events table --------------------------
     from konlsearch_ray.functions.temporal import (

@@ -12,5 +12,6 @@ decontamination, per-key exact quantiles, a resumable partitioned
 Parquet sink, a zero-shuffle broadcast lookup join, token-window
 chunking, text redaction, shuffle-free global and per-key top-k,
 exact + HyperLogLog distinct counting, fixed-width histograms, and
-integer-tf·idf keyword extraction — all as Ray Data ``Dataset`` pipelines.
+integer-tf·idf keyword extraction,
+and distributed Lloyd's k-means — all as Ray Data ``Dataset`` pipelines.
 """

@@ -860,3 +860,37 @@ def test_tfidf_keywords_tiny(ray_session):
     top2 = out[out.doc_id == 2].sort_values("score", ascending=False)
     assert top2.iloc[0]["term"] == "cherry"  # tf=2 ties df, date df=1 tf=1
     assert (out.groupby("doc_id").size() <= 2).all()
+
+
+def test_kmeans_matches_sequential_reference(ray_session):
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.clustering import _assign, kmeans_assign
+
+    rng = np.random.default_rng(11)
+    # three well-separated blobs, INTERLEAVED so the k-smallest-id init
+    # seeds one centroid per blob (row i belongs to blob i % 3)
+    blobs = [rng.normal(c, 0.1, (40, 4)) for c in (0.0, 5.0, 10.0)]
+    X = np.stack([blobs[i % 3][i // 3] for i in range(120)])
+    ids = np.arange(len(X))
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(X.astype(np.float32)),
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = (kmeans_assign(ds, "embedding", "vec_id", k=3, n_iter=4)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    Xd = X.astype(np.float32).astype(np.float64)
+    c = Xd[:3].copy()
+    for _ in range(4):
+        a = _assign(Xd, c)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, Xd)
+        cnt = np.bincount(a, minlength=3)
+        c = np.where((cnt > 0)[:, None], sums / np.maximum(cnt, 1)[:, None], c)
+    assert (out["cluster"].to_numpy() == _assign(Xd, c)).all()
+    # blobs must land in three distinct clusters
+    assert out["cluster"].nunique() == 3
+    for blob in range(3):
+        assert out["cluster"][out.index % 3 == blob].nunique() == 1
