@@ -365,19 +365,30 @@ def tfidf_keywords(
     id_col: str,
     k: int = 3,
     num_partitions: int = 8,
+    broadcast_df_max: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Per-document top-k keywords by tf·idf.
 
     The classic IR composition, shaped for scale: (1) per-block per-doc
     term counts (``tf``) via one combined-key sort — these rows are
-    already the DISTINCT (doc, term) pairs, so (2) ``df`` is a count of
-    that same stream grouped by term (vocabulary-sized exchange), (3) a
-    hash-partitioned join attaches ``df`` back (volume ∝ tf rows), and
-    (4) the per-doc top-k uses the grouped_topk partial+final kernel.
+    already the DISTINCT (doc, term) pairs; (2) ``df`` reduces map-side
+    to per-block term counts (Arrow C++ group_by, ≤ vocab rows per
+    block) before any exchange.
 
-    Scoring is integer-only — ``score = tf * ((N * 1_000_000) // df)``
-    — so any engine (numpy here, SQL window functions in the oracle)
-    reproduces the ranking bit-identically; ties break by term asc.
+    Then TWO paths, auto-selected on the measured vocabulary size:
+
+    - **broadcast** (vocab ≤ ``broadcast_df_max``): the folded df table
+      is ``ray.put`` once and every tf block scores + takes its own
+      per-doc top-k LOCALLY — a doc's tf rows never leave their block,
+      so the whole pipeline has ZERO wide exchanges.
+    - **join** (vocab too large to broadcast): hash-partitioned join of
+      tf rows with the df table, then the grouped_topk partial+final
+      kernel — every wide step moves data ∝ tf rows, never raw tokens.
+
+    Both paths produce identical rows.  Scoring is integer-only —
+    ``score = tf * ((N * 1_000_000) // df)`` — so any engine (numpy
+    here, SQL window functions in the oracle) reproduces the ranking
+    bit-identically; ties break by term asc.
     """
     from konlsearch_ray.functions.aggregates import grouped_topk
     from konlsearch_ray.functions.blocks import nonempty_blocks, pinned_nonempty
@@ -416,18 +427,66 @@ def tfidf_keywords(
     if not tf_rows:
         return ray.data.from_arrow(out_empty)
 
-    df_empty = pa.table({"term": pa.array([], pa.string()),
-                         "df": pa.array([], pa.int64())})
+    def df_partial(t: pa.Table) -> pa.Table:
+        # tf rows ARE the distinct (doc, term) pairs, so a per-block
+        # count by term is a df partial — ≤ vocab rows per block
+        out = t.select(["term"]).group_by("term").aggregate([("term", "count")])
+        return (out.rename_columns(["term", "pdf"])
+                .replace_schema_metadata(None))
 
+    from konlsearch_ray.functions.blocks import nonempty_refs
+
+    refs, partial_rows = nonempty_refs(
+        tf_ds.map_batches(df_partial, batch_format="pyarrow").materialize())
+
+    if partial_rows <= broadcast_df_max:
+        # Broadcast path: fold the vocab-sized partials on the driver,
+        # ray.put once; a second streaming pass over the DOCUMENT rows
+        # re-derives tf, scores and takes the per-doc top-k inside one
+        # UDF — a doc is a single input row, so its term rows can never
+        # straddle a block boundary, and nothing wide runs at all.
+        from konlsearch_ray.functions.aggregates import _topk_within
+
+        folded = (pa.concat_tables([ray.get(r) for r in refs])
+                  .group_by("term").aggregate([("pdf", "sum")])
+                  .rename_columns(["term", "df"]))
+        df_ref = ray.put(folded.combine_chunks())
+
+        def score_topk(t: pa.Table) -> pa.Table:
+            tf_t = tf_batch(t)
+            if not tf_t.num_rows:
+                return out_empty
+            dft = ray.get(df_ref)
+            idx = pc.index_in(tf_t["term"], value_set=dft["term"])
+            dfv = (pc.take(dft["df"], idx)
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+            tf = tf_t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = tf * ((n_docs * 1_000_000) // dfv)
+            tf_t = (tf_t.append_column("df", pa.array(dfv, pa.int64()))
+                    .append_column("score", pa.array(s, pa.int64())))
+            return _topk_within(
+                tf_t, id_col,
+                [("score", "descending"), ("term", "ascending")], k)
+
+        return ds.map_batches(score_topk, batch_format="pyarrow")
+
+    # Join path (vocabulary too large to broadcast): fold partials with
+    # one vocab-sized groupby, hash-join df back onto the tf rows, then
+    # the grouped_topk partial+final kernel.
     def df_emit(g: pa.Table) -> pa.Table:
         if not g.num_rows:
-            return df_empty
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        tot = pc.sum(g["pdf"]).as_py()
         return pa.table({"term": g["term"][:1],
-                         "df": pa.array([g.num_rows], pa.int64())})
+                         "df": pa.array([tot], pa.int64())})
 
     df_ds = nonempty_blocks(
-        tf_ds.groupby("term").map_groups(df_emit, batch_format="pyarrow"),
-        ("term", "df"), fallback=df_empty)
+        ray.data.from_arrow_refs(refs)
+        .groupby("term").map_groups(df_emit, batch_format="pyarrow"),
+        ("term", "df"),
+        fallback=pa.table({"term": pa.array([], pa.string()),
+                           "df": pa.array([], pa.int64())}))
 
     j = tf_ds.join(df_ds, "inner", num_partitions=num_partitions,
                    on=("term",))
