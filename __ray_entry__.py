@@ -730,6 +730,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _docs(sf_dir).select_columns(["doc_id", "text"])
         return tfidf_keywords(docs, "text", "doc_id", k=3)
 
+    def pivot_user(sf_dir):
+        # Long→wide pivot: per-user counts + exact integer-cent sums per
+        # event type (filter-first, map-side partials, one keyed merge).
+        from konlsearch_ray.functions.aggregates import pivot_counts
+
+        ev = _events(sf_dir).select_columns(["user_id", "event_type", "value"])
+        return pivot_counts(ev, "user_id", "event_type",
+                            ["click", "purchase", "view"], "value")
+
     def embed_kmeans(sf_dir):
         # Distributed Lloyd's k-means over the embedding table: per-block
         # partial sums (O(k·d) per block), driver folds partials in fixed
@@ -817,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_events": user_top_events,
         "tfidf_topk": tfidf_topk,
         "embed_kmeans": embed_kmeans,
+        "pivot_user": pivot_user,
     }
 
 
@@ -1330,6 +1340,20 @@ SELECT doc_id::BIGINT AS doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
        score::BIGINT AS score
 FROM sc QUALIFY row_number()
   OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3""",
+        # Filter-first pivot; money doubles summed as round(v*100) int64
+        # cents => order-independent exact sums in both engines.
+        "pivot_user": """SELECT user_id::BIGINT AS user_id,
+  count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+  count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+  count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+  coalesce(sum(CAST(round(value * 100) AS BIGINT))
+           FILTER (event_type = 'click'), 0)::BIGINT AS cents_click,
+  coalesce(sum(CAST(round(value * 100) AS BIGINT))
+           FILTER (event_type = 'purchase'), 0)::BIGINT AS cents_purchase,
+  coalesce(sum(CAST(round(value * 100) AS BIGINT))
+           FILTER (event_type = 'view'), 0)::BIGINT AS cents_view
+FROM events WHERE event_type IN ('click', 'purchase', 'view')
+GROUP BY user_id""",
     }
     # fp(doc) = Σ h_i·131^(n-1-i) mod M31 == Horner fold
     # ((h1·131+h2)·131+h3)… — list_reduce reproduces it exactly;

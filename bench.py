@@ -423,6 +423,14 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=5).materialize()
     queries["kmeans_sec"] = round(time.perf_counter() - t0, 3)
+    from konlsearch_ray.functions.aggregates import pivot_counts
+
+    ev_pv = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                            columns=["user_id", "event_type", "value"])
+    t0 = time.perf_counter()
+    pivot_counts(ev_pv, "user_id", "event_type",
+                 ["click", "purchase", "view"], "value").materialize()
+    queries["pivot_counts_sec"] = round(time.perf_counter() - t0, 3)
 
     # --- temporal operators over the events table --------------------------
     from konlsearch_ray.functions.temporal import (

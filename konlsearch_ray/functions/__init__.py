@@ -13,5 +13,5 @@ Parquet sink, a zero-shuffle broadcast lookup join, token-window
 chunking, text redaction, shuffle-free global and per-key top-k,
 exact + HyperLogLog distinct counting, fixed-width histograms, and
 integer-tf·idf keyword extraction,
-and distributed Lloyd's k-means — all as Ray Data ``Dataset`` pipelines.
+distributed Lloyd's k-means, and a long→wide pivot — all as Ray Data ``Dataset`` pipelines.
 """

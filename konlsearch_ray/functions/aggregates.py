@@ -239,3 +239,70 @@ def grouped_topk(
            .groupby(key_col).map_groups(final, batch_format="pyarrow"))
     sch = _arrow_schema(ds)
     return nonempty_blocks(out, tuple(sch.names), fallback=sch.empty_table())
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    cat_col: str,
+    categories: list[str],
+    value_col: str | None = None,
+) -> ray.data.Dataset:
+    """Wide conditional aggregation: one row per key with per-category
+    counts (``n_<cat>``) and, when ``value_col`` is given, exact
+    integer-cent sums (``cents_<cat>``) — the long→wide pivot over a
+    FIXED category list.
+
+    Rows outside ``categories`` are dropped first (filter-first
+    semantics: keys with no in-category rows emit nothing).  Map side
+    reduces each block to ≤ keys·categories partial rows via Arrow C++
+    group_by; one keyed merge fans the partials into the wide columns
+    with ``np.bincount`` weights.  Money-typed doubles are summed as
+    ``round(value·100)`` int64 cents, so sums are exact and
+    engine-order-independent.
+    """
+    cats = pa.array(categories, pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[cat_col], value_set=cats))
+        cols = [key_col, cat_col]
+        aggs = [(cat_col, "count")]
+        if value_col is not None:
+            cents = np.rint(t[value_col].to_numpy(zero_copy_only=False)
+                            .astype(np.float64) * 100).astype(np.int64)
+            t = t.append_column("cents", pa.array(cents, pa.int64()))
+            cols.append("cents")
+            aggs.append(("cents", "sum"))
+        out = t.select(cols).group_by([key_col, cat_col]).aggregate(aggs)
+        names = [key_col, cat_col, "n"] + (["cents"] if value_col else [])
+        return out.rename_columns(names).replace_schema_metadata(None)
+
+    key_type = _arrow_schema(ds).field(key_col).type
+    out_cols = {key_col: pa.array([], key_type)}
+    for c in categories:
+        out_cols[f"n_{c}"] = pa.array([], pa.int64())
+    if value_col is not None:
+        for c in categories:
+            out_cols[f"cents_{c}"] = pa.array([], pa.int64())
+    empty = pa.table(out_cols)
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty
+        ci = pc.index_in(g[cat_col], value_set=cats).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = np.bincount(ci, weights=g["n"].to_numpy(zero_copy_only=False),
+                        minlength=len(categories)).astype(np.int64)
+        row = {key_col: g[key_col][:1]}
+        for j, c in enumerate(categories):
+            row[f"n_{c}"] = pa.array([n[j]], pa.int64())
+        if value_col is not None:
+            s = np.bincount(ci, weights=g["cents"].to_numpy(zero_copy_only=False),
+                            minlength=len(categories)).astype(np.int64)
+            for j, c in enumerate(categories):
+                row[f"cents_{c}"] = pa.array([s[j]], pa.int64())
+        return pa.table(row)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, tuple(out_cols), fallback=empty)

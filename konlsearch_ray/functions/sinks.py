@@ -52,14 +52,21 @@ def write_partitioned_parquet(
     ds: ray.data.Dataset,
     out_dir: str,
     partition_col: str,
+    format: str = "parquet",
 ) -> dict:
-    """Write ``ds`` as ``out_dir/<col>=<token>/data.parquet``, one
+    """Write ``ds`` as ``out_dir/<col>=<token>/data.<ext>``, one
     atomic commit per partition value; reruns skip committed partitions.
+
+    ``format``: ``"parquet"`` (columnar, default) or ``"jsonl"`` (one
+    JSON object per row — the interchange format most text-pipeline
+    consumers expect).  Same resume contract for both.
 
     Returns ``{"written": n_new_partitions, "skipped": n_already_done}``.
     Partition count should be cluster-scale (key ranges, dates, shards,
     buckets) — the driver holds one token string per partition.
     """
+    if format not in ("parquet", "jsonl"):
+        raise ValueError(f"format must be 'parquet' or 'jsonl', got {format!r}")
     os.makedirs(out_dir, exist_ok=True)
     done = finished_partitions(out_dir, partition_col)
     done_arr = pa.array(sorted(done), pa.string())
@@ -93,9 +100,15 @@ def write_partitioned_parquet(
         token = _part_token(g[partition_col][0].as_py())
         pdir = os.path.join(out_dir, f"{partition_col}={token}")
         os.makedirs(pdir, exist_ok=True)
-        path = os.path.join(pdir, "data.parquet")
+        ext = "parquet" if format == "parquet" else "jsonl"
+        path = os.path.join(pdir, f"data.{ext}")
         tmp = path + ".tmp"
-        pq.write_table(g, tmp)
+        if format == "parquet":
+            pq.write_table(g, tmp)
+        else:
+            # vectorized row-JSON via pandas (C-implemented serializer)
+            g.to_pandas().to_json(tmp, orient="records", lines=True,
+                                  force_ascii=False)
         os.replace(tmp, path)
         with open(os.path.join(pdir, "_SUCCESS"), "w") as f:
             f.write(str(g.num_rows))

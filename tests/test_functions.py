@@ -894,3 +894,53 @@ def test_kmeans_matches_sequential_reference(ray_session):
     assert out["cluster"].nunique() == 3
     for blob in range(3):
         assert out["cluster"][out.index % 3 == blob].nunique() == 1
+
+
+def test_pivot_counts(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import pivot_counts
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "c": pa.array(["a", "a", "b", "zz", "b"], pa.string()),
+        "v": pa.array([1.25, 2.00, 0.10, 99.0, 3.33], pa.float64()),
+    })
+    out = (pivot_counts(ray.data.from_arrow(t).repartition(3), "k", "c",
+                        ["a", "b"], "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # key 2 only has an out-of-list category -> filtered out entirely
+    assert out["k"].tolist() == [1, 3]
+    assert out[["n_a", "n_b"]].values.tolist() == [[2, 1], [0, 1]]
+    assert out[["cents_a", "cents_b"]].values.tolist() == [[325, 10], [0, 333]]
+    # count-only mode has no cents columns
+    out2 = pivot_counts(ray.data.from_arrow(t), "k", "c", ["a", "b"]).to_pandas()
+    assert sorted(out2.columns) == ["k", "n_a", "n_b"]
+
+
+def test_partitioned_sink_jsonl(ray_session, tmp_path):
+    import json
+    import os
+
+    import ray.data
+
+    from konlsearch_ray.functions.sinks import write_partitioned_parquet
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "lang": pa.array(["en", "en", "de"], pa.string()),
+                  "text": pa.array(["héllo", "b", "c"], pa.string())})
+    out = str(tmp_path / "jl")
+    r = write_partitioned_parquet(ray.data.from_arrow(t), out, "lang",
+                                  format="jsonl")
+    assert r == {"written": 2, "skipped": 0}
+    lines = open(f"{out}/lang=en/data.jsonl", encoding="utf-8").read().splitlines()
+    rows = sorted((json.loads(l) for l in lines), key=lambda d: d["doc_id"])
+    assert rows[0] == {"doc_id": 1, "lang": "en", "text": "héllo"}
+    # resume contract identical to parquet mode
+    r2 = write_partitioned_parquet(ray.data.from_arrow(t), out, "lang",
+                                   format="jsonl")
+    assert r2 == {"written": 0, "skipped": 2}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="format"):
+        write_partitioned_parquet(ray.data.from_arrow(t), out, "lang",
+                                  format="csv")
