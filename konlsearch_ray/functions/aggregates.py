@@ -87,6 +87,16 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
+def _rho_of_low(low: np.ndarray, vbits: int) -> np.ndarray:
+    """HLL rho: leading zeros of the low ``vbits`` bits, plus one.
+    Exact for vbits <= 52 (frexp exponent of an exactly-representable
+    integer).  Pure kernel, property-tested against int.bit_length."""
+    nz = low > 0
+    msb = np.zeros(len(low), dtype=np.int64)
+    msb[nz] = np.frexp(low[nz].astype(np.float64))[1] - 1
+    return np.where(nz, vbits - msb, vbits + 1).astype(np.int64)
+
+
 def approx_distinct(
     ds: ray.data.Dataset,
     key_col: str,
@@ -116,12 +126,7 @@ def approx_distinct(
                         .astype(np.int64).view(np.uint64))
         reg = (h >> np.uint64(vbits)).astype(np.int64)
         low = (h & np.uint64((1 << vbits) - 1))
-        # rho = leading zeros of the low vbits + 1; msb position via
-        # frexp — exact because low < 2^52 for p >= 12
-        nz = low > 0
-        msb = np.zeros(len(h), dtype=np.int64)
-        msb[nz] = np.frexp(low[nz].astype(np.float64))[1] - 1
-        rho = np.where(nz, vbits - msb, vbits + 1).astype(np.int64)
+        rho = _rho_of_low(low, vbits)
         # reduce to per-(key, reg) max rho: one dictionary encode + sort
         kd = pc.dictionary_encode(keys.combine_chunks())
         kidx = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -42,36 +42,43 @@ def chunk_tokens(
         raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
 
     def fn(batch: pa.Table) -> pa.Table:
-        col = batch[content_col].combine_chunks()
-        if col.null_count:
-            raise ValueError(f"{content_col} must be non-null for chunking")
-        toks = pc.split_pattern(col, pattern=" ")
-        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        values = toks.values
-        n = np.diff(offsets)
-        n_chunks = np.where(n <= window, 1, (n - window + stride - 1) // stride + 1)
-        total_chunks = int(n_chunks.sum())
-        row_rep = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
-        k_local = (np.arange(total_chunks, dtype=np.int64)
-                   - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
-        starts = k_local * stride
-        ends = np.minimum(starts + window, n[row_rep])
-        lens = ends - starts
-        chunk_off = np.concatenate(([0], np.cumsum(lens)))
-        # gather index of every chunk token in the flat values array
-        idx = (np.repeat(offsets[row_rep] + starts, lens)
-               + np.arange(chunk_off[-1], dtype=np.int64)
-               - np.repeat(chunk_off[:-1], lens))
-        taken = pc.take(values, pa.array(idx, pa.int64()))
-        if isinstance(taken, pa.ChunkedArray):
-            taken = taken.combine_chunks()
-        chunk_list = pa.ListArray.from_arrays(
-            pa.array(chunk_off, pa.int32()), taken)
-        return pa.table({
-            id_col: pc.take(batch[id_col], pa.array(row_rep, pa.int64())),
-            "chunk_id": pa.array(k_local, pa.int64()),
-            "n_tokens": pa.array(lens, pa.int64()),
-            "chunk": pc.binary_join(chunk_list, " "),
-        })
+        return chunk_table(batch, content_col, id_col, window, stride)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_table(batch: pa.Table, content_col: str, id_col: str,
+                window: int, stride: int) -> pa.Table:
+    """Pure per-table chunking kernel (the map_batches body) — exposed
+    for property tests and composition."""
+    col = batch[content_col].combine_chunks()
+    if col.null_count:
+        raise ValueError(f"{content_col} must be non-null for chunking")
+    toks = pc.split_pattern(col, pattern=" ")
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = toks.values
+    n = np.diff(offsets)
+    n_chunks = np.where(n <= window, 1, (n - window + stride - 1) // stride + 1)
+    total_chunks = int(n_chunks.sum())
+    row_rep = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    k_local = (np.arange(total_chunks, dtype=np.int64)
+               - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+    starts = k_local * stride
+    ends = np.minimum(starts + window, n[row_rep])
+    lens = ends - starts
+    chunk_off = np.concatenate(([0], np.cumsum(lens)))
+    # gather index of every chunk token in the flat values array
+    idx = (np.repeat(offsets[row_rep] + starts, lens)
+           + np.arange(chunk_off[-1], dtype=np.int64)
+           - np.repeat(chunk_off[:-1], lens))
+    taken = pc.take(values, pa.array(idx, pa.int64()))
+    if isinstance(taken, pa.ChunkedArray):
+        taken = taken.combine_chunks()
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(chunk_off, pa.int32()), taken)
+    return pa.table({
+        id_col: pc.take(batch[id_col], pa.array(row_rep, pa.int64())),
+        "chunk_id": pa.array(k_local, pa.int64()),
+        "n_tokens": pa.array(lens, pa.int64()),
+        "chunk": pc.binary_join(chunk_list, " "),
+    })

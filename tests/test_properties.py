@@ -115,3 +115,78 @@ def test_oracle_boolean_invariants(docs):
             assert ph_r <= and_r
             if not o.postings.get(a):
                 assert and_r == set()
+
+
+# --- round-3 operator kernels (pure, no Ray) -------------------------------
+
+texts_st = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=12)
+
+
+@given(texts_st, st.integers(1, 6), st.data())
+@settings(max_examples=100, deadline=None)
+def test_chunk_table_matches_slicing_reference(texts, window, data):
+    import pyarrow as pa
+
+    from konlsearch_ray.functions.chunking import chunk_table
+
+    stride = data.draw(st.integers(1, window))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = chunk_table(t, "text", "doc_id", window, stride)
+    got = list(zip(out["doc_id"].to_pylist(), out["chunk_id"].to_pylist(),
+                   out["n_tokens"].to_pylist(), out["chunk"].to_pylist()))
+    exp = []
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ")
+        n = len(toks)
+        n_chunks = 1 if n <= window else (n - window + stride - 1) // stride + 1
+        for k in range(n_chunks):
+            seg = toks[k * stride:k * stride + window]
+            exp.append((i, k, len(seg), " ".join(seg)))
+    assert got == exp
+    # coverage: every token position lands in at least one chunk
+    for i, txt in enumerate(texts):
+        n = len(txt.split(" "))
+        covered = set()
+        for (d, k, ln, _c) in got:
+            if d == i:
+                covered.update(range(k * stride, k * stride + ln))
+        assert covered == set(range(n))
+
+
+@given(st.lists(st.integers(0, 2**52 - 1), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_hll_rho_matches_bit_length(lows):
+    from konlsearch_ray.functions.aggregates import _rho_of_low
+
+    vbits = 52
+    rho = _rho_of_low(np.array(lows, dtype=np.uint64), vbits)
+    exp = [vbits - (v.bit_length() - 1) if v > 0 else vbits + 1
+           for v in map(int, lows)]
+    assert rho.tolist() == exp
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(-100, 100),
+                       st.integers(0, 10**6)), min_size=1, max_size=300),
+    st.integers(1, 4),
+)
+@settings(max_examples=100, deadline=None)
+def test_topk_within_matches_pandas_reference(rows, k):
+    import pandas as pd
+    import pyarrow as pa
+
+    from konlsearch_ray.functions.aggregates import _topk_within
+
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                  "v": pa.array([r[1] for r in rows], pa.int64()),
+                  "id": pa.array([r[2] for r in rows], pa.int64())})
+    got = _topk_within(t, "k", [("v", "descending"), ("id", "ascending")], k)
+    gdf = got.to_pandas().sort_values(["k", "v", "id"],
+                                      ascending=[True, False, True])
+    ref = (pd.DataFrame({"k": t["k"].to_numpy(), "v": t["v"].to_numpy(),
+                         "id": t["id"].to_numpy()})
+           .sort_values(["k", "v", "id"], ascending=[True, False, True])
+           .groupby("k").head(k))
+    assert gdf.values.tolist() == ref.values.tolist()
