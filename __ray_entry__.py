@@ -1242,9 +1242,11 @@ SELECT l.user_id::BIGINT AS user_id, l.t::BIGINT AS ts_us,
 FROM l JOIN r ON l.user_id = r.user_id
   AND r.t BETWEEN l.t - 3600000000 AND l.t + 3600000000""",
         # Same anchored-regex semantics as the engine's fast path (flat
-        # JSON only), so a malformed/missing field nulls identically.
+        # JSON only; the [{,] anchor keeps quoted keys inside string
+        # values from matching), so a malformed/missing field nulls
+        # identically.
         "json_field": r"""SELECT event_id::BIGINT AS event_id,
-       CAST(nullif(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '')
+       CAST(nullif(regexp_extract(props, '[{,]\s*"k"\s*:\s*(-?\d+)', 1), '')
             AS BIGINT) AS k
 FROM events""",
         "sample_stratified": """WITH b AS (SELECT doc_id, lang,

@@ -28,13 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from konlsearch_ray.functions.blocks import nonempty_blocks
-
-
-
-def _arrow_schema(ds: ray.data.Dataset) -> pa.schema:
-    s = ds.schema()
-    return pa.schema(list(zip(s.names, s.types)))
+from konlsearch_ray.functions.blocks import (arrow_schema as _arrow_schema,
+                                             nonempty_blocks)
 
 
 def distinct_count(
@@ -62,7 +57,9 @@ def distinct_count(
     def emit(g: pa.Table) -> pa.Table:
         if not g.num_rows:
             return empty
-        n = len(pc.unique(g[value_col]))
+        # SQL COUNT(DISTINCT) semantics: null is not a value — a key whose
+        # only value is null still appears, with count 0.
+        n = len(pc.drop_null(pc.unique(g[value_col])))
         return pa.table({key_col: g[key_col][:1],
                          "n_distinct": pa.array([n], pa.int64())})
 
@@ -179,7 +176,11 @@ def histogram(
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # Null rows are excluded (SQL: NULL arithmetic yields NULL, which
+        # GROUP BY keeps in its own group — not silently folded into bin
+        # 0, which is what NaN→int64 conversion would do here).
+        v = (pc.drop_null(t[value_col])
+             .to_numpy(zero_copy_only=False).astype(np.int64))
         b = np.clip((v - lo) // width, 0, nbins - 1)
         cnt = np.bincount(b, minlength=nbins)
         nz = np.flatnonzero(cnt)
@@ -296,14 +297,18 @@ def pivot_counts(
             return empty
         ci = pc.index_in(g[cat_col], value_set=cats).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        n = np.bincount(ci, weights=g["n"].to_numpy(zero_copy_only=False),
-                        minlength=len(categories)).astype(np.int64)
+        # np.add.at on int64 accumulators — bincount's float64 weights
+        # path would round once a (key, category) total passed 2^53,
+        # breaking the exact-integer-cents guarantee.
+        n = np.zeros(len(categories), dtype=np.int64)
+        np.add.at(n, ci, g["n"].to_numpy(zero_copy_only=False).astype(np.int64))
         row = {key_col: g[key_col][:1]}
         for j, c in enumerate(categories):
             row[f"n_{c}"] = pa.array([n[j]], pa.int64())
         if value_col is not None:
-            s = np.bincount(ci, weights=g["cents"].to_numpy(zero_copy_only=False),
-                            minlength=len(categories)).astype(np.int64)
+            s = np.zeros(len(categories), dtype=np.int64)
+            np.add.at(s, ci, g["cents"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
             for j, c in enumerate(categories):
                 row[f"cents_{c}"] = pa.array([s[j]], pa.int64())
         return pa.table(row)

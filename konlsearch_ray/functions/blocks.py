@@ -18,7 +18,27 @@ reach a join at all.
 from __future__ import annotations
 
 import pyarrow as pa
+import ray
 import ray.data
+
+
+def default_nbuckets() -> int:
+    """Bucket count for the house bucketed-groupby pattern: a few
+    buckets per cluster CPU (enough parallelism, small enough that the
+    per-bucket merge state stays trivial)."""
+    return max(16, 4 * int(ray.cluster_resources().get("CPU", 4)))
+
+
+def arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """Dataset schema as a real ``pyarrow.Schema`` — unwraps Ray's lazy
+    schema wrapper (``base_schema``) when present."""
+    s = ds.schema(fetch_if_missing=True)
+    if isinstance(s, pa.Schema):
+        return s
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(s.names, s.types)))
 
 
 def nonempty_refs(ds: ray.data.Dataset) -> tuple[list, int]:

@@ -37,11 +37,9 @@ import ray
 import ray.data
 from ray.data.aggregate import Max, Min
 
-from konlsearch_ray.functions.blocks import nonempty_blocks
-
-
-def _default_nbuckets() -> int:
-    return max(16, 4 * int(ray.cluster_resources().get("CPU", 4)))
+from konlsearch_ray.functions.blocks import (default_nbuckets as
+                                             _default_nbuckets,
+                                             nonempty_blocks)
 
 
 def pack_by_offset(

@@ -32,8 +32,18 @@ _SAFE = re.compile(r"[^A-Za-z0-9_.\-]")
 
 
 def _part_token(v) -> str:
-    """Filesystem-safe token for a partition value (hive-style dirs)."""
-    return _SAFE.sub(lambda m: f"%{ord(m.group(0)[0]):02X}", str(v))
+    """Filesystem-safe, INJECTIVE token for a partition value
+    (hive-style dirs).  Null maps to the reserved ``__null__``; any
+    string value whose escaped form would start with ``__`` gets its
+    first character percent-escaped, so no value can collide with the
+    reserved token (or with each other: null and the literal string
+    ``'None'`` are different partitions, not one clobbered directory)."""
+    if v is None:
+        return "__null__"
+    tok = _SAFE.sub(lambda m: f"%{ord(m.group(0)[0]):02X}", str(v))
+    if tok.startswith("__"):
+        tok = f"%{ord(tok[0]):02X}" + tok[1:]
+    return tok
 
 
 def finished_partitions(out_dir: str, partition_col: str) -> set[str]:
@@ -67,28 +77,37 @@ def write_partitioned_parquet(
     """
     if format not in ("parquet", "jsonl"):
         raise ValueError(f"format must be 'parquet' or 'jsonl', got {format!r}")
+    if "__part_token" in (ds.schema().names or []):
+        raise ValueError("column name '__part_token' is reserved by the sink")
     os.makedirs(out_dir, exist_ok=True)
     done = finished_partitions(out_dir, partition_col)
     done_arr = pa.array(sorted(done), pa.string())
 
-    def drop_finished(t: pa.Table) -> pa.Table:
-        if not len(done):
-            return t
-        tok = pc.cast(t[partition_col], pa.string())
-        # tokens differ from raw values only for unsafe chars; re-derive
-        # per distinct value in the batch (dictionary-sized)
-        denc = tok.combine_chunks().dictionary_encode()
+    def tokenize_and_drop(t: pa.Table) -> pa.Table:
+        # The groupby key is the TOKEN, not the raw value: tokens are
+        # never null (Ray's sort shuffle cannot range-partition a null
+        # key), and deriving them once here keeps the resume filter and
+        # the commit directory name from ever disagreeing.  Token
+        # derivation is per DISTINCT value in the batch (dictionary-
+        # sized), vectorized back over the rows.
+        col = pc.cast(t[partition_col], pa.string()).combine_chunks()
+        denc = col.dictionary_encode()
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
         toks = pa.array([_part_token(v) for v in denc.dictionary.to_pylist()],
                         pa.string())
-        keep_val = pc.invert(pc.is_in(toks, value_set=done_arr))
-        keep = pc.take(keep_val, pc.fill_null(denc.indices, 0))
-        if denc.indices.null_count:
-            keep = pc.or_(keep, pc.is_null(denc.indices))
-        return t.filter(keep)
-
-    def strip_meta(t: pa.Table) -> pa.Table:
+        idx = denc.indices
+        if len(toks):
+            tok_col = toks.take(pc.fill_null(idx, 0))
+            if idx.null_count:
+                tok_col = pc.if_else(pc.is_null(idx),
+                                     pa.scalar(_part_token(None)), tok_col)
+        else:  # all-null batch
+            tok_col = pa.array([_part_token(None)] * len(col), pa.string())
+        t = t.append_column("__part_token", tok_col)
+        if len(done):
+            t = t.filter(pc.invert(
+                pc.is_in(t["__part_token"], value_set=done_arr)))
         # parquet-read tables carry schema metadata, which is unhashable
         # and makes the hash-shuffle log "Failed to hash the schemas"
         return t.replace_schema_metadata(None)
@@ -97,7 +116,8 @@ def write_partitioned_parquet(
         if not g.num_rows:  # bypassed empty shuffle partition
             return pa.table({"partition": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
-        token = _part_token(g[partition_col][0].as_py())
+        token = g["__part_token"][0].as_py()
+        g = g.drop_columns(["__part_token"])
         pdir = os.path.join(out_dir, f"{partition_col}={token}")
         os.makedirs(pdir, exist_ok=True)
         ext = "parquet" if format == "parquet" else "jsonl"
@@ -115,8 +135,7 @@ def write_partitioned_parquet(
         return pa.table({"partition": pa.array([token], pa.string()),
                          "rows": pa.array([g.num_rows], pa.int64())})
 
-    out = (ds.map_batches(drop_finished, batch_format="pyarrow")
-           .map_batches(strip_meta, batch_format="pyarrow")
-           .groupby(partition_col).map_groups(commit, batch_format="pyarrow"))
+    out = (ds.map_batches(tokenize_and_drop, batch_format="pyarrow")
+           .groupby("__part_token").map_groups(commit, batch_format="pyarrow"))
     written = sum(1 for _ in out.take_all() if _.get("partition"))
     return {"written": written, "skipped": len(done)}

@@ -34,14 +34,13 @@ import ray
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
-from konlsearch_ray.functions.blocks import nonempty_blocks
+from konlsearch_ray.functions.blocks import (arrow_schema as _arrow_schema,
+                                             default_nbuckets as
+                                             _default_nbuckets,
+                                             nonempty_blocks)
 from konlsearch_ray.functions.dedup import _string_bucket_hash
 
 US = 1_000_000  # microseconds per second
-
-
-def _default_nbuckets() -> int:
-    return max(16, 4 * int(ray.cluster_resources().get("CPU", 4)))
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -170,6 +169,7 @@ def _window_agg_finish(
 ) -> ray.data.Dataset:
     """Shared tail of the window aggregates: global merge of the
     per-batch partials + typed output projection."""
+    in_sch = _arrow_schema(ds)
     agg = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["win"] + keys)
              .aggregate(Sum("n", alias_name="n"),
@@ -189,9 +189,16 @@ def _window_agg_finish(
         return pa.table(cols)
 
     out = agg.map_batches(finish, batch_format="pyarrow")
-    cols = tuple(["win_start"] + keys + ["n", "sum_cents",
-                                         "min_value", "max_value"])
-    return nonempty_blocks(out, cols)
+    fallback = pa.table({
+        "win_start": pa.array([], pa.int64()),
+        **{k: pa.array([], in_sch.field(k).type) for k in keys},
+        "n": pa.array([], pa.int64()),
+        "sum_cents": pa.array([], pa.int64()),
+        "min_value": pa.array([], pa.float64()),
+        "max_value": pa.array([], pa.float64()),
+    })
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)
 
 
 # --------------------------------------------------------------------------
@@ -264,18 +271,21 @@ def sessionize(
 
     out = (ds.map_batches(prep, batch_format="pyarrow")
              .groupby("bucket").map_groups(emit, batch_format="pandas"))
-    return nonempty_blocks(out, (key_col, "session_seq", "session_start_us",
-                                 "session_end_us", "n_events"))
+    ktyp = _arrow_schema(ds).field(key_col).type
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "session_seq": pa.array([], pa.int64()),
+        "session_start_us": pa.array([], pa.int64()),
+        "session_end_us": pa.array([], pa.int64()),
+        "n_events": pa.array([], pa.int64()),
+    })
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)
 
 
 # --------------------------------------------------------------------------
 # Shared two-sided bucketed union (as-of + band joins)
 # --------------------------------------------------------------------------
-
-def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
-    s = ds.schema(fetch_if_missing=True)
-    return getattr(s, "base_schema", s)
-
 
 def _union_sides(
     left: ray.data.Dataset,
@@ -293,10 +303,25 @@ def _union_sides(
     prefixed right payload columns (each null on the other side) — add
     the key bucket, and union. One pass over each side, no shuffle yet.
     """
+    lout = set(left_cols)
+    rout = {right_prefix + c for c in right_cols}
     reserved = {"__k", "__t", "__side", "bucket"}
-    bad = reserved & (set(left_cols) | {right_prefix + c for c in right_cols})
+    bad = reserved & (lout | rout)
     if bad:
         raise ValueError(f"payload columns collide with internal names: {bad}")
+    # A left payload colliding with a prefixed right payload (or either
+    # with the join's own output columns) would silently null/overwrite
+    # the data in norm()/emit() — refuse instead.
+    overlap = lout & rout
+    if overlap:
+        raise ValueError(
+            f"left payload columns collide with prefixed right payload "
+            f"columns: {overlap} (pick a different right_prefix)")
+    out_reserved = {key_col, "ts_us", right_prefix + "ts_us"}
+    bad = out_reserved & (lout | rout)
+    if bad:
+        raise ValueError(
+            f"payload columns collide with join output columns: {bad}")
     lsch, rsch = _arrow_schema(left), _arrow_schema(right)
     ltypes = {c: lsch.field(c).type for c in left_cols}
     rtypes = {right_prefix + c: rsch.field(c).type for c in right_cols}
@@ -326,7 +351,7 @@ def _union_sides(
     rds = right.map_batches(
         norm(right_ts, 0, rtypes, right_cols, ltypes, right_prefix),
         batch_format="pyarrow")
-    return lds.union(rds), {**ltypes, **rtypes}
+    return lds.union(rds), {**ltypes, **rtypes}, lsch.field(key_col).type
 
 
 def _composite(codes: np.ndarray, t_rel: np.ndarray,
@@ -368,13 +393,21 @@ def asof_join(
     """
     right_ts = right_ts or left_ts
     nbuckets = nbuckets or _default_nbuckets()
-    unioned, ptypes = _union_sides(
+    unioned, ptypes, ktyp = _union_sides(
         left, right, key_col, left_ts, right_ts,
         left_cols, right_cols, right_prefix, nbuckets)
     tol_us = None if tolerance_s is None else int(tolerance_s * US)
     out_names = ([key_col, "ts_us"] + list(left_cols)
                  + [right_prefix + "ts_us"]
                  + [right_prefix + c for c in right_cols])
+    out_fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "ts_us": pa.array([], pa.int64()),
+        **{c: pa.array([], ptypes[c]) for c in left_cols},
+        right_prefix + "ts_us": pa.array([], pa.int64()),
+        **{right_prefix + c: pa.array([], ptypes[right_prefix + c])
+           for c in right_cols},
+    })
 
     def emit(g: pa.Table) -> pa.Table:
         def empty() -> pa.Table:
@@ -452,7 +485,7 @@ def asof_join(
         return pa.table(cols)
 
     out = unioned.groupby("bucket").map_groups(emit, batch_format="pyarrow")
-    return nonempty_blocks(out, tuple(out_names))
+    return nonempty_blocks(out, tuple(out_names), fallback=out_fallback)
 
 
 def band_join(
@@ -488,16 +521,34 @@ def band_join(
     """
     right_ts = right_ts or left_ts
     nbuckets = nbuckets or _default_nbuckets()
-    unioned, ptypes = _union_sides(
+    if mode == "count" and "n_matches" in left_cols:
+        raise ValueError(
+            "left payload column 'n_matches' collides with the count "
+            "output column")
+    unioned, ptypes, ktyp = _union_sides(
         left, right, key_col, left_ts, right_ts,
         left_cols, right_cols, right_prefix, nbuckets)
     lo_us, hi_us = int(round(lo_s * US)), int(round(hi_s * US))
     if mode == "count":
         out_names = [key_col, "ts_us"] + list(left_cols) + ["n_matches"]
+        out_fallback = pa.table({
+            key_col: pa.array([], ktyp),
+            "ts_us": pa.array([], pa.int64()),
+            **{c: pa.array([], ptypes[c]) for c in left_cols},
+            "n_matches": pa.array([], pa.int64()),
+        })
     else:
         out_names = ([key_col, "ts_us"] + list(left_cols)
                      + [right_prefix + "ts_us"]
                      + [right_prefix + c for c in right_cols])
+        out_fallback = pa.table({
+            key_col: pa.array([], ktyp),
+            "ts_us": pa.array([], pa.int64()),
+            **{c: pa.array([], ptypes[c]) for c in left_cols},
+            right_prefix + "ts_us": pa.array([], pa.int64()),
+            **{right_prefix + c: pa.array([], ptypes[right_prefix + c])
+               for c in right_cols},
+        })
 
     def emit(g: pa.Table) -> pa.Table:
         def empty() -> pa.Table:
@@ -577,4 +628,4 @@ def band_join(
         return pa.table(cols)
 
     out = unioned.groupby("bucket").map_groups(emit, batch_format="pyarrow")
-    return nonempty_blocks(out, tuple(out_names))
+    return nonempty_blocks(out, tuple(out_names), fallback=out_fallback)

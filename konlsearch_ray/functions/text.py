@@ -298,11 +298,16 @@ def json_int_field(
     path is spec'd for non-nested numeric fields only (the regex
     anchors on the quoted key, so it cannot cross into nested objects
     that repeat the key — callers with such schemas need the parser).
+
+    The key match requires a preceding ``{`` or ``,``: inside a valid
+    JSON string VALUE every quote is escaped (``\\"``) and therefore
+    preceded by a backslash, so the anchor cannot fire on a quoted key
+    that merely appears as text inside another field's value.
     """
     import re as _re
 
     out_col = out_col or key
-    pattern = f'"{_re.escape(key)}"\\s*:\\s*(?P<v>-?\\d+)'
+    pattern = f'[{{,]\\s*"{_re.escape(key)}"\\s*:\\s*(?P<v>-?\\d+)'
 
     def fn(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t[col], pattern)
