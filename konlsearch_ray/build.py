@@ -423,6 +423,48 @@ def _winner_filter(t: pa.Table, dup_shas, winner_keys, key_cols: list[str]) -> p
     return t.filter(pc.fill_null(keep, True)).drop_columns(["__dedup_key"])
 
 
+def _tie_break_dups(ds: ray.data.Dataset, dup_shas) -> ray.data.Dataset:
+    """Collapse winner-key TIES left by ``_winner_filter``: rows of a
+    duplicate sha whose canonical keys are identical (e.g. the same
+    source row ingested twice) all pass the winner filter, but first-wins
+    owes exactly ONE row per sha. Unique-sha rows stream through
+    untouched; only duplicate-sha rows — duplicate volume, not corpus
+    volume — pay one keyed exchange, where each sha group keeps its
+    deterministic first row (sorted by every orderable column, so fully
+    identical rows and store-col variants both resolve reproducibly,
+    independent of partitioning)."""
+    if len(dup_shas) == 0:
+        return ds
+
+    def split(keep_dups: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t["content_sha256"], value_set=dup_shas)
+            return t.filter(m if keep_dups else pc.invert(m))
+        return fn
+
+    uniq = ds.map_batches(split(False), batch_format="pyarrow")
+    dups = ds.map_batches(split(True), batch_format="pyarrow")
+
+    def first_row(g: pa.Table) -> pa.Table:
+        if g.num_rows <= 1:
+            return g
+        keys = [(f.name, "ascending") for f in g.schema
+                if not (pa.types.is_nested(f.type)
+                        or pa.types.is_dictionary(f.type))]
+        if keys:
+            return g.take(pc.sort_indices(g, sort_keys=keys)[:1])
+        return g.slice(0, 1)
+
+    from konlsearch_ray.functions.blocks import nonempty_blocks
+
+    grouped = (dups.groupby("content_sha256")
+               .map_groups(first_row, batch_format="pyarrow"))
+    # Bypassed 0-row shuffle partitions would reach write_parquet with a
+    # stale schema — rebuild from the non-empty block refs (refs only).
+    grouped = nonempty_blocks(grouped, ("content_sha256",))
+    return uniq.union(grouped)
+
+
 # Above this many input rows the driver-side dedup pass (which pulls one
 # light (sha) column to the driver) hands off to the shuffle-based
 # pre-pass. ~64 B/row → ~3 GB driver heap at the threshold.
@@ -666,7 +708,10 @@ def _write_index_meta(index_dir: str, cfg: IndexConfig) -> None:
         "shard_size": cfg.shard_size,
         "content_col": cfg.content_col,
         "id_col": cfg.id_col,
-        "sort_keys": cfg.sort_keys,
+        # id_col mode has NO canonical sort — persisting the cfg default
+        # (repo/path/commit) would make append reorder by columns the
+        # index never had (and KeyError when they're absent).
+        "sort_keys": [] if cfg.id_col is not None else cfg.sort_keys,
         "store_cols": cfg.store_cols,
         "dedup": cfg.dedup,
         "version": 1,
@@ -677,12 +722,41 @@ def _write_index_meta(index_dir: str, cfg: IndexConfig) -> None:
     os.replace(tmp, os.path.join(index_dir, "index_meta.json"))
 
 
+def _restore_cfg_from_meta(index_dir: str, cfg: IndexConfig) -> bool:
+    """Overwrite ``cfg``'s layout/canonical-order fields from the
+    persisted ``index_meta.json``. Layout parameters are properties of
+    the INDEX, not the call: a resume or append running with a different
+    (e.g. default) cfg must not fragment shards, reorder by the wrong
+    keys, or flip dedup. Returns True when a meta file existed."""
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as f:
+        meta = json.load(f)
+    cfg.shard_size = int(meta["shard_size"])
+    cfg.content_col = meta["content_col"]
+    if "id_col" in meta:
+        cfg.id_col = meta["id_col"]
+    if "sort_keys" in meta:
+        cfg.sort_keys = list(meta["sort_keys"] or [])
+    if meta.get("store_cols") is not None:
+        cfg.store_cols = list(meta["store_cols"])
+    # Dedup is a property of the index: an index built with dedup=False
+    # must also ingest duplicate content on append (pre-flag indexes
+    # default to True, the old behavior).
+    cfg.dedup = bool(meta.get("dedup", True))
+    return True
+
+
 def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
     docs_dir = os.path.join(index_dir, "docs")
     marker = os.path.join(index_dir, "_DOCS_DONE")
-    _write_index_meta(index_dir, cfg)
     if os.path.exists(marker):
+        # Completed docs phase: this is a resume/refresh — the on-disk
+        # layout wins over the caller's cfg (which build_index already
+        # restored from meta); never rewrite meta out of sync with it.
         return {}
+    _write_index_meta(index_dir, cfg)
     if os.path.isdir(docs_dir):
         # A prior run died after writing part of docs/ but before the
         # marker. Block names are not stable across runs (UUIDs on the
@@ -717,6 +791,7 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
                 _winner_filter, batch_format="pyarrow",
                 fn_kwargs={"dup_shas": dup_shas, "winner_keys": winner_keys,
                            "key_cols": cfg.sort_keys})
+            ds = _tie_break_dups(ds, dup_shas)
         ds = _sorted_dedup_ids(ds, cfg.sort_keys, cfg.id_start, dedup=False)
     else:
         if cfg.dedup:
@@ -725,6 +800,7 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
                 _winner_filter, batch_format="pyarrow",
                 fn_kwargs={"dup_shas": dup_shas, "winner_keys": winner_keys,
                            "key_cols": [cfg.id_col]})
+            ds = _tie_break_dups(ds, dup_shas)
         if cfg.id_col != "doc_id":
             ds = ds.rename_columns({cfg.id_col: "doc_id"})
 
@@ -883,6 +959,12 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None) -> dict:
 
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
+    if os.path.exists(os.path.join(index_dir, "_DOCS_DONE")):
+        # Resuming an existing index: layout parameters come from the
+        # persisted meta, not the caller's (possibly default) cfg — a
+        # mismatched shard_size would rebuild postings misaligned with
+        # the docstore partitions.
+        _restore_cfg_from_meta(index_dir, cfg)
     t0 = time.perf_counter()
     docs_sub = _docs_phase(source, index_dir, cfg)
     t1 = time.perf_counter()
@@ -988,8 +1070,10 @@ def append_documents(
     mid-wave leaves whole rows only; re-running the same append skips the
     rows that landed (their shas now conflict) and ingests the rest under
     fresh ids — no duplication, though ids can differ from an
-    uninterrupted run. The invalidated shards' postings rebuild
-    idempotently on the next append/build.
+    uninterrupted run. Touched shards' manifests are invalidated BEFORE
+    any row lands, and every append run (even an all-CONFLICT rerun)
+    executes the idempotent postings phase, so no crash point can leave
+    landed rows docstore-only and unsearchable.
     """
     import uuid as _uuid
 
@@ -999,20 +1083,7 @@ def append_documents(
     # fragment the layout or reorder by the wrong keys (an id_col-mode
     # index has sort_keys=[], a default cfg would wrongly sort by
     # repo/path/commit).
-    meta_path = os.path.join(index_dir, "index_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        cfg.shard_size = int(meta["shard_size"])
-        cfg.content_col = meta["content_col"]
-        if "sort_keys" in meta:
-            cfg.sort_keys = list(meta["sort_keys"] or [])
-        if meta.get("store_cols") is not None:
-            cfg.store_cols = list(meta["store_cols"])
-        # Dedup is a property of the index: an index built with
-        # dedup=False must also ingest duplicate content on append
-        # (pre-flag indexes default to True, the old behavior).
-        cfg.dedup = bool(meta.get("dedup", True))
+    _restore_cfg_from_meta(index_dir, cfg)
     docs_dir = os.path.join(index_dir, "docs")
     max_id = _max_doc_id(index_dir, docs_dir)
 
@@ -1127,10 +1198,29 @@ def append_documents(
         statuses, os.path.join(log_dir, f"append-{run_id}.parquet"))
 
     if n_new == 0:
+        # Still run the (idempotent, cheap-when-clean) postings phase: a
+        # PRIOR append may have crashed after its docstore writes landed
+        # but before its postings rebuilt — this rerun sees those rows as
+        # CONFLICTs, and skipping the rebuild would leave them docstore-
+        # only (present but unsearchable) forever.
+        _postings_phase(index_dir, cfg)
         stats = _finalize(index_dir)
         stats["appended"] = 0
         stats["statuses"] = statuses
         return stats
+
+    # Invalidate the touched shards' manifests BEFORE any doc row lands:
+    # if the run dies mid-wave, the stale manifests are already gone, so
+    # the next append/build rebuilds exactly those segments over whatever
+    # rows landed — no crash window in which docs exist without postings
+    # and nothing is marked stale.
+    new_ids = ids_sorted[keep_sorted]
+    touched = sorted(set(((new_ids - 1) // cfg.shard_size).tolist()))
+    mf_dir = os.path.join(index_dir, "manifests")
+    for s in touched:
+        mf = os.path.join(mf_dir, f"shard-{int(s):06d}.json")
+        if os.path.exists(mf):
+            os.remove(mf)
 
     # --- parallel fused write wave (same shape as the build docs phase) -
     keep = np.empty(n_in, dtype=bool)
@@ -1150,14 +1240,6 @@ def append_documents(
         off += n
     ray.get(waves)
     _write_id_counter(index_dir, max_id + n_new)
-
-    new_ids = ids_sorted[keep_sorted]
-    touched = sorted(set(((new_ids - 1) // cfg.shard_size).tolist()))
-    mf_dir = os.path.join(index_dir, "manifests")
-    for s in touched:
-        mf = os.path.join(mf_dir, f"shard-{int(s):06d}.json")
-        if os.path.exists(mf):
-            os.remove(mf)
     _postings_phase(index_dir, cfg)
     stats = _finalize(index_dir)
     stats["appended"] = n_new

@@ -22,6 +22,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 
 class DocStore:
@@ -34,6 +35,7 @@ class DocStore:
         from konlsearch_ray.tombstone import load_tombstones
 
         self._dead = load_tombstones(index_dir)
+        self._n_dead_live: int | None = None  # memoized live-dead count
 
     def _shard_dirs(self, shards: set[int] | None) -> list[str]:
         out = []
@@ -173,7 +175,27 @@ class DocStore:
         return ds
 
     def __len__(self) -> int:
-        """Live doc count (reference __len__, index.py:457-463)."""
+        """Live doc count (reference __len__, index.py:457-463).
+
+        Only tombstones that name an EXISTING doc reduce the count —
+        deleting a never-assigned id must not skew it (IndexReader.n_docs
+        applies the same isin-against-doclens rule, so the two live-count
+        surfaces agree). The intersect is memoized; doclens are the light
+        per-shard (doc_id, doc_len) files, not the docstore rows."""
         with open(os.path.join(self.index_dir, "stats.json")) as f:
             n = json.load(f)["N"]
-        return int(n) - len(self._dead)
+        if not len(self._dead):
+            return int(n)
+        if self._n_dead_live is None:
+            dl_dir = os.path.join(self.index_dir, "doclens")
+            parts = [
+                pq.read_table(os.path.join(dl_dir, f),
+                              columns=["doc_id"])["doc_id"].to_numpy()
+                for f in (sorted(os.listdir(dl_dir))
+                          if os.path.isdir(dl_dir) else [])
+                if f.endswith(".parquet")
+            ]
+            self._n_dead_live = (
+                int(np.isin(self._dead, np.concatenate(parts)).sum())
+                if parts else len(self._dead))
+        return int(n) - self._n_dead_live

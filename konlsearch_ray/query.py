@@ -549,11 +549,11 @@ class IndexReader:
                 theta = -np.partition(-cand_scores, k - 1)[k - 1]
         if len(cand_ids) == 0:
             return []
-        sel = (np.argpartition(-cand_scores, k - 1)
-               if len(cand_ids) > k else np.arange(len(cand_ids)))
         if len(cand_ids) > k:
             thresh = -np.partition(-cand_scores, k - 1)[k - 1]
             sel = np.flatnonzero(cand_scores >= thresh)
+        else:
+            sel = np.arange(len(cand_ids))
         top = sorted(sel.tolist(), key=lambda i: (-cand_scores[i], cand_ids[i]))[:k]
         return [(int(cand_ids[i]), float(cand_scores[i])) for i in top]
 

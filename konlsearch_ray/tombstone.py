@@ -186,7 +186,18 @@ def compact_index(index_dir: str) -> dict:
 
     from konlsearch_ray.build import _finalize, _max_doc_id, _write_id_counter
 
-    dead = load_tombstones(index_dir)
+    # Snapshot the tombstone FILES, not just the id set: batches written
+    # while the rewrite runs (a concurrent delete_docs) are not reflected
+    # in this compaction and must survive it — clearing the whole
+    # directory at the end would silently resurrect those docs.
+    ts_dir = os.path.join(index_dir, TOMBSTONE_DIR)
+    snap_files = ([n for n in sorted(os.listdir(ts_dir))
+                   if n.endswith(".parquet")]
+                  if os.path.isdir(ts_dir) else [])
+    parts = [pq.read_table(os.path.join(ts_dir, n))["doc_id"].to_numpy()
+             for n in snap_files]
+    dead = (np.unique(np.concatenate(parts)).astype(np.int64)
+            if parts else np.array([], dtype=np.int64))
     if len(dead) == 0:
         return _finalize(index_dir)
     # Persist the id high-water mark BEFORE rows leave the docstore, so a
@@ -225,8 +236,10 @@ def compact_index(index_dir: str) -> dict:
     ray.get([rewrite_file.remote(p, dead_ref) for p in doc_files])
 
     stats = _finalize(index_dir)
-    ts_dir = os.path.join(index_dir, TOMBSTONE_DIR)
-    for n in os.listdir(ts_dir):
+    for n in snap_files:  # only the batches this compaction consumed
         os.remove(os.path.join(ts_dir, n))
-    os.rmdir(ts_dir)
+    try:
+        os.rmdir(ts_dir)  # succeeds only if no new batches arrived
+    except OSError:
+        pass
     return stats

@@ -1,0 +1,161 @@
+"""Regression tests for the core-engine review findings: resume must not
+rewrite index meta, id_col-mode append, the append crash window (docs
+landed, postings never rebuilt), winner-key tie-break on the huge-scale
+dedup path, concurrent-delete survival across compaction, and DocStore
+live-count vs bogus tombstones."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from konlsearch_ray.build import IndexConfig, append_documents, build_index
+from konlsearch_ray.corpus import write_corpus
+from konlsearch_ray.query import IndexReader
+
+
+def test_resume_with_default_cfg_keeps_index_layout(ray_session, tmp_path):
+    """Re-running build_index with a different (default) cfg on a
+    completed index must keep the persisted layout, not rewrite meta out
+    of sync with the on-disk shards."""
+    corpus = write_corpus(str(tmp_path / "c"), 150, seed=31)
+    idx = str(tmp_path / "i")
+    s1 = build_index(corpus, idx, IndexConfig(shard_size=40))
+    s2 = build_index(corpus, idx)  # resume/refresh, default cfg
+    with open(os.path.join(idx, "index_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["shard_size"] == 40
+    assert s2["N"] == s1["N"]
+    from konlsearch_ray.docstore import DocStore
+
+    assert DocStore(idx).get(5) is not None  # shard math still aligned
+
+
+def test_id_col_mode_meta_and_append(ray_session, tmp_path):
+    """An id_col-mode index persists sort_keys=[] so append neither
+    KeyErrors on absent repo/path/commit columns nor reorders."""
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma delta", "epsilon zeta"]),
+    })
+    import ray.data
+
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(content_col="text", id_col="id", dedup=True,
+                      shard_size=8)
+    build_index(ray.data.from_arrow(t), idx, cfg)
+    with open(os.path.join(idx, "index_meta.json")) as f:
+        assert json.load(f)["sort_keys"] == []
+    more = pa.table({
+        "id": pa.array([100], pa.int64()),
+        "text": pa.array(["zzappendid fresh tokens"]),
+    })
+    out = append_documents(idx, ray.data.from_arrow(more))
+    assert out["appended"] == 1
+    r = IndexReader(idx)
+    assert r.search(["zzappendid"], "OR") == [4]  # dense tail id, not 100
+
+
+def test_append_rerun_rebuilds_orphaned_postings(ray_session, tmp_path):
+    """Simulated crash: an append's docstore rows landed but its touched
+    shard's manifest+segment were never (re)built. Re-running the same
+    append hits the all-CONFLICT path, which must still run the postings
+    phase so the landed rows become searchable."""
+    import ray.data
+
+    corpus = write_corpus(str(tmp_path / "c"), 120, seed=33)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, IndexConfig(shard_size=64))
+    new = pa.table({
+        "repo": pa.array(["org/new"]), "path": pa.array(["a.py"]),
+        "commit": pa.array(["c" * 40]), "lang": pa.array(["python"]),
+        "content": pa.array(["zzorphan tokens here"], pa.large_string()),
+    })
+    out = append_documents(idx, ray.data.from_arrow(new))
+    (shard,) = out["touched_shards"]
+    # simulate the crash window: docs are on disk, postings state is gone
+    os.remove(os.path.join(idx, "manifests", f"shard-{shard:06d}.json"))
+    os.remove(os.path.join(idx, "segments", f"shard-{shard:06d}.parquet"))
+    out2 = append_documents(idx, ray.data.from_arrow(new))
+    assert out2["appended"] == 0  # all rows CONFLICT against landed docs
+    r = IndexReader(idx)
+    assert len(r.search(["zzorphan"], "OR")) == 1
+
+
+def test_huge_path_dedup_collapses_identical_key_ties(
+        ray_session, tmp_path, monkeypatch):
+    """Rows identical in sha AND canonical key (same row ingested twice)
+    must still dedup to one doc on the shuffle (huge-corpus) path, like
+    the driver-rank path does."""
+    import konlsearch_ray.build as B
+
+    corpus = write_corpus(str(tmp_path / "c"), 80, seed=35)
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(corpus, n) for n in sorted(os.listdir(corpus))
+             if n.endswith(".parquet")]
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    doubled = pa.concat_tables([t, t])  # every row duplicated, keys equal
+    src = str(tmp_path / "doubled")
+    os.makedirs(src)
+    pq.write_table(doubled, os.path.join(src, "part-0.parquet"))
+
+    idx_small = str(tmp_path / "i_small")
+    s_small = build_index(src, idx_small, IndexConfig(shard_size=64))
+
+    monkeypatch.setattr(B, "DEDUP_DRIVER_MAX_ROWS", 0)  # force huge path
+    idx_huge = str(tmp_path / "i_huge")
+    s_huge = build_index(src, idx_huge, IndexConfig(shard_size=64))
+    # both paths keep exactly one row per distinct content (the corpus
+    # itself may contain native duplicates, so compare paths, not rows)
+    assert s_huge["N"] == s_small["N"] <= t.num_rows
+    # identical index content: same per-term stats on both paths
+    r1, r2 = IndexReader(idx_small), IndexReader(idx_huge)
+    for tok in r1.sample_terms(10):
+        a = r1.postings(tok)[0]
+        b = r2.postings(tok)[0]
+        assert len(a) == len(b)
+
+
+def test_compaction_preserves_concurrent_tombstones(
+        ray_session, tmp_path, monkeypatch):
+    """A delete that lands while compaction is rewriting must survive the
+    tombstone-table cleanup (only the snapshot batches are cleared)."""
+    import konlsearch_ray.build as B
+    from konlsearch_ray.tombstone import (compact_index, delete_docs,
+                                          load_tombstones)
+
+    corpus = write_corpus(str(tmp_path / "c"), 100, seed=37)
+    idx = str(tmp_path / "i")
+    n0 = build_index(corpus, idx, IndexConfig(shard_size=64))["N"]
+    delete_docs(idx, [1])
+
+    real_finalize = B._finalize
+
+    def finalize_with_concurrent_delete(index_dir):
+        delete_docs(index_dir, [2])  # lands mid-compaction
+        return real_finalize(index_dir)
+
+    monkeypatch.setattr(B, "_finalize", finalize_with_concurrent_delete)
+    compact_index(idx)
+    monkeypatch.setattr(B, "_finalize", real_finalize)
+    remaining = load_tombstones(idx)
+    assert remaining.tolist() == [2]  # the concurrent delete survived
+    # doc 1 was physically compacted away; doc 2 is masked at read time
+    r = IndexReader(idx)
+    assert r.n_docs == n0 - 2
+
+
+def test_docstore_len_ignores_bogus_tombstones(ray_session, tmp_path):
+    from konlsearch_ray.docstore import DocStore
+    from konlsearch_ray.tombstone import delete_docs
+
+    corpus = write_corpus(str(tmp_path / "c"), 60, seed=39)
+    idx = str(tmp_path / "i")
+    stats = build_index(corpus, idx, IndexConfig(shard_size=64))
+    delete_docs(idx, [999_999])  # never-assigned id
+    assert len(DocStore(idx)) == stats["N"]
+    delete_docs(idx, [1])
+    assert len(DocStore(idx)) == stats["N"] - 1
+    assert IndexReader(idx).n_docs == stats["N"] - 1  # surfaces agree
