@@ -14,7 +14,10 @@ import shutil
 
 
 def index_path(root: str, name: str) -> str:
-    if "/" in name or name.startswith("."):
+    # Reject anything that could escape (or BE) the root: an empty name
+    # would make destroy_index rmtree the whole catalog.
+    if (not name or "/" in name or "\\" in name or name.startswith(".")
+            or name != name.strip()):
         raise ValueError(f"invalid index name: {name!r}")
     return os.path.join(root, name)
 

@@ -66,6 +66,35 @@ def _grouped_topk_merge(parts_ds: ray.data.Dataset, k: int) -> pa.Table:
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
+def _gather_queries(
+    ds: ray.data.Dataset, query_ids: list[int], id_col: str, vec_col: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One filtered pass collecting the (small) query vectors, returned
+    id-sorted and L2-normalized — the broadcast side of every ANN path."""
+    qset = sorted(set(int(q) for q in query_ids))
+    q_rows = ds.filter(expr=f"{id_col} in {qset}").to_pandas()
+    q_ids = q_rows[id_col].to_numpy().astype(np.int64)
+    q_mat = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in q_rows[vec_col]]))
+    order = np.argsort(q_ids)
+    return q_ids[order], q_mat[order]
+
+
+def _emit_topk(out_q, out_n, out_s, qid: int, s: np.ndarray,
+               nid: np.ndarray, k: int) -> None:
+    """Append one query's partial top-k (self already masked OUT of s/nid
+    — masking, not -inf poisoning, so a short candidate list can never
+    surface the query as its own neighbor)."""
+    if not len(s):
+        return
+    kk = min(k, len(s))
+    top = (np.argpartition(-s, kk - 1)[:kk]
+           if kk < len(s) else np.arange(len(s)))
+    out_q.extend([qid] * len(top))
+    out_n.extend(nid[top])
+    out_s.extend(s[top])
+
+
 def ann_topk(
     ds: ray.data.Dataset,
     query_ids: list[int],
@@ -81,16 +110,7 @@ def ann_topk(
     IN the Dataset (the driver sees exactly k·Q rows regardless of block
     count). Ties broken by ascending neighbor id via lexsort.
     """
-    qset = set(int(q) for q in query_ids)
-    q_rows = ds.filter(
-        expr=f"{id_col} in {sorted(qset)}"
-    ).to_pandas()
-    q_ids = q_rows[id_col].to_numpy().astype(np.int64)
-    q_mat = _normalize(np.stack(
-        [np.asarray(v, dtype=np.float64) for v in q_rows[vec_col]]))
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], q_mat[order]
-    q_ref = ray.put((q_ids, q_mat))
+    q_ref = ray.put(_gather_queries(ds, query_ids, id_col, vec_col))
 
     def partial(batch: pa.Table) -> pa.Table:
         qi, qm = ray.get(q_ref)
@@ -98,14 +118,10 @@ def ann_topk(
         m = _normalize(_matrix(batch, vec_col))
         sims = qm @ m.T  # (nq, nb)
         out_q, out_n, out_s = [], [], []
-        kk = min(k, sims.shape[1])
         for i in range(len(qi)):
-            s = sims[i].copy()
-            s[ids == qi[i]] = -np.inf  # exclude self
-            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
-            out_q.extend([qi[i]] * len(top))
-            out_n.extend(ids[top])
-            out_s.extend(s[top])
+            not_self = ids != qi[i]
+            _emit_topk(out_q, out_n, out_s, qi[i],
+                       sims[i][not_self], ids[not_self], k)
         return pa.table(
             {"qid": pa.array(out_q, pa.int64()),
              "neighbor": pa.array(out_n, pa.int64()),
@@ -139,29 +155,8 @@ def ivf_topk(
     cluster scale the natural layout keys the dataset by centroid id so
     probing reads only ``n_probe/n_centroids`` of the blocks.
     """
-    qset = set(int(q) for q in query_ids)
-    q_rows = ds.filter(expr=f"{id_col} in {sorted(qset)}").to_pandas()
-    q_ids = q_rows[id_col].to_numpy().astype(np.int64)
-    q_mat = _normalize(np.stack(
-        [np.asarray(v, dtype=np.float64) for v in q_rows[vec_col]]))
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], q_mat[order]
-
-    # Fit centroids on a sample (deterministic).
-    sample = ds.random_sample(
-        min(1.0, 4096 / max(ds.count(), 1)), seed=seed).to_pandas()
-    smat = _normalize(np.stack(
-        [np.asarray(v, np.float64) for v in sample[vec_col]]))
-    rng = np.random.default_rng(seed)
-    n_centroids = min(n_centroids, len(smat))
-    cent = smat[rng.choice(len(smat), size=n_centroids, replace=False)]
-    for _ in range(lloyd_iters):
-        assign = np.argmax(smat @ cent.T, axis=1)
-        for c in range(n_centroids):
-            members = smat[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-        cent = _normalize(cent)
+    q_ids, q_mat = _gather_queries(ds, query_ids, id_col, vec_col)
+    cent = _fit_centroids(ds, vec_col, n_centroids, seed, lloyd_iters)
     # Queries probe their n_probe closest centroids.
     q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
     ref = ray.put((q_ids, q_mat, cent, q_probe))
@@ -175,16 +170,8 @@ def ivf_topk(
         out_q, out_n, out_s = [], [], []
         for i in range(len(qi)):
             probed = np.isin(centroid_of, qp[i]) & (ids != qi[i])
-            if not probed.any():
-                continue
-            s = sims[i][probed]
-            nid = ids[probed]
-            kk = min(k, len(s))
-            top = (np.argpartition(-s, kk - 1)[:kk]
-                   if kk < len(s) else np.arange(len(s)))
-            out_q.extend([qi[i]] * len(top))
-            out_n.extend(nid[top])
-            out_s.extend(s[top])
+            _emit_topk(out_q, out_n, out_s, qi[i],
+                       sims[i][probed], ids[probed], k)
         return pa.table(
             {"qid": pa.array(out_q, pa.int64()),
              "neighbor": pa.array(out_n, pa.int64()),
@@ -295,14 +282,9 @@ def _cell_topk(
     sims = q_mat @ m.T
     out_q, out_n, out_s = [], [], []
     for i in range(len(q_ids)):
-        s = sims[i].copy()
-        s[ids == q_ids[i]] = -np.inf  # exclude self
-        kk = min(k, len(s))
-        top = (np.argpartition(-s, kk - 1)[:kk]
-               if kk < len(s) else np.arange(len(s)))
-        out_q.extend([q_ids[i]] * len(top))
-        out_n.extend(ids[top])
-        out_s.extend(s[top])
+        not_self = ids != q_ids[i]
+        _emit_topk(out_q, out_n, out_s, q_ids[i],
+                   sims[i][not_self], ids[not_self], k)
     return pa.table({"qid": pa.array(out_q, pa.int64()),
                      "neighbor": pa.array(out_n, pa.int64()),
                      "cos": pa.array(out_s, pa.float64())})
@@ -406,8 +388,12 @@ def lsh_bucketed_pairs(
     ``n_tables`` (OR-amplification). The all-to-all is one
     groupby(table, bucket); a pair found in several tables dedups in the
     final (a, b) groupby."""
-    first = ds.take(1)[0]
-    dim = len(first[vec_col])
+    head = ds.take(1)
+    if not head:  # empty corpus → empty pair table, like cosine_pairs
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())}))
+    dim = len(head[0][vec_col])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim))
     planes_ref = ray.put(planes)

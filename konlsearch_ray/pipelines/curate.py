@@ -49,6 +49,13 @@ def annotate_quality(
     """Append ``n_tokens``, ``ttr``, ``lang_guess`` to every row (one
     vectorized pass; values identical to token_counts/quality_profile/
     lang_id so the oracle SQL re-derives them)."""
+    clash = {"n_tokens", "ttr", "lang_guess"} & set(ds.schema().names or [])
+    if clash:
+        # append_column would create DUPLICATE field names; the gate's
+        # column lookup and drop_columns then corrupt the caller's data.
+        raise ValueError(
+            f"input already has annotation column(s) {sorted(clash)}; "
+            f"rename them before curation")
 
     def fn(batch: pa.Table) -> pa.Table:
         counts, doc_idx, codes, dictionary = _doc_coded_arrays(batch, content_col)
@@ -94,7 +101,7 @@ def curate_documents(
 ) -> ray.data.Dataset:
     """The composed cleaning pipeline; returns the surviving rows with
     their ORIGINAL schema. See module docstring for the stage shapes."""
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min
 
     # Hash-join/shuffle fixed cost grows with partition count (aggregator
     # actors); default modestly and let 100-TB callers size
@@ -136,8 +143,7 @@ def curate_documents(
         fn_kwargs={"content_col": content_col})
     winners = (hashed.select_columns(["h", id_col])
                .groupby("h")
-               .aggregate(Min(id_col, alias_name="keep_id"),
-                          Count(alias_name="n"))
+               .aggregate(Min(id_col, alias_name="keep_id"))
                .select_columns(["keep_id"]))
     deduped = gated.join(
         _nonempty_blocks(winners, ("keep_id",)), "left_semi",

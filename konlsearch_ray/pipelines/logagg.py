@@ -131,38 +131,59 @@ def aggregate_search_frequency(log_dir: str, freq_dir: str) -> pa.Table:
     session (Q4). Fixed here: the offset (set of consumed log parts) is
     read fresh from the manifest every run, so re-running aggregates only
     new parts, exactly once. Returns the merged term→hits table.
+
+    Exactly-once under crashes: the frequency table is written as a NEW
+    versioned file and only becomes live when the manifest — which names
+    both the consumed parts and the current frequency file — swaps in one
+    ``os.replace``. A crash before the swap leaves the old manifest
+    pointing at the old file with the old consumed set, so the rerun
+    re-aggregates the same parts onto the same base (the orphaned new
+    file is garbage-collected). The previous two-file commit (frequency
+    first, manifest second) double-counted any part drained between the
+    two replaces.
     """
     os.makedirs(freq_dir, exist_ok=True)
     manifest_path = os.path.join(freq_dir, "manifest.json")
     consumed: set[str] = set()
+    cur_name: str | None = None
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            consumed = set(json.load(f)["consumed"])
+            m = json.load(f)
+        consumed = set(m["consumed"])
+        cur_name = m.get("frequency_file", "frequency.parquet")
+    # GC frequency files a crashed run wrote but never committed.
+    for n in os.listdir(freq_dir):
+        if (n.startswith("frequency") and n.endswith(".parquet")
+                and n != cur_name):
+            os.remove(os.path.join(freq_dir, n))
     parts = sorted(
         n for n in os.listdir(log_dir)
         if n.endswith(".parquet") and n not in consumed)
-    freq_path = os.path.join(freq_dir, "frequency.parquet")
     if parts:
         new = (ray.data.read_parquet([os.path.join(log_dir, n) for n in parts])
                .groupby("term").aggregate(Sum("hits", alias_name="hits"))
                .to_pandas())
-        if os.path.exists(freq_path):
-            old = pq.read_table(freq_path).to_pandas()
+        if cur_name and os.path.exists(os.path.join(freq_dir, cur_name)):
+            old = pq.read_table(os.path.join(freq_dir, cur_name)).to_pandas()
             new = (pd.concat([old, new], ignore_index=True)
                    .groupby("term", as_index=False)["hits"].sum())
         new = new.sort_values("term").reset_index(drop=True)
         out = pa.table({"term": pa.array(new["term"], pa.string()),
                         "hits": pa.array(new["hits"].astype("int64"))})
-        tmp = freq_path + ".tmp"
+        new_name = f"frequency-{uuid.uuid4().hex[:10]}.parquet"
+        tmp = os.path.join(freq_dir, "." + new_name + ".tmp")
         pq.write_table(out, tmp)
-        os.replace(tmp, freq_path)
-        consumed |= set(parts)
+        os.replace(tmp, os.path.join(freq_dir, new_name))  # not yet live
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"consumed": sorted(consumed)}, f)
-        os.replace(tmp, manifest_path)
-    if os.path.exists(freq_path):
-        return pq.read_table(freq_path)
+            json.dump({"consumed": sorted(consumed | set(parts)),
+                       "frequency_file": new_name}, f)
+        os.replace(tmp, manifest_path)  # the single atomic commit point
+        if cur_name and os.path.exists(os.path.join(freq_dir, cur_name)):
+            os.remove(os.path.join(freq_dir, cur_name))
+        cur_name = new_name
+    if cur_name and os.path.exists(os.path.join(freq_dir, cur_name)):
+        return pq.read_table(os.path.join(freq_dir, cur_name))
     return pa.table({"term": pa.array([], pa.string()),
                      "hits": pa.array([], pa.int64())})
 
@@ -210,4 +231,4 @@ def assign_seq_ids(
 
     out = with_sec.groupby("sec").map_groups(per_second, batch_format="pandas")
     # Bypassed empty group partitions carry the seq-less upstream schema.
-    return nonempty_blocks(out, ("event_id", "sec", "seq"))
+    return nonempty_blocks(out, (id_col, "sec", "seq"))

@@ -132,10 +132,14 @@ def build_suggest_table(index_dir: str) -> int:
             {"jamo_key": pa.array(decompose_jamo_bulk(terms_py), pa.string()),
              "term": t["term"].cast(pa.string())})
 
+    # Same small row groups as the driver path: _prefix_range_scan prunes
+    # on jamo_key min/max PER ROW GROUP, so default (huge) groups would
+    # make every prefix query scan near-full files exactly at the scale
+    # where pruning matters.
     (ray.data.read_parquet(files, columns=["term"])
      .map_batches(add_key, batch_format="pyarrow")
      .sort("jamo_key")
-     .write_parquet(tmp_dir))
+     .write_parquet(tmp_dir, compression="zstd", row_group_size=4096))
     _swap()
     return n_terms
 

@@ -79,6 +79,17 @@ def normalize_corpus(
     to ``doc_id`` (use ``IndexConfig(id_col='doc_id')``) or the original
     key columns for canonical sort-key ID assignment."""
 
+    # keep_cols must not shadow the synthesized output columns — a raw
+    # 'doc_id'/'content' column would silently replace the just-normalized
+    # id/content values.
+    clash = {c for c in (keep_cols or []) if c in ("content", "doc_id")
+             and c not in (content_col, id_col)}
+    if clash:
+        raise ValueError(
+            f"keep_cols {sorted(clash)} collide with the normalized output "
+            f"columns; rename them upstream or map them via "
+            f"content_col/id_col")
+
     def norm(batch: pa.Table) -> pa.Table:
         cols: dict[str, pa.Array | pa.ChunkedArray] = {
             "content": batch[content_col].cast(pa.large_string())}
