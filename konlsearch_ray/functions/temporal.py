@@ -326,8 +326,11 @@ def _union_sides(
     ltypes = {c: lsch.field(c).type for c in left_cols}
     rtypes = {right_prefix + c: rsch.field(c).type for c in right_cols}
 
+    all_types = {**ltypes, **rtypes}  # ONE canonical column order: both
+    # sides must emit identical schemas or union logs a schema-mismatch
+    # warning per block pair (field order matters to Arrow).
+
     def norm(ts_name: str, side: int, own: dict[str, pa.DataType],
-             own_cols: tuple[str, ...], other: dict[str, pa.DataType],
              prefix: str):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
@@ -337,20 +340,19 @@ def _union_sides(
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
                 "bucket": pa.array(_key_bucket(t[key_col], nbuckets)),
             }
-            for out_name, typ in own.items():
-                src = out_name[len(prefix):] if prefix else out_name
-                cols[out_name] = pc.cast(t[src], typ)
-            for out_name, typ in other.items():
-                cols[out_name] = pa.nulls(n, typ)
-            return pa.table(cols)
+            for out_name, typ in all_types.items():
+                if out_name in own:
+                    src = out_name[len(prefix):] if prefix else out_name
+                    cols[out_name] = pc.cast(t[src], typ)
+                else:
+                    cols[out_name] = pa.nulls(n, typ)
+            return pa.table(cols).replace_schema_metadata(None)
         return fn
 
     lds = left.map_batches(
-        norm(left_ts, 1, ltypes, left_cols, rtypes, ""),
-        batch_format="pyarrow")
+        norm(left_ts, 1, ltypes, ""), batch_format="pyarrow")
     rds = right.map_batches(
-        norm(right_ts, 0, rtypes, right_cols, ltypes, right_prefix),
-        batch_format="pyarrow")
+        norm(right_ts, 0, rtypes, right_prefix), batch_format="pyarrow")
     return lds.union(rds), {**ltypes, **rtypes}, lsch.field(key_col).type
 
 
