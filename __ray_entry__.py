@@ -300,7 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.filter(pc.less(t["doc_id"], NGRAM_MAXDOC)),
             batch_format="pyarrow")
         return _schema_stable(
-            simhash_pairs(ds, "text", "doc_id", max_hamming=16))
+            simhash_pairs(ds, "text", "doc_id", max_hamming=16,
+                          approximate=True))
 
     def dedup_clusters(sf_dir):
         # Duplicate CLUSTERS from the SimHash pair graph: distributed
@@ -315,7 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _docs(sf_dir).map_batches(
             lambda t: t.filter(pc.less(t["doc_id"], NGRAM_MAXDOC)),
             batch_format="pyarrow")
-        pairs = simhash_pairs(ds, "text", "doc_id", max_hamming=16)
+        pairs = simhash_pairs(ds, "text", "doc_id", max_hamming=16,
+                              approximate=True)
         return _schema_stable(connected_components(pairs))
 
     def embed_neardup(sf_dir):

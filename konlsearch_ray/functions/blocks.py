@@ -29,6 +29,13 @@ def default_nbuckets() -> int:
     return max(16, 4 * int(ray.cluster_resources().get("CPU", 4)))
 
 
+def default_join_partitions() -> int:
+    """Hash-join/shuffle partition count: the join's fixed cost grows
+    with aggregator-actor count, so default modestly; 100-TB callers
+    should size partitions to their data (~1 GB each) instead."""
+    return max(2, min(8, int(ray.cluster_resources().get("CPU", 4))))
+
+
 def arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
     """Dataset schema as a real ``pyarrow.Schema`` — unwraps Ray's lazy
     schema wrapper (``base_schema``) when present."""

@@ -74,8 +74,10 @@ def chunk_table(batch: pa.Table, content_col: str, id_col: str,
     taken = pc.take(values, pa.array(idx, pa.int64()))
     if isinstance(taken, pa.ChunkedArray):
         taken = taken.combine_chunks()
-    chunk_list = pa.ListArray.from_arrays(
-        pa.array(chunk_off, pa.int32()), taken)
+    # int64 (large-list) offsets: a batch of long docs can expand past
+    # 2^31 total chunk tokens, which int32 offsets would refuse.
+    chunk_list = pa.LargeListArray.from_arrays(
+        pa.array(chunk_off, pa.int64()), taken)
     return pa.table({
         id_col: pc.take(batch[id_col], pa.array(row_rep, pa.int64())),
         "chunk_id": pa.array(k_local, pa.int64()),

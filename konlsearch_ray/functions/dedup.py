@@ -20,7 +20,10 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from konlsearch_ray.analyzer import analyze_strings
-from konlsearch_ray.functions.blocks import nonempty_blocks, pinned_nonempty
+from konlsearch_ray.functions.blocks import (default_join_partitions,
+                                             default_nbuckets,
+                                             nonempty_blocks,
+                                             pinned_nonempty)
 from konlsearch_ray.functions.text import FP_MOD, _token_hashes
 
 
@@ -167,7 +170,7 @@ def ngram_jaccard_pairs(
 
     # Per-doc set sizes attach via hash joins (once per side) — the sizes
     # table is one row per doc and never lands on the driver.
-    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 4))))
+    nparts = default_join_partitions()
     j = inter.join(sizes_ds, "inner", num_partitions=nparts,
                    on=("a",), right_on=("doc_id",)).rename_columns({"sz": "sz_a"})
     j, j_rows = pinned_nonempty(j, ("a", "b", "inter", "sz_a"))
@@ -246,8 +249,7 @@ def _emit_pairs_bucketed(
     ``cap``: groups larger than this emit nothing (the stop-shingle
     guard — same semantics as the per-group emitters this replaces).
     """
-    nbuckets = nbuckets or max(
-        16, 4 * int(ray.cluster_resources().get("CPU", 4)))
+    nbuckets = nbuckets or default_nbuckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = np.full(t.num_rows, 0x9E3779B97F4A7C15, dtype=np.uint64)
@@ -381,26 +383,63 @@ def minhash_lsh_pairs(
     a_p, b_p = _minhash_params(seed)
     M = FP_MOD
     r = NUM_PERM // BANDS
+    empty_out = _empty_pairs(("jacc", pa.float64()))
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        rows = _shingle_hash_sets(batch, content_col, id_col, n)
+        # Sets serialize to little-endian uint64 bytes: Acero hash joins
+        # carry binary payloads but not nested list columns.
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "hs": pa.array([h.astype("<u8").tobytes() for _, h in rows],
+                           pa.large_binary()),
+        })
+
+    # ONE tokenize + shingle-hash pass over the corpus: the pinned
+    # per-doc set table feeds BOTH the signature stage (which decodes the
+    # hash blobs zero-copy) and the verification joins. The previous
+    # layout ran _shingle_hash_sets twice — once for signatures, once for
+    # sets — doubling the dominant per-row cost.
+    sets_ds, sets_rows = pinned_nonempty(
+        ds.map_batches(to_sets, batch_format="pyarrow"), ("doc_id", "hs"))
+    if not sets_rows:
+        return ray.data.from_arrow(empty_out)
 
     def signatures(batch: pa.Table) -> pa.Table:
-        """Whole-batch vectorized signatures: 64 fixed permutation lanes,
-        each ONE C pass over the batch's concatenated shingle-hash stream
-        with ``np.minimum.reduceat`` at doc starts (arithmetic identical
-        to the per-doc outer product this replaces). Band keys are the
-        RAW r-value signature chunks carried as k0..k{r-1} columns —
-        equal iff the chunk is equal, i.e. exactly the groups the
-        per-(doc, band) blake2b hashing produced, with zero Python hash
-        calls (and zero collision risk)."""
-        rows = _shingle_hash_sets(batch, content_col, id_col, n)
-        docs = np.array([d for d, h in rows if len(h)], dtype=np.int64)
+        """Whole-batch vectorized signatures over the DECODED set blobs:
+        64 fixed permutation lanes, each ONE C pass over the batch's
+        concatenated shingle-hash stream with ``np.minimum.reduceat`` at
+        doc starts (arithmetic identical to the per-doc outer product
+        this replaces). Band keys are the RAW r-value signature chunks
+        carried as k0..k{r-1} columns — equal iff the chunk is equal,
+        i.e. exactly the groups the per-(doc, band) blake2b hashing
+        produced, with zero Python hash calls (and zero collision
+        risk)."""
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "band": pa.array([], pa.int32()),
+             **{f"k{j}": pa.array([], pa.int64()) for j in range(r)}})
+        col = batch["hs"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(pa.large_binary())
+        bufs = col.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64,
+                             count=len(col) + 1 + col.offset)[col.offset:]
+        lens = np.diff(offs) // 8  # whole uint64s per row
+        docs_all = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nz = lens > 0
+        docs = docs_all[nz]
         if not len(docs):
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "band": pa.array([], pa.int32()),
-                 **{f"k{j}": pa.array([], pa.int64()) for j in range(r)}})
-        lens = np.array([len(h) for _, h in rows if len(h)], dtype=np.int64)
-        hs_all = np.concatenate([h for _, h in rows if len(h)])
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            return empty
+        # Rows concatenate contiguously in the data buffer; every offset
+        # is 8-byte aligned (each value is whole uint64s).
+        hs_all = np.frombuffer(
+            bufs[2], dtype="<u8", count=int((offs[-1] - offs[0]) // 8),
+            offset=int(offs[0]))
+        lens_nz = lens[nz]
+        starts = np.concatenate(([0], np.cumsum(lens_nz)[:-1]))
         ndocs = len(docs)
         sigs = np.empty((ndocs, NUM_PERM), dtype=np.uint64)
         for j in range(NUM_PERM):
@@ -417,7 +456,7 @@ def minhash_lsh_pairs(
                 sig3[:, :, j].T.reshape(-1).astype(np.int64))
         return pa.table(cols)
 
-    sig_ds = ds.map_batches(signatures, batch_format="pyarrow")
+    sig_ds = sets_ds.map_batches(signatures, batch_format="pyarrow")
 
     cand = _emit_pairs_bucketed(sig_ds, ["band"] + [f"k{j}" for j in range(r)])
     cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="nbands"))
@@ -434,30 +473,17 @@ def minhash_lsh_pairs(
     # Everything that moves is proportional to the candidate volume plus
     # one pass over the set table — no ``to_pandas``/``ray.put`` of
     # per-doc state, so the verify half scales like the bucket half.
-    def to_sets(batch: pa.Table) -> pa.Table:
-        rows = _shingle_hash_sets(batch, content_col, id_col, n)
-        # Sets serialize to little-endian uint64 bytes: Acero hash joins
-        # carry binary payloads but not nested list columns.
-        return pa.table({
-            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
-            "hs": pa.array([h.astype("<u8").tobytes() for _, h in rows],
-                           pa.large_binary()),
-        })
-
-    sets_ds = ds.map_batches(to_sets, batch_format="pyarrow")
     # Modest default partition count — join fixed costs grow with it;
     # size to data volume at cluster scale.
-    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 4))))
+    nparts = default_join_partitions()
     # Empty upstream partitions emit 0-row blocks that BYPASS map UDFs and
     # so carry stale or empty schemas; Ray's hash join rejects them. Drop
     # them by rebuilding from the non-empty block refs (refs only — no
     # data moves, blocks stay in the object store). A side with ZERO rows
     # must not reach the join at all (the empty partition loses its
     # schema inside the hash-shuffle aggregator) — short-circuit instead.
-    empty_out = _empty_pairs(("jacc", pa.float64()))
     cand, cand_rows = pinned_nonempty(cand, ("a", "b"))
-    sets_ds, sets_rows = pinned_nonempty(sets_ds, ("doc_id", "hs"))
-    if not cand_rows or not sets_rows:
+    if not cand_rows:
         return ray.data.from_arrow(empty_out)
     j = cand.join(sets_ds, "inner", num_partitions=nparts,
                   on=("a",), right_on=("doc_id",))
@@ -557,7 +583,8 @@ def simhash64(ds: ray.data.Dataset, content_col: str, id_col: str) -> ray.data.D
 
 
 def simhash_pairs(
-    ds: ray.data.Dataset, content_col: str, id_col: str, max_hamming: int = 3
+    ds: ray.data.Dataset, content_col: str, id_col: str,
+    max_hamming: int = 3, approximate: bool = False,
 ) -> ray.data.Dataset:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -569,7 +596,19 @@ def simhash_pairs(
     simhash table onto both pair sides and one vectorized
     xor + unpackbits popcount pass — the same join-verify scale shape
     as the MinHash pipeline.
+
+    ``max_hamming > 3`` exceeds what the 4-chunk pigeonhole guarantees
+    (4+ differing bits can land one per chunk, sharing no chunk value),
+    so some qualifying pairs are silently missed; pass
+    ``approximate=True`` to accept that chunk-conditioned recall
+    explicitly — otherwise such a radius is refused rather than
+    silently under-recalling.
     """
+    if not 0 <= max_hamming <= 3 and not approximate:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk pigeonhole "
+            f"guarantee (<= 3); pass approximate=True to accept "
+            f"chunk-conditioned recall")
     sh = simhash64(ds, content_col, id_col)
     sh = _nonempty_blocks(sh, (id_col, "simhash"))
 
@@ -600,7 +639,7 @@ def simhash_pairs(
         cand.map_batches(_norm, batch_format="pyarrow"), ("a", "b"))
     if not cand_rows:  # empty join sides crash the hash-shuffle join
         return ray.data.from_arrow(empty_out)
-    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 4))))
+    nparts = default_join_partitions()
     j = cand.join(sh, "inner", num_partitions=nparts,
                   on=("a",), right_on=(id_col,))
     j, j_rows = pinned_nonempty(j.rename_columns({"simhash": "sim_a"}),

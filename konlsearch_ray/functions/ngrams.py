@@ -25,7 +25,9 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from konlsearch_ray.functions.blocks import nonempty_blocks, pinned_nonempty
+from konlsearch_ray.functions.blocks import (default_join_partitions,
+                                             nonempty_blocks,
+                                             pinned_nonempty)
 from konlsearch_ray.functions.dedup import _shingle_batch
 
 
@@ -85,8 +87,11 @@ def ngram_counts(
             out = out.filter(pc.greater_equal(out["cnt"], min_count))
         return out
 
-    return nonempty_blocks(agg.map_batches(finish, batch_format="pyarrow"),
-                           ("ngram", "cnt"))
+    return nonempty_blocks(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        ("ngram", "cnt"),
+        fallback=pa.table({"ngram": pa.array([], pa.string()),
+                           "cnt": pa.array([], pa.int64())}))
 
 
 def _empty_contamination() -> pa.Table:
@@ -149,7 +154,7 @@ def contamination(
         bench_sh.map_batches(_norm_bench, batch_format="pyarrow"),
         ("shingle",))
 
-    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 4))))
+    nparts = default_join_partitions()
     if bench_rows:
         hits = corp_sh.join(bench_sh, "inner", num_partitions=nparts,
                             on=("shingle",))

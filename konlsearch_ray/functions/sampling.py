@@ -37,6 +37,8 @@ def _bucket_of(ids: pa.ChunkedArray | pa.Array, salt: str) -> np.ndarray:
     # view (digests are constant-width, so the "S" cast is exact)
     from konlsearch_ray.query import _string_col_to_S
 
+    if not len(hx):  # the empty S-matrix is 1 byte wide, not 32
+        return np.zeros(0, dtype=np.int64)
     s = _string_col_to_S(hx)
     mat = s.view(np.uint8).reshape(len(s), s.dtype.itemsize)
     nib = np.where(mat[:, :8] >= ord("a"), mat[:, :8] - ord("a") + 10,

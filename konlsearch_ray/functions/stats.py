@@ -49,8 +49,14 @@ def grouped_quantiles(
             cols[lb] = pd.Series([], dtype="float64")
         if not len(g):
             return pd.DataFrame(cols)
-        v = np.sort(g[value_col].to_numpy().astype(np.float64))
+        # Nulls are not values (SQL quantile semantics): NaN would sort
+        # to the end and both shift the real quantiles and land the top
+        # ones on NaN.
+        raw = g[value_col].to_numpy().astype(np.float64)
+        v = np.sort(raw[~np.isnan(raw)])
         n = len(v)
+        if not n:  # all-null group: emit nothing for it
+            return pd.DataFrame(cols)
         idx = (n - 1) * bps // 10_000
         out = {key_col: [g[key_col].iloc[0]], "n": [n]}
         for lb, i in zip(labels, idx):

@@ -393,12 +393,26 @@ def tfidf_keywords(
     Both paths produce identical rows.  Scoring is integer-only —
     ``score = tf * ((N * 1_000_000) // df)`` — so any engine (numpy
     here, SQL window functions in the oracle) reproduces the ranking
-    bit-identically; ties break by term asc.
+    bit-identically; ties break by term asc.  Overflow is REFUSED, not
+    wrapped: at billions of docs a df=1 term's multiplier times a large
+    tf can exceed int64, which would silently rank a doc's most
+    distinctive keyword last — such corpora get a clear error telling
+    them to lower the idf scale.
     """
     from konlsearch_ray.functions.aggregates import grouped_topk
     from konlsearch_ray.functions.blocks import nonempty_blocks, pinned_nonempty
 
     n_docs = ds.count()
+
+    def _scores(tf: np.ndarray, dfv: np.ndarray) -> np.ndarray:
+        mult = (n_docs * 1_000_000) // dfv
+        if len(tf) and int(tf.max()) > 0 and (
+                int(mult.max()) > (2**63 - 1) // int(tf.max())):
+            raise ValueError(
+                "tf-idf integer score would overflow int64 at this corpus "
+                "size; rescale the idf multiplier (N * 1_000_000) for "
+                f"n_docs={n_docs}")
+        return tf * mult
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       "term": pa.array([], pa.string()),
                       "tf": pa.array([], pa.int64())})
@@ -466,7 +480,7 @@ def tfidf_keywords(
             dfv = (pc.take(dft["df"], idx)
                    .to_numpy(zero_copy_only=False).astype(np.int64))
             tf = tf_t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-            s = tf * ((n_docs * 1_000_000) // dfv)
+            s = _scores(tf, dfv)
             tf_t = (tf_t.append_column("df", pa.array(dfv, pa.int64()))
                     .append_column("score", pa.array(s, pa.int64())))
             return _topk_within(
@@ -499,7 +513,7 @@ def tfidf_keywords(
     def score(t: pa.Table) -> pa.Table:
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = tf * ((n_docs * 1_000_000) // df)
+        s = _scores(tf, df)
         return (t.append_column("score", pa.array(s, pa.int64()))
                 .replace_schema_metadata(None))
 

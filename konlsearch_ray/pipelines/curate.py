@@ -106,8 +106,9 @@ def curate_documents(
     # Hash-join/shuffle fixed cost grows with partition count (aggregator
     # actors); default modestly and let 100-TB callers size
     # ``num_partitions`` to their data (partitions ≈ data / 1 GB).
-    nparts = num_partitions or max(
-        2, min(8, int(ray.cluster_resources().get("CPU", 4))))
+    from konlsearch_ray.functions.blocks import default_join_partitions
+
+    nparts = num_partitions or default_join_partitions()
 
     # 1. quality + language gate.
     ann = annotate_quality(ds, content_col)

@@ -135,3 +135,60 @@ def test_annotate_quality_rejects_reserved_columns(ray_session):
                   "n_tokens": pa.array([42], pa.int64())})
     with pytest.raises(ValueError, match="n_tokens"):
         annotate_quality(ray.data.from_arrow(t), "text")
+
+
+def test_simhash_pairs_rejects_radius_beyond_pigeonhole(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.dedup import simhash_pairs
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c", "a b d"])}))
+    with pytest.raises(ValueError, match="approximate"):
+        simhash_pairs(ds, "text", "doc_id", max_hamming=4)
+    # explicit opt-in accepts chunk-conditioned recall
+    out = simhash_pairs(ds, "text", "doc_id", max_hamming=4,
+                        approximate=True)
+    assert out.schema().names == ["a", "b", "hamming"]
+
+
+def test_ngram_counts_empty_result_keeps_string_schema(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.ngrams import ngram_counts
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["alpha beta gamma"])}))
+    out = ngram_counts(ds, "text", n=2, min_count=99)
+    sch = out.schema()
+    assert out.count() == 0
+    assert dict(zip(sch.names, sch.types))["ngram"] == pa.string()
+
+
+def test_grouped_quantiles_ignore_nulls(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_quantiles
+
+    t = pa.table({
+        "k": pa.array(["a"] * 6 + ["b"], pa.string()),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0, None, None, None],
+                      pa.float64()),
+    })
+    out = (grouped_quantiles(ray.data.from_arrow(t), "k", "v",
+                             qs=(("p50", 5000), ("p100", 10000)))
+           .to_pandas().set_index("k"))
+    # nulls excluded from n and from the sorted values; all-null key
+    # emits nothing
+    assert list(out.index) == ["a"]
+    assert int(out.loc["a", "n"]) == 4
+    assert out.loc["a", "p50"] == 20.0 and out.loc["a", "p100"] == 40.0
+
+
+def test_bucket_hash_empty_column():
+    from konlsearch_ray.functions.sampling import _bucket_of
+
+    out = _bucket_of(pa.array([], pa.int64()), "v1")
+    assert len(out) == 0
