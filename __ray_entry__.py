@@ -21,6 +21,9 @@ from typing import Any
 
 import pyarrow as pa
 
+from konlsearch_ray.sources import \
+    read_parquet_clean as _rp_clean  # strips pandas metadata at the read
+
 # --- index cache -----------------------------------------------------------
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -90,19 +93,19 @@ def _morph_index_dir(sf_dir: str) -> str:
 def _docs(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _rp_clean(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _events(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return _rp_clean(os.path.join(sf_dir, "events.parquet"))
 
 
 def _embeddings(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _rp_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _ids_table(ids: list[int]) -> pa.Table:
@@ -211,7 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         d = os.path.join(_index_dir(sf_dir), "dictionary")
         files = [os.path.join(d, f) for f in sorted(os.listdir(d))
                  if f.endswith(".parquet")]
-        t = (ray.data.read_parquet(files)
+        t = (_rp_clean(files)
              .sort(["df", "term"], descending=[True, False]).limit(50).to_pandas())
         return pa.table({"term": pa.array(t["term"], pa.string()),
                          "df": pa.array(t["df"].astype("int64")),
@@ -237,7 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             if os.path.isdir(sub):
                 files += [os.path.join(sub, f) for f in sorted(os.listdir(sub))
                           if f.endswith(".parquet")]
-        return ray.data.read_parquet(files, columns=["doc_id", "content_sha256"])
+        return _rp_clean(files, columns=["doc_id", "content_sha256"])
 
     def docstore_range(sf_dir):
         # J3 get_range semantics: half-open [100, 120).
@@ -384,7 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         files = [os.path.join(d, f) for f in sorted(os.listdir(d))
                  if f.endswith(".parquet")]
         out = topk_per_jamo_prefix(
-            ray.data.read_parquet(files), count_col="df").to_pandas()
+            _rp_clean(files), count_col="df").to_pandas()
         out = out[out["prefix"].str.len() <= 2]
         return pa.table({"prefix": pa.array(out["prefix"], pa.string()),
                          "term": pa.array(out["term"], pa.string()),
@@ -464,7 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         d = os.path.join(_index_dir(sf_dir), "dictionary")
         files = [os.path.join(d, f) for f in sorted(os.listdir(d))
                  if f.endswith(".parquet")]
-        out = _tpp(ray.data.read_parquet(files)).to_pandas()
+        out = _tpp(_rp_clean(files)).to_pandas()
         return pa.table({"prefix": pa.array(out["prefix"], pa.string()),
                          "term": pa.array(out["term"], pa.string()),
                          "df": pa.array(out["df"].astype("int64")),
@@ -656,7 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
         dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey"
                           ).select(["n_nationkey", "n_name", "r_name"])
-        cust = ray.data.read_parquet(
+        cust = _rp_clean(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_nationkey", "c_mktsegment"])
         out = broadcast_lookup_join(cust, dim, "c_nationkey", "n_nationkey",
@@ -750,7 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from konlsearch_ray.functions.clustering import kmeans_assign
 
-        ds = ray.data.read_parquet(
+        ds = _rp_clean(
             os.path.join(sf_dir, "embeddings.parquet"),
             columns=["vec_id", "embedding"])
         return kmeans_assign(ds, "embedding", "vec_id", k=8, n_iter=5)

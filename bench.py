@@ -17,6 +17,9 @@ import subprocess
 import sys
 import time
 
+from konlsearch_ray.sources import \
+    read_parquet_clean as _rp_clean  # strips pandas metadata at the read
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Synthetic source-code corpus for the headline build (input_hint shape).
@@ -136,7 +139,7 @@ def run_bench() -> dict:
     first_part = next(
         os.path.join(CORPUS_DIR, n) for n in sorted(os.listdir(CORPUS_DIR))
         if n.endswith(".parquet"))
-    rd.read_parquet(first_part).count()
+    _rp_clean(first_part).count()
 
     # --- headline: index build over the source-code corpus ---------------
     code_idx = f"/tmp/konl_bench_index_{NUM_CPUS}"
@@ -280,7 +283,7 @@ def run_bench() -> dict:
 
     t0 = time.perf_counter()
     token_counts(
-        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+        _rp_clean(os.path.join(SF_DIR, "documents.parquet")),
         "text", "doc_id").materialize()
     queries["token_counts_docs"] = round(time.perf_counter() - t0, 3)
 
@@ -289,14 +292,14 @@ def run_bench() -> dict:
 
     t0 = time.perf_counter()
     curate_documents(
-        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+        _rp_clean(os.path.join(SF_DIR, "documents.parquet")),
         "text", "doc_id", min_tokens=40, langs=["en"]).materialize()
     queries["curate_docs_sec"] = round(time.perf_counter() - t0, 3)
 
     # --- near-dup dedup pipelines at 100x the oracle-entry doc count ------
     from konlsearch_ray.functions.dedup import minhash_lsh_pairs, simhash_pairs
 
-    docs_ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs_ds = _rp_clean(os.path.join(SF_DIR, "documents.parquet"))
     t0 = time.perf_counter()
     mh = minhash_lsh_pairs(docs_ds, "text", "doc_id", n=3, tau=0.5).materialize()
     queries["minhash_pairs_docs_sec"] = round(time.perf_counter() - t0, 3)
@@ -312,7 +315,7 @@ def run_bench() -> dict:
     from konlsearch_ray.functions.ngrams import contamination, ngram_counts
     from konlsearch_ray.functions.sampling import hash_split
 
-    docs_ds2 = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs_ds2 = _rp_clean(os.path.join(SF_DIR, "documents.parquet"))
     t0 = time.perf_counter()
     ngram_counts(docs_ds2, "text", n=2, min_count=5).materialize()
     queries["ngram_counts_sec"] = round(time.perf_counter() - t0, 3)
@@ -365,7 +368,7 @@ def run_bench() -> dict:
     region = _pq.read_table(os.path.join(SF_DIR, "region.parquet"))
     dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey"
                       ).select(["n_nationkey", "n_name", "r_name"])
-    cust = rd.read_parquet(
+    cust = _rp_clean(
         os.path.join(SF_DIR, "customer.parquet"),
         columns=["c_custkey", "c_nationkey", "c_mktsegment"])
     broadcast_lookup_join(cust, dim, "c_nationkey", "n_nationkey",
@@ -386,7 +389,7 @@ def run_bench() -> dict:
     )
     from konlsearch_ray.functions.text import tfidf_keywords
 
-    ev_du = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+    ev_du = _rp_clean(os.path.join(SF_DIR, "events.parquet"),
                             columns=["event_type", "user_id"])
     t0 = time.perf_counter()
     distinct_count(ev_du, "event_type", "user_id").materialize()
@@ -398,7 +401,7 @@ def run_bench() -> dict:
     histogram(docs_ds2.select_columns(["n_chars"]), "n_chars",
               0, 100, 20).materialize()
     queries["histogram_sec"] = round(time.perf_counter() - t0, 3)
-    ev_tk = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+    ev_tk = _rp_clean(os.path.join(SF_DIR, "events.parquet"),
                             columns=["user_id", "event_id", "ts", "value"])
 
     def _ev_prep(t):
@@ -418,14 +421,14 @@ def run_bench() -> dict:
     queries["tfidf_topk_sec"] = round(time.perf_counter() - t0, 3)
     from konlsearch_ray.functions.clustering import kmeans_assign
 
-    emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+    emb = _rp_clean(os.path.join(SF_DIR, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     t0 = time.perf_counter()
     kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=5).materialize()
     queries["kmeans_sec"] = round(time.perf_counter() - t0, 3)
     from konlsearch_ray.functions.aggregates import pivot_counts
 
-    ev_pv = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+    ev_pv = _rp_clean(os.path.join(SF_DIR, "events.parquet"),
                             columns=["user_id", "event_type", "value"])
     t0 = time.perf_counter()
     pivot_counts(ev_pv, "user_id", "event_type",
@@ -440,7 +443,7 @@ def run_bench() -> dict:
         tumbling_window,
     )
 
-    ev = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    ev = _rp_clean(os.path.join(SF_DIR, "events.parquet"))
 
     def _typed(et):
         return ev.map_batches(

@@ -10,6 +10,8 @@ line corpora too).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -66,6 +68,31 @@ def read_line_corpus(
     if not out:
         return normed
     return ray.data.from_arrow_refs(out)
+
+
+def read_parquet_clean(paths, *, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the file's pandas metadata stripped
+    at the source (``schema=...remove_metadata()``): blocks then carry
+    hashable schemas, so downstream hash-shuffle operators (groupby /
+    join) stop logging "Failed to hash the schemas" from every read
+    worker — noise no driver-side logging filter can reach."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    first = (paths[0] if paths else None) if isinstance(
+        paths, (list, tuple)) else paths
+    if first is not None and os.path.isdir(first):
+        cands = [n for n in sorted(os.listdir(first))
+                 if n.endswith(".parquet")]
+        first = os.path.join(first, cands[0]) if cands else None
+    if first is not None and os.path.isfile(first):
+        sch = pq.read_schema(first).remove_metadata()
+        if columns is not None:
+            # with a column projection, Ray expects the schema of the
+            # SELECTED columns (in projection order), not the full file
+            sch = pa.schema([sch.field(c) for c in columns])
+        kwargs.setdefault("schema", sch)
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
 def normalize_corpus(
