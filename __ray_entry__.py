@@ -44,6 +44,20 @@ EMBED_TAU = 0.4
 ANN_K = 10
 
 
+def _src_fp(sf_dir: str) -> str:
+    """Source-data fingerprint (size + mtime of documents.parquet) baked
+    into every cache tag: build_index resumes a completed index, so a
+    path-only tag would silently serve a STALE index after the testdata
+    at that path is regenerated — the oracle reads the new parquet and
+    the gate fails confusingly (or rows-only entries false-pass)."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return "absent"
+
+
 def _index_dir(sf_dir: str) -> str:
     """Build (or reuse) the index over ``{sf_dir}/documents.parquet``."""
     if sf_dir in _INDEX_CACHE:
@@ -52,7 +66,8 @@ def _index_dir(sf_dir: str) -> str:
 
     # Version salt: bump when the on-disk index layout changes so a stale
     # /tmp cache from an older build can never be picked up.
-    tag = hashlib.md5(f"{sf_dir}:layout-v3".encode()).hexdigest()[:10]
+    tag = hashlib.md5(
+        f"{sf_dir}:{_src_fp(sf_dir)}:layout-v3".encode()).hexdigest()[:10]
     out = f"/tmp/konl_entry_index/{tag}"
     cfg = IndexConfig(
         content_col="text", id_col="doc_id", dedup=False, sort_keys=[],
@@ -69,6 +84,14 @@ def _reader(sf_dir: str):
     return IndexReader(_index_dir(sf_dir))
 
 
+def _dict_files(sf_dir: str) -> list[str]:
+    """The entry index's dictionary parquet parts (one listing shared by
+    every dictionary-backed query)."""
+    d = os.path.join(_index_dir(sf_dir), "dictionary")
+    return [os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")]
+
+
 def _morph_index_dir(sf_dir: str) -> str:
     """Index built END-TO-END through the bundled-lexicon morpheme
     analyzer (reference's mecab-union semantics, index.py:98-102): the
@@ -79,7 +102,8 @@ def _morph_index_dir(sf_dir: str) -> str:
     from konlsearch_ray.analyzer import KoreanLexiconAnalyzer
     from konlsearch_ray.build import IndexConfig, build_index
 
-    tag = hashlib.md5(f"{sf_dir}:morph-v1".encode()).hexdigest()[:10]
+    tag = hashlib.md5(
+        f"{sf_dir}:{_src_fp(sf_dir)}:morph-v1".encode()).hexdigest()[:10]
     out = f"/tmp/konl_entry_index/{tag}"
     cfg = IndexConfig(
         content_col="text", id_col="doc_id", dedup=False, sort_keys=[],
@@ -150,7 +174,9 @@ def entry() -> Any:
             "k": pa.array([10, 0, 0], pa.int64()),
         }
     )
-    return ray.data.from_arrow(queries_tbl).map_batches(
+    # One from_arrow table is ONE block = one task; repartition so the
+    # smoke actually exercises more than one pool actor.
+    return ray.data.from_arrow(queries_tbl).repartition(3).map_batches(
         QueryStage, fn_constructor_kwargs={"index_dir": idx},
         batch_format="pyarrow", concurrency=2,
     )
@@ -211,10 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def term_stats(sf_dir):
         import ray.data
 
-        d = os.path.join(_index_dir(sf_dir), "dictionary")
-        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
-                 if f.endswith(".parquet")]
-        t = (_rp_clean(files)
+        t = (_rp_clean(_dict_files(sf_dir))
              .sort(["df", "term"], descending=[True, False]).limit(50).to_pandas())
         return pa.table({"term": pa.array(t["term"], pa.string()),
                          "df": pa.array(t["df"].astype("int64")),
@@ -355,7 +378,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ivf_store_topk,
         )
 
-        tag = hashlib.md5(f"{sf_dir}:ivfstore-v1".encode()).hexdigest()[:10]
+        emb_p = os.path.join(sf_dir, "embeddings.parquet")
+        try:
+            st = os.stat(emb_p)
+            fp = f"{st.st_size}:{st.st_mtime_ns}"
+        except OSError:
+            fp = "absent"
+        tag = hashlib.md5(
+            f"{sf_dir}:{fp}:ivfstore-v1".encode()).hexdigest()[:10]
         out = f"/tmp/konl_entry_ivf/{tag}"
         if not os.path.exists(os.path.join(out, "ivf_meta.json")):
             shutil.rmtree(out, ignore_errors=True)  # clear partial builds
@@ -383,11 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from konlsearch_ray.pipelines.suggest import topk_per_jamo_prefix
 
-        d = os.path.join(_index_dir(sf_dir), "dictionary")
-        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
-                 if f.endswith(".parquet")]
         out = topk_per_jamo_prefix(
-            _rp_clean(files), count_col="df").to_pandas()
+            _rp_clean(_dict_files(sf_dir)), count_col="df").to_pandas()
         out = out[out["prefix"].str.len() <= 2]
         return pa.table({"prefix": pa.array(out["prefix"], pa.string()),
                          "term": pa.array(out["term"], pa.string()),
@@ -444,15 +471,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def log_aggregate(sf_dir):
         import datetime
 
+        import pyarrow.compute as pc
+
         from konlsearch_ray.pipelines.logagg import aggregate_from_offset
 
+        # Integer-cents money sum (like pivot_user / window_tumbling):
+        # a float64 Sum folds per-block partials in nondeterministic
+        # order, and round(2) near a .xx5 boundary could then flip the
+        # last digit engine-vs-oracle. Cents are exact and order-free.
+        def to_cents(t: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                            pa.int64())
+            return (t.drop_columns(["value"])
+                    .append_column("value", cents))
+
+        ev = _events(sf_dir).map_batches(to_cents, batch_format="pyarrow")
         out = aggregate_from_offset(
-            _events(sf_dir), datetime.datetime(2024, 1, 15)).to_pandas()
-        out["total"] = out["total"].round(2)
+            ev, datetime.datetime(2024, 1, 15)).to_pandas()
         out["hits"] = out["hits"].astype("int64")
+        total = (out["total"].astype("int64") / 100.0)
         return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
                          "hits": pa.array(out["hits"]),
-                         "total": pa.array(out["total"], pa.float64())})
+                         "total": pa.array(total, pa.float64())})
 
     def log_seq_ids(sf_dir):
         from konlsearch_ray.pipelines.logagg import assign_seq_ids
@@ -464,10 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from konlsearch_ray.pipelines.suggest import topk_per_prefix as _tpp
 
-        d = os.path.join(_index_dir(sf_dir), "dictionary")
-        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
-                 if f.endswith(".parquet")]
-        out = _tpp(_rp_clean(files)).to_pandas()
+        out = _tpp(_rp_clean(_dict_files(sf_dir))).to_pandas()
         return pa.table({"prefix": pa.array(out["prefix"], pa.string()),
                          "term": pa.array(out["term"], pa.string()),
                          "df": pa.array(out["df"].astype("int64")),
@@ -724,8 +761,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "value": t["value"]})
 
         pur = _events(sf_dir).map_batches(prep, batch_format="pyarrow")
+        # event_id is the UNIQUE tie-break (grouped_topk's determinism
+        # contract): without it, two purchases with equal (value, ts)
+        # straddling rank 3 could resolve differently engine vs oracle.
         return grouped_topk(pur, "user_id",
-                            [("value", "descending"), ("ts_us", "ascending")], 3)
+                            [("value", "descending"), ("ts_us", "ascending"),
+                             ("event_id", "ascending")], 3)
 
     def tfidf_topk(sf_dir):
         # Per-doc top-3 keywords by integer tf·idf (tf partials -> df
@@ -1111,8 +1152,10 @@ len(regexp_extract_all(text,
   '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
   AS n_bpe_tokens
 FROM documents""",
+        # Integer-cents sum (exact, order-independent) — matches the
+        # engine's cents path; /100.0 is the same float op both sides.
         "log_aggregate": """SELECT event_type, count(*)::BIGINT AS hits,
-round(sum(value), 2) AS total FROM events
+sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total FROM events
 WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY event_type""",
         "log_seq_ids": """SELECT event_id::BIGINT AS event_id,
 (epoch_us(ts) // 1000000)::BIGINT AS sec,
@@ -1333,7 +1376,8 @@ FROM documents GROUP BY 1""",
        event_id::BIGINT AS event_id, epoch_us(ts)::BIGINT AS ts_us, value
 FROM events WHERE event_type = 'purchase'
 QUALIFY row_number()
-  OVER (PARTITION BY user_id ORDER BY value DESC, epoch_us(ts)) <= 3""",
+  OVER (PARTITION BY user_id
+        ORDER BY value DESC, epoch_us(ts), event_id) <= 3""",
         # Integer-only scoring (tf * ((N*1e6) // df)) => bit-identical
         # ranking across engines; ties break by term asc.
         "tfidf_topk": f"""WITH {_KEPT}, {_OCC},

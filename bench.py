@@ -487,15 +487,22 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int) -> dict | None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_DOCS=str(SCALE_DOCS),
                    GRAFT_BENCH_HEADLINE_ONLY="1")
-        out = subprocess.run(
+        # A crashed leg (worker OOM, transient Ray failure on the shared
+        # host) must not abort the run and discard the completed legs —
+        # surface its stderr tail and let the retry loop try again.
+        res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        if res.returncode != 0 or not res.stdout.strip():
+            print(f"# scaling leg ncpu={ncpu} crashed (rc={res.returncode}): "
+                  f"{res.stderr.strip().splitlines()[-3:]}", file=sys.stderr)
+            return None
+        return json.loads(res.stdout.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = SCALE_LO, SCALE_HI
     # The sandbox host's per-core speed fluctuates 2-5x minute to minute
@@ -516,9 +523,15 @@ def run_scaling() -> dict:
                     if r.get("calib_sort10m_sec", 9.9) <= calib_ok]
             if len(good) >= reps:
                 continue
-            legs[ncpu].append(one(ncpu))
+            r = one(ncpu)
+            if r is not None:
+                legs[ncpu].append(r)
 
     def best(ncpu: int) -> dict:
+        if not legs[ncpu]:
+            raise RuntimeError(
+                f"every scaling leg at num_cpus={ncpu} crashed — see the "
+                f"'# scaling leg ... crashed' lines above")
         good = [r for r in legs[ncpu]
                 if r.get("calib_sort10m_sec", 9.9) <= calib_ok]
         pool = good or legs[ncpu]  # fall back to least-throttled overall

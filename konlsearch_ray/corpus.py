@@ -189,6 +189,15 @@ def write_corpus(
             if f.read() == tag:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    # Regeneration must clear STALE parts first: a smaller rebuild into
+    # the same dir would otherwise leave old high-numbered part files
+    # beside the new ones, and directory readers would ingest a silent
+    # old/new mix.
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, name))
+    if os.path.exists(meta_path):
+        os.remove(meta_path)  # no marker while the dir is mid-rewrite
     table = generate_corpus(num_docs, seed=seed, **kw)
     for i in range(0, table.num_rows, rows_per_file):
         pq.write_table(
