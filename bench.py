@@ -433,6 +433,27 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=5).materialize()
     queries["kmeans_sec"] = round(time.perf_counter() - t0, 3)
+    # ANN surface: brute-force top-k (broadcast queries + per-batch
+    # partial top-k + Dataset-side per-qid merge) and the partitioned IVF
+    # store (build once, probe-pruned partition reads).
+    from konlsearch_ray.functions.similarity import (ann_topk,
+                                                     build_ivf_store,
+                                                     ivf_store_topk)
+
+    qids = list(range(1, 17))
+    t0 = time.perf_counter()
+    ann_topk(emb, qids, k=10)
+    queries["ann_topk_sec"] = round(time.perf_counter() - t0, 3)
+    ivf_dir = f"/tmp/konl_bench_ivf_{NUM_CPUS}"
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_ivf_store(emb, ivf_dir, n_centroids=16)
+    queries["ivf_store_build_sec"] = round(time.perf_counter() - t0, 3)
+    qdf = emb.filter(expr=f"vec_id in {qids}").to_pandas()
+    qmat = np.stack([np.asarray(v, float) for v in qdf["embedding"]])
+    t0 = time.perf_counter()
+    ivf_store_topk(ivf_dir, qdf["vec_id"].to_numpy(), qmat, k=10, n_probe=4)
+    queries["ivf_store_probe_sec"] = round(time.perf_counter() - t0, 3)
     from konlsearch_ray.functions.aggregates import pivot_counts
 
     ev_pv = _rp_clean(os.path.join(SF_DIR, "events.parquet"),
