@@ -480,8 +480,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order, and round(2) near a .xx5 boundary could then flip the
         # last digit engine-vs-oracle. Cents are exact and order-free.
         def to_cents(t: pa.Table) -> pa.Table:
-            cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
-                            pa.int64())
+            # half_towards_infinity (= half away from zero) matches
+            # DuckDB's round(); Arrow's default half_to_even would flip
+            # an exact .5-cent tie (the table's values are 2-decimal so
+            # ties can't occur, but the rule should not depend on that
+            # data contract).
+            cents = pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0),
+                         round_mode="half_towards_infinity"), pa.int64())
             return (t.drop_columns(["value"])
                     .append_column("value", cents))
 

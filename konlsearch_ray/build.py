@@ -436,6 +436,13 @@ def _tie_break_dups(ds: ray.data.Dataset, dup_shas) -> ray.data.Dataset:
     if len(dup_shas) == 0:
         return ds
 
+    # Pin the winner-filtered stream ONCE: both branches below consume
+    # it, and Ray would otherwise re-execute the whole upstream lineage
+    # (source read + sha256 + winner filter) per branch. The object
+    # store spills the cached blocks; re-reading and re-hashing the
+    # corpus costs more than the spill.
+    ds = ds.materialize()
+
     def split(keep_dups: bool):
         def fn(t: pa.Table) -> pa.Table:
             m = pc.is_in(t["content_sha256"], value_set=dup_shas)
@@ -957,7 +964,12 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None) -> dict:
     """
     import time
 
-    cfg = cfg or IndexConfig()
+    import copy
+
+    # Work on a COPY: the resume path below overwrites layout fields from
+    # the persisted meta, and mutating the caller's cfg would corrupt a
+    # later build that reuses the same object for a different index.
+    cfg = copy.copy(cfg) if cfg is not None else IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     if os.path.exists(os.path.join(index_dir, "_DOCS_DONE")):
         # Resuming an existing index: layout parameters come from the
@@ -1077,11 +1089,14 @@ def append_documents(
     """
     import uuid as _uuid
 
-    cfg = cfg or IndexConfig()
+    import copy
+
+    cfg = copy.copy(cfg) if cfg is not None else IndexConfig()
     # Layout + canonical-order parameters are properties of the INDEX,
-    # not the call — read them from the persisted meta so appends can't
-    # fragment the layout or reorder by the wrong keys (an id_col-mode
-    # index has sort_keys=[], a default cfg would wrongly sort by
+    # not the call — read them from the persisted meta (into the local
+    # COPY, never the caller's object) so appends can't fragment the
+    # layout or reorder by the wrong keys (an id_col-mode index has
+    # sort_keys=[], a default cfg would wrongly sort by
     # repo/path/commit).
     _restore_cfg_from_meta(index_dir, cfg)
     docs_dir = os.path.join(index_dir, "docs")

@@ -406,8 +406,10 @@ def tfidf_keywords(
 
     def _scores(tf: np.ndarray, dfv: np.ndarray) -> np.ndarray:
         mult = (n_docs * 1_000_000) // dfv
-        if len(tf) and int(tf.max()) > 0 and (
-                int(mult.max()) > (2**63 - 1) // int(tf.max())):
+        # Elementwise overflow check: a rare term's huge multiplier pairs
+        # with ITS OWN tf, so comparing batch-wide maxima from different
+        # rows would refuse corpora whose every real product fits.
+        if len(tf) and np.any(mult > (2**63 - 1) // np.maximum(tf, 1)):
             raise ValueError(
                 "tf-idf integer score would overflow int64 at this corpus "
                 "size; rescale the idf multiplier (N * 1_000_000) for "

@@ -159,3 +159,23 @@ def test_docstore_len_ignores_bogus_tombstones(ray_session, tmp_path):
     delete_docs(idx, [1])
     assert len(DocStore(idx)) == stats["N"] - 1
     assert IndexReader(idx).n_docs == stats["N"] - 1  # surfaces agree
+
+
+def test_build_and_append_do_not_mutate_caller_cfg(ray_session, tmp_path):
+    """Resuming/appending restores layout params into a COPY — reusing
+    the caller's cfg object for a different index must keep its values."""
+    import ray.data
+
+    corpus = write_corpus(str(tmp_path / "c"), 60, seed=41)
+    idx = str(tmp_path / "i")
+    cfg = IndexConfig(shard_size=40)
+    build_index(corpus, idx, cfg)
+    shared = IndexConfig(shard_size=128, dedup=True)
+    build_index(corpus, idx, shared)  # resume with a different cfg
+    assert shared.shard_size == 128 and shared.dedup is True
+    more = pa.table({
+        "repo": pa.array(["o/r"]), "path": pa.array(["p.py"]),
+        "commit": pa.array(["c" * 40]), "lang": pa.array(["python"]),
+        "content": pa.array(["zzcfg unique"], pa.large_string())})
+    append_documents(idx, ray.data.from_arrow(more), cfg=shared)
+    assert shared.shard_size == 128 and shared.sort_keys != []
