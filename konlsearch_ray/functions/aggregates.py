@@ -108,7 +108,8 @@ def approx_distinct(
     splitmix64, so reruns and different partitionings agree exactly.
     Integer-valued ``value_col`` only (hash the bytes upstream for
     strings).  ~1.04/sqrt(2^p) relative error; exact small range via
-    linear counting.
+    linear counting.  Null semantics match :func:`distinct_count`
+    (SQL): null values are dropped, null keys form their own group.
     """
     if not (12 <= p <= 16):
         # p >= 12 keeps the 64-p value bits under 2^53, where the frexp
@@ -118,23 +119,50 @@ def approx_distinct(
     vbits = 64 - p
 
     def partial(t: pa.Table) -> pa.Table:
+        # Null semantics match distinct_count (SQL): null VALUES are not
+        # values and are dropped (previously they hit an undefined
+        # NaN->int64 cast and were silently counted); null KEYS form
+        # their own group, exactly like GROUP BY.
+        t = t.filter(pc.is_valid(t[value_col]))
+        if not t.num_rows:
+            return pa.table({
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "reg": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64()),
+            })
         keys = t[key_col]
         h = _splitmix64(t[value_col].to_numpy(zero_copy_only=False)
                         .astype(np.int64).view(np.uint64))
         reg = (h >> np.uint64(vbits)).astype(np.int64)
         low = (h & np.uint64((1 << vbits) - 1))
         rho = _rho_of_low(low, vbits)
-        # reduce to per-(key, reg) max rho: one dictionary encode + sort
+        # reduce to per-(key, reg) max rho: one dictionary encode + sort.
+        # dictionary_encode gives null keys a NULL index — route them to
+        # the dedicated code len(dictionary) so the null group reduces
+        # like any other (a raw NaN->int64 cast would mis-attribute its
+        # registers to a garbage key).
         kd = pc.dictionary_encode(keys.combine_chunks())
-        kidx = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nkeys = len(kd.dictionary)
+        kidx = (pc.fill_null(kd.indices, nkeys).to_numpy(
+            zero_copy_only=False).astype(np.int64))
         comb = kidx * m + reg
         order = np.argsort(comb, kind="stable")
         cs = comb[order]
         starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
         mx = np.maximum.reduceat(rho[order], starts)
         u = cs[starts]
+        uk = u // m
+        null_key = uk == nkeys
+        if not nkeys:  # every key in the block is null
+            key_vals = pa.nulls(len(u), kd.dictionary.type)
+        else:
+            key_vals = pc.take(
+                kd.dictionary, pa.array(np.where(null_key, 0, uk), pa.int64()))
+            if null_key.any():
+                key_vals = pc.if_else(pa.array(~null_key), key_vals,
+                                      pa.nulls(len(u), kd.dictionary.type))
         return pa.table({
-            key_col: pc.take(kd.dictionary, pa.array(u // m, pa.int64())),
+            key_col: key_vals,
             "reg": pa.array(u % m, pa.int64()),
             "rho": pa.array(mx, pa.int64()),
         })

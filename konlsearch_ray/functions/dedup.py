@@ -213,7 +213,12 @@ def _string_bucket_hash(col) -> np.ndarray:
     if not len(s):
         return np.zeros(0, dtype=np.uint64)
     mat = s.view(np.uint8).reshape(len(s), s.dtype.itemsize)
-    lens = pc.binary_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    # fill_null: a null string's length is null -> NaN, and NaN->int64 is
+    # an undefined conversion (platform-dependent bucket). Null hashes as
+    # the empty string — deterministic routing; in-bucket grouping still
+    # distinguishes null from "" by exact value.
+    lens = (pc.fill_null(pc.binary_length(col), 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64))
     h = np.full(len(s), 0xCBF29CE484222325, dtype=np.uint64)
     prime = np.uint64(1099511628211)
     for j in range(mat.shape[1]):  # width-bounded loop, each pass is C

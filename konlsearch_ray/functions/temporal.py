@@ -45,7 +45,16 @@ US = 1_000_000  # microseconds per second
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Normalize a timestamp[s/ms/us/ns] or integer column to int64
-    epoch microseconds (zero-copy for timestamp[us])."""
+    epoch microseconds (zero-copy for timestamp[us]).
+
+    Integer-column unit contract: a bare integer ts column is taken as
+    ALREADY epoch MICROSECONDS (the engine's canonical unit — every
+    ``*_us`` output column uses it), while the public operators take
+    widths/gaps/tolerances in SECONDS. An epoch-seconds int column must
+    be multiplied by 1_000_000 (or cast to timestamp[s]) upstream;
+    passing it raw silently collapses windows / widens bands by 1e6.
+    Every public operator docstring repeats this contract.
+    """
     t = col.type
     if pa.types.is_timestamp(t):
         col = pc.cast(col, pa.timestamp("us"))
@@ -55,9 +64,10 @@ def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 def _key_bucket(col, nbuckets: int) -> np.ndarray:
     """Vectorized bucket id for an int or string key column. Routing
-    only — in-bucket grouping compares exact values."""
+    only — in-bucket grouping compares exact values. Null keys route
+    deterministically (as 0 / empty string)."""
     if pa.types.is_integer(col.type):
-        hv = (col.to_numpy(zero_copy_only=False)
+        hv = (pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
               .astype(np.int64).view(np.uint64))
         hv = hv * np.uint64(0xFF51AFD7ED558CCD)
         hv ^= hv >> np.uint64(33)
@@ -89,6 +99,10 @@ def tumbling_window(
     ``windows x keys`` partial rows before the global exchange, so the
     shuffle volume is independent of event count. This is the
     map-side-combine shape a 100-TB windowed aggregate needs.
+
+    ``ts_col``: timestamp[s/ms/us/ns], or a bare integer column that
+    MUST already be epoch MICROSECONDS (see ``_ts_us``); ``width_s`` is
+    seconds.
     """
     width_us = int(width_s) * US
     keys = [key_col] if key_col else []
@@ -130,6 +144,10 @@ def sliding_window(
     at most ``windows x keys`` partials per block — the exchange stays
     event-count independent; the replication factor is an explicit cost
     the caller picks via ``width/slide``.
+
+    ``ts_col``: timestamp[s/ms/us/ns], or a bare integer column that
+    MUST already be epoch MICROSECONDS (see ``_ts_us``); widths/slides
+    are seconds.
     """
     if slide_s <= 0 or width_s < slide_s:
         raise ValueError("need width_s >= slide_s > 0")
@@ -221,6 +239,10 @@ def sessionize(
     All events of a key land in one bucket (bucket = hash(key)), so the
     in-bucket lexsort + diff pass is globally exact; the only exchange
     is the one bucket groupby.
+
+    ``ts_col``: timestamp[s/ms/us/ns], or a bare integer column that
+    MUST already be epoch MICROSECONDS (see ``_ts_us``); ``gap_s`` is
+    seconds.
     """
     gap_us = int(gap_s) * US
     nbuckets = nbuckets or _default_nbuckets()
@@ -297,11 +319,19 @@ def _union_sides(
     right_cols: tuple[str, ...],
     right_prefix: str,
     nbuckets: int,
+    keep_null_left: bool = False,
 ) -> tuple[ray.data.Dataset, dict[str, pa.DataType]]:
     """Normalize both sides to one padded schema — ``__k``, ``__t``
     (int64 us), ``__side`` (0=right, 1=left), left payload columns,
     prefixed right payload columns (each null on the other side) — add
     the key bucket, and union. One pass over each side, no shuffle yet.
+
+    Null-key semantics match SQL joins: a NULL key never matches (the
+    reference DuckDB ASOF/range joins drop them from the match set).
+    Right-side null-key rows are always filtered here; left-side ones
+    are filtered too unless ``keep_null_left`` (outer semantics — the
+    caller keeps them as never-matching left rows: pd.factorize codes
+    them -1, and with right nulls filtered no right row carries -1).
     """
     lout = set(left_cols)
     rout = {right_prefix + c for c in right_cols}
@@ -332,7 +362,11 @@ def _union_sides(
 
     def norm(ts_name: str, side: int, own: dict[str, pa.DataType],
              prefix: str):
+        drop_nulls = side == 0 or not keep_null_left
+
         def fn(t: pa.Table) -> pa.Table:
+            if drop_nulls:
+                t = t.filter(pc.is_valid(t[key_col]))
             n = t.num_rows
             cols: dict[str, object] = {
                 "__k": t[key_col],
@@ -392,12 +426,21 @@ def asof_join(
     Scale: each side is read once, exchanged once on the key bucket;
     match resolution is one searchsorted over the bucket's composite
     (key, time) encoding. No driver materialization, no row loops.
+
+    NULL keys never match (SQL semantics): right null-key rows are
+    dropped; left ones are dropped on ``how="inner"`` and kept
+    unmatched on ``how="left"``.
+
+    Timestamp columns: timestamp[s/ms/us/ns] (converted exactly), or a
+    bare integer column that MUST already be epoch MICROSECONDS — scale
+    epoch-seconds ints upstream (see ``_ts_us``).
     """
     right_ts = right_ts or left_ts
     nbuckets = nbuckets or _default_nbuckets()
     unioned, ptypes, ktyp = _union_sides(
         left, right, key_col, left_ts, right_ts,
-        left_cols, right_cols, right_prefix, nbuckets)
+        left_cols, right_cols, right_prefix, nbuckets,
+        keep_null_left=how == "left")
     tol_us = None if tolerance_s is None else int(tolerance_s * US)
     out_names = ([key_col, "ts_us"] + list(left_cols)
                  + [right_prefix + "ts_us"]
@@ -520,6 +563,15 @@ def band_join(
     right side; that variant is intentionally not hidden behind this
     API because its cost model (replication factor) should be explicit
     in the pipeline.
+
+    NULL keys never match (SQL semantics): right null-key rows are
+    dropped; left ones are dropped on ``mode="pairs"`` (inner
+    expansion) and kept with ``n_matches = 0`` on ``mode="count"``
+    (left-outer count).
+
+    Timestamp columns: timestamp[s/ms/us/ns] (converted exactly), or a
+    bare integer column that MUST already be epoch MICROSECONDS — scale
+    epoch-seconds ints upstream (see ``_ts_us``).
     """
     right_ts = right_ts or left_ts
     nbuckets = nbuckets or _default_nbuckets()
@@ -529,7 +581,8 @@ def band_join(
             "output column")
     unioned, ptypes, ktyp = _union_sides(
         left, right, key_col, left_ts, right_ts,
-        left_cols, right_cols, right_prefix, nbuckets)
+        left_cols, right_cols, right_prefix, nbuckets,
+        keep_null_left=mode == "count")
     lo_us, hi_us = int(round(lo_s * US)), int(round(hi_s * US))
     if mode == "count":
         out_names = [key_col, "ts_us"] + list(left_cols) + ["n_matches"]
