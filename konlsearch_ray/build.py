@@ -423,53 +423,82 @@ def _winner_filter(t: pa.Table, dup_shas, winner_keys, key_cols: list[str]) -> p
     return t.filter(pc.fill_null(keep, True)).drop_columns(["__dedup_key"])
 
 
-def _tie_break_dups(ds: ray.data.Dataset, dup_shas) -> ray.data.Dataset:
-    """Collapse winner-key TIES left by ``_winner_filter``: rows of a
-    duplicate sha whose canonical keys are identical (e.g. the same
-    source row ingested twice) all pass the winner filter, but first-wins
-    owes exactly ONE row per sha. Unique-sha rows stream through
-    untouched; only duplicate-sha rows — duplicate volume, not corpus
-    volume — pay one keyed exchange, where each sha group keeps its
-    deterministic first row (sorted by every orderable column, so fully
-    identical rows and store-col variants both resolve reproducibly,
-    independent of partitioning)."""
-    if len(dup_shas) == 0:
-        return ds
+def _tie_row_hash(t: pa.Table) -> np.ndarray:
+    """Deterministic 128-bit per-row fingerprint (md5 hex as ``S32``
+    bytes) over every orderable column, via the same order-preserving
+    sortable-string projection the canonical key uses.
 
-    # Pin the winner-filtered stream ONCE: both branches below consume
-    # it, and Ray would otherwise re-execute the whole upstream lineage
-    # (source read + sha256 + winner filter) per branch. The object
-    # store spills the cached blocks; re-reading and re-hashing the
-    # corpus costs more than the spill.
-    ds = ds.materialize()
+    Used to pick ONE winner among winner-key TIES (rows identical in
+    sha and canonical key): min-by-fingerprint is partition- and
+    run-independent, fully identical rows fingerprint identically, and
+    8+24 bytes per dup row is cheap enough to ship to the driver —
+    unlike the rows themselves (a tie row carries the full content)."""
+    cols = [f.name for f in t.schema
+            if not (pa.types.is_nested(f.type)
+                    or pa.types.is_dictionary(f.type))]
+    key = _col_as_sortable_str(t, cols[0])
+    for k in cols[1:]:
+        key = pc.binary_join_element_wise(
+            key, _col_as_sortable_str(t, k), _KEY_SEP)
+    hx = hash_hex_column(key, "md5")
+    return hx.to_numpy(zero_copy_only=False).astype("S32")
 
-    def split(keep_dups: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            m = pc.is_in(t["content_sha256"], value_set=dup_shas)
-            return t.filter(m if keep_dups else pc.invert(m))
-        return fn
 
-    uniq = ds.map_batches(split(False), batch_format="pyarrow")
-    dups = ds.map_batches(split(True), batch_format="pyarrow")
+@ray.remote
+def _block_tie_info(block: pa.Table, dup_shas) -> dict | None:
+    """Light tie metadata for one sorted block: per duplicate sha
+    (coded as its index in ``dup_shas``) the block's row count and
+    minimal row fingerprint, plus the block's total dup-row count.
+    Ships O(dup shas in block) bytes to the driver — never rows."""
+    idx = pc.index_in(block["content_sha256"], value_set=dup_shas)
+    is_dup = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+    if not is_dup.any():
+        return None
+    di = np.flatnonzero(is_dup)
+    h = _tie_row_hash(block.take(pa.array(di)))
+    codes = (pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+             .astype(np.int64)[di])
+    order = np.lexsort((h, codes))
+    cs = codes[order]
+    starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+    return {"code": cs[starts], "min_hash": h[order][starts],
+            "total": int(len(di))}
 
-    def first_row(g: pa.Table) -> pa.Table:
-        if g.num_rows <= 1:
-            return g
-        keys = [(f.name, "ascending") for f in g.schema
-                if not (pa.types.is_nested(f.type)
-                        or pa.types.is_dictionary(f.type))]
-        if keys:
-            return g.take(pc.sort_indices(g, sort_keys=keys)[:1])
-        return g.slice(0, 1)
 
-    from konlsearch_ray.functions.blocks import nonempty_blocks
-
-    grouped = (dups.groupby("content_sha256")
-               .map_groups(first_row, batch_format="pyarrow"))
-    # Bypassed 0-row shuffle partitions would reach write_parquet with a
-    # stale schema — rebuild from the non-empty block refs (refs only).
-    grouped = nonempty_blocks(grouped, ("content_sha256",))
-    return uniq.union(grouped)
+def _resolve_tie_owners(block_refs, shas_ref, counts):
+    """Driver side of the tie-break: one light task per sorted block,
+    then a numpy pass assigns each duplicate sha an OWNER block (the
+    block holding its globally minimal row fingerprint). Mutates
+    ``counts`` to the post-tie-break per-block row counts and returns
+    ``per_block`` (block idx -> (sorted codes, hashes)) for the task-side
+    keep masks. Driver memory is O(dup-sha block occurrences) — bounded
+    by duplicate volume, never corpus volume."""
+    infos = ray.get(
+        [_block_tie_info.remote(ref, shas_ref) for ref, _ in block_refs])
+    codes, hashes, blks = [], [], []
+    for i, info in enumerate(infos):
+        if info is None:
+            continue
+        codes.append(info["code"])
+        hashes.append(info["min_hash"])
+        blks.append(np.full(len(info["code"]), i, dtype=np.int64))
+        counts[i] -= info["total"]
+    if not codes:
+        return {}
+    codes = np.concatenate(codes)
+    hashes = np.concatenate(hashes)
+    blks = np.concatenate(blks)
+    order = np.lexsort((blks, hashes, codes))
+    cs = codes[order]
+    first = np.concatenate(([True], cs[1:] != cs[:-1]))
+    own_code, own_hash, own_blk = (
+        cs[first], hashes[order][first], blks[order][first])
+    per_block: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for b in np.unique(own_blk):
+        sel = own_blk == b
+        per_block[int(b)] = (own_code[sel], own_hash[sel])
+        counts[int(b)] += int(sel.sum())
+    return per_block
 
 
 # Above this many input rows the driver-side dedup pass (which pulls one
@@ -651,16 +680,43 @@ def _driver_rank_docs(
 
 @ray.remote
 def _filter_and_id_block(
-    block: pa.Table, mask: np.ndarray | None, offset: int
+    block: pa.Table, mask: np.ndarray | None, offset: int,
+    dup_shas=None, owned=None,
 ) -> pa.Table:
-    if mask is not None and not mask.all():
+    """Attach dense ids to one sorted block, optionally applying the
+    driver-computed dedup mask OR the tie-break keep rule (mutually
+    exclusive). Tie rule: drop every duplicate-sha row except, in the
+    sha's OWNER block, the first row matching the sha's globally
+    minimal fingerprint (see ``_resolve_tie_owners``)."""
+    if dup_shas is not None:
+        idx = pc.index_in(block["content_sha256"], value_set=dup_shas)
+        is_dup = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        keep = ~is_dup
+        own_code, own_hash = owned if owned is not None else (None, None)
+        if own_code is not None and len(own_code) and is_dup.any():
+            di = np.flatnonzero(is_dup)
+            codes = (pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+                     .astype(np.int64)[di])
+            pos = np.clip(np.searchsorted(own_code, codes), 0,
+                          len(own_code) - 1)
+            cand = own_code[pos] == codes
+            if cand.any():
+                h = _tie_row_hash(block.take(pa.array(di[cand])))
+                hit = h == own_hash[pos[cand]]
+                hit_codes = codes[cand][hit]
+                _, first = np.unique(hit_codes, return_index=True)
+                keep[di[cand][hit][first]] = True
+        if not keep.all():
+            block = block.filter(pa.array(keep))
+    elif mask is not None and not mask.all():
         block = block.filter(pa.array(mask))
     ids = pa.array(np.arange(offset, offset + block.num_rows, dtype=np.int64))
     return block.append_column("doc_id", ids)
 
 
 def _sorted_dedup_ids(
-    ds: ray.data.Dataset, sort_keys: list[str], start: int, dedup: bool
+    ds: ray.data.Dataset, sort_keys: list[str], start: int, dedup: bool,
+    tie_shas=None,
 ) -> ray.data.Dataset:
     """Canonical sort → (optional dedup) → dense 1-based doc IDs, in ONE
     full-data pass.
@@ -672,7 +728,13 @@ def _sorted_dedup_ids(
     single task wave applies mask + ``doc_id = offset + arange`` per block
     (offsets from a driver prefix-sum over post-filter counts — metadata
     only). Above ``DEDUP_DRIVER_MAX_ROWS`` the caller should use the
-    shuffle pre-pass (``_dedup_winners``/``_winner_filter``) instead.
+    shuffle pre-pass (``_dedup_winners``/``_winner_filter``) instead and
+    pass ``tie_shas`` (the duplicate-sha set, mutually exclusive with
+    ``dedup``): winner-key TIES the filter cannot break (rows identical
+    in sha AND canonical key) are then resolved on the already-pinned
+    sorted blocks — a light fingerprint wave plus in-task keep masks
+    (``_resolve_tie_owners``) — so the corpus is pinned exactly once, by
+    this sort, and the driver holds only dup-sha metadata.
     """
     mat = ds.sort(sort_keys).materialize()
     block_refs = []
@@ -687,6 +749,7 @@ def _sorted_dedup_ids(
     masks: list = [None] * len(block_refs)
     counts = [n for _, n in block_refs]
     if dedup:
+        assert tie_shas is None, "dedup and tie_shas are mutually exclusive"
         sha_parts = ray.get(
             [_block_shas.remote(ref) for ref, _ in block_refs])
         all_sha = pa.concat_arrays(
@@ -702,9 +765,16 @@ def _sorted_dedup_ids(
             if not m.all():
                 masks[i] = m
             counts[i] = int(m.sum())
+    tie = tie_shas is not None and len(tie_shas) > 0
+    shas_ref = ray.put(tie_shas) if tie else None
+    per_block = (_resolve_tie_owners(block_refs, shas_ref, counts)
+                 if tie else {})
     offsets = start + np.concatenate(([0], np.cumsum(counts)[:-1]))
     out_refs = [
-        _filter_and_id_block.remote(ref, masks[i], int(offsets[i]))
+        _filter_and_id_block.remote(
+            ref, masks[i], int(offsets[i]),
+            dup_shas=shas_ref if tie else None,
+            owned=per_block.get(i))
         for i, (ref, _) in enumerate(block_refs)
     ]
     return ray.data.from_arrow_refs(out_refs)
@@ -781,6 +851,7 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
             fn_kwargs={"content_col": cfg.content_col})
 
     ds = read()
+    tie_tmp = None
     if cfg.id_col is None:
         small = _estimate_rows(source) <= DEDUP_DRIVER_MAX_ROWS
         if small:
@@ -792,14 +863,18 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
                 f.write("ok")
             return sub
         # Huge-scale path: shuffle dedup pre-pass + canonical sort + ids.
+        # Winner-key ties resolve INSIDE the sort's materialization
+        # (tie_shas) — the corpus is pinned exactly once.
+        tie_shas = None
         if cfg.dedup:
             dup_shas, winner_keys = _dedup_winners(read(), cfg.sort_keys)
             ds = ds.map_batches(
                 _winner_filter, batch_format="pyarrow",
                 fn_kwargs={"dup_shas": dup_shas, "winner_keys": winner_keys,
                            "key_cols": cfg.sort_keys})
-            ds = _tie_break_dups(ds, dup_shas)
-        ds = _sorted_dedup_ids(ds, cfg.sort_keys, cfg.id_start, dedup=False)
+            tie_shas = dup_shas if len(dup_shas) else None
+        ds = _sorted_dedup_ids(ds, cfg.sort_keys, cfg.id_start, dedup=False,
+                               tie_shas=tie_shas)
     else:
         if cfg.dedup:
             dup_shas, winner_keys = _dedup_winners(read(), [cfg.id_col])
@@ -807,7 +882,19 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
                 _winner_filter, batch_format="pyarrow",
                 fn_kwargs={"dup_shas": dup_shas, "winner_keys": winner_keys,
                            "key_cols": [cfg.id_col]})
-            ds = _tie_break_dups(ds, dup_shas)
+            if len(dup_shas):
+                # No sort barrier on this path — divert the (bounded)
+                # duplicate-sha rows to a temp dir during the single
+                # consuming pass; the group pass after the main write
+                # appends one winner per sha. Never pins the corpus.
+                tie_tmp = os.path.join(index_dir, ".tie_tmp")
+                import shutil
+
+                shutil.rmtree(tie_tmp, ignore_errors=True)
+                os.makedirs(tie_tmp)
+                ds = ds.map_batches(
+                    _divert_tie_rows, batch_format="pyarrow",
+                    fn_kwargs={"dup_shas": dup_shas, "tmp_dir": tie_tmp})
         if cfg.id_col != "doc_id":
             ds = ds.rename_columns({cfg.id_col: "doc_id"})
 
@@ -820,11 +907,82 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
     keep |= set(cfg.store_cols or [])
     if cfg.id_col is None:
         keep |= set(cfg.sort_keys)
-    cols = [c for c in ds.schema().names if c in keep]
-    ds.select_columns(cols).write_parquet(docs_dir, partition_cols=["shard"])
+    sch = ds.schema()
+    # sch is None iff every row was a tie and got diverted (the main
+    # stream is empty); the winner append below writes the whole corpus.
+    cols = None if sch is None else [c for c in sch.names if c in keep]
+    if cols is not None:
+        ds.select_columns(cols).write_parquet(
+            docs_dir, partition_cols=["shard"])
+    if tie_tmp is not None:
+        # The write above is the barrier: every divert task has finished,
+        # so the temp dir is complete. One winner per duplicate sha joins
+        # the docstore via the same shard-partitioned layout.
+        _append_tie_winners(tie_tmp, docs_dir, cfg, cols, keep, add_shard)
     with open(marker, "w") as f:
         f.write("ok")
     return {}
+
+
+def _divert_tie_rows(t: pa.Table, dup_shas, tmp_dir: str) -> pa.Table:
+    """Single-consume tie-break, pass 1 (id_col mode): stream unique-sha
+    rows onward; side-write duplicate-sha rows (duplicate volume, never
+    corpus volume) for the post-write group pass. Replaces a
+    whole-corpus ``materialize()`` that pinned/spilled the full stream
+    just so two branches could read it. Atomic per-file writes plus the
+    per-sha group downstream make task retries / speculative
+    re-execution harmless (re-written dup rows collapse per sha)."""
+    m = pc.is_in(t["content_sha256"], value_set=dup_shas)
+    dup = t.filter(m)
+    if dup.num_rows:
+        import uuid
+
+        _atomic_write_parquet(
+            dup, os.path.join(tmp_dir, f"ties-{uuid.uuid4().hex}.parquet"))
+    return t.filter(pc.invert(m))
+
+
+def _first_tie_row(g: pa.Table) -> pa.Table:
+    """Deterministic winner among one sha's tie rows: min by every
+    orderable column, so fully identical rows and store-col variants
+    both resolve reproducibly, independent of partitioning."""
+    if g.num_rows <= 1:
+        return g
+    keys = [(f.name, "ascending") for f in g.schema
+            if not (pa.types.is_nested(f.type)
+                    or pa.types.is_dictionary(f.type))]
+    if keys:
+        return g.take(pc.sort_indices(g, sort_keys=keys)[:1])
+    return g.slice(0, 1)
+
+
+def _append_tie_winners(tie_tmp: str, docs_dir: str, cfg: IndexConfig,
+                        cols: list[str] | None, keep: set, add_shard) -> None:
+    """Single-consume tie-break, pass 2 (id_col mode): group the
+    diverted duplicate-sha rows per sha, keep each group's deterministic
+    first row, and append the winners to the shard-partitioned docstore
+    (UUID file names — no collision with the main write)."""
+    import shutil
+
+    from konlsearch_ray.functions.blocks import nonempty_blocks
+
+    files = [os.path.join(tie_tmp, n) for n in sorted(os.listdir(tie_tmp))
+             if n.endswith(".parquet")]
+    if files:
+        grouped = (ray.data.read_parquet(files)
+                   .groupby("content_sha256")
+                   .map_groups(_first_tie_row, batch_format="pyarrow"))
+        # Bypassed 0-row shuffle partitions would reach write_parquet
+        # with a stale schema — keep real blocks only.
+        grouped = nonempty_blocks(grouped, ("content_sha256",))
+        if cfg.id_col != "doc_id":
+            grouped = grouped.rename_columns({cfg.id_col: "doc_id"})
+        grouped = grouped.map_batches(add_shard, batch_format="pyarrow")
+        if cols is None:  # main stream was empty — derive from winners
+            cols = [c for c in grouped.schema().names if c in keep]
+        grouped.select_columns(cols).write_parquet(
+            docs_dir, partition_cols=["shard"])
+    shutil.rmtree(tie_tmp, ignore_errors=True)
 
 
 def _completed_shards(index_dir: str) -> set[int]:

@@ -179,3 +179,95 @@ def test_build_and_append_do_not_mutate_caller_cfg(ray_session, tmp_path):
         "content": pa.array(["zzcfg unique"], pa.large_string())})
     append_documents(idx, ray.data.from_arrow(more), cfg=shared)
     assert shared.shard_size == 128 and shared.sort_keys != []
+
+
+def test_huge_path_tie_break_is_deterministic_on_store_col_variants(
+        ray_session, tmp_path, monkeypatch):
+    """Tie rows identical in sha AND canonical key but DIFFERING in a
+    store column must resolve to the same single winner regardless of
+    input partitioning (the fingerprint-ownership tie-break), and the
+    corpus must never be pinned twice (no whole-stream materialize)."""
+    import pyarrow.parquet as pq
+
+    import konlsearch_ray.build as B
+
+    corpus = write_corpus(str(tmp_path / "c"), 60, seed=77)
+    files = [os.path.join(corpus, n) for n in sorted(os.listdir(corpus))
+             if n.endswith(".parquet")]
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    # three copies of every row, each with a distinct store col value
+    variants = []
+    for tag in ("aa", "bb", "cc"):
+        variants.append(t.append_column("origin", pa.array([tag] * t.num_rows)))
+    tripled = pa.concat_tables(variants)
+
+    monkeypatch.setattr(B, "DEDUP_DRIVER_MAX_ROWS", 0)  # force huge path
+    kept = []
+    for run, nparts in enumerate((1, 7)):
+        src = str(tmp_path / f"src{run}")
+        os.makedirs(src)
+        step = max(1, tripled.num_rows // nparts)
+        for i in range(0, tripled.num_rows, step):
+            pq.write_table(tripled.slice(i, step),
+                           os.path.join(src, f"part-{i:06d}.parquet"))
+        idx = str(tmp_path / f"i{run}")
+        stats = build_index(
+            src, idx, IndexConfig(shard_size=64, store_cols=["origin"]))
+        # one doc per distinct content (the corpus may contain native
+        # duplicate contents)
+        assert stats["N"] == len(set(t["content"].to_pylist()))
+        from konlsearch_ray.docstore import DocStore
+
+        docs = DocStore(idx).get_all().sort_by("doc_id")
+        kept.append(docs.select(["content_sha256", "origin"]))
+    # identical winner rows across partitionings
+    assert kept[0].equals(kept[1])
+
+
+def test_id_col_path_collapses_content_ties(ray_session, tmp_path):
+    """id_col mode: rows identical in (id, content) are ties the winner
+    filter cannot break — exactly one must land, via the divert +
+    post-write group pass (no whole-corpus materialize)."""
+    t = pa.table({
+        "id": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+        "text": pa.array(["same one", "same one", "uniq two",
+                          "tri three", "tri three", "tri three"]),
+    })
+    idx = str(tmp_path / "i")
+    import ray.data
+
+    stats = build_index(
+        ray.data.from_arrow(t).repartition(3), idx,
+        IndexConfig(content_col="text", id_col="id", sort_keys=[],
+                    dedup=True, shard_size=8))
+    assert stats["N"] == 3
+    from konlsearch_ray.docstore import DocStore
+
+    docs = DocStore(idx).get_all().sort_by("doc_id")
+    assert docs["doc_id"].to_pylist() == [1, 2, 3]
+    # temp divert dir cleaned up
+    assert not os.path.exists(os.path.join(idx, ".tie_tmp"))
+    r = IndexReader(idx)
+    assert r.search(["same"], "OR") == [1]
+    assert r.search(["tri"], "OR") == [3]
+
+
+def test_id_col_path_all_rows_duplicated(ray_session, tmp_path):
+    """Every sha duplicated: the main stream writes zero rows and the
+    ENTIRE docstore comes from the tie-winner append pass."""
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma delta"]),
+    })
+    doubled = pa.concat_tables([t, t])
+    idx = str(tmp_path / "i")
+    import ray.data
+
+    stats = build_index(
+        ray.data.from_arrow(doubled).repartition(2), idx,
+        IndexConfig(content_col="text", id_col="id", sort_keys=[],
+                    dedup=True, shard_size=8))
+    assert stats["N"] == 2
+    r = IndexReader(idx)
+    assert r.search(["alpha"], "OR") == [1]
+    assert r.search(["gamma"], "OR") == [2]
