@@ -646,9 +646,25 @@ def test_json_int_field_nulls_and_negatives(ray_session):
     assert df["k"].isna()[1] and df["k"].isna()[3]
 
 
+def _part_files(out: str, part: str) -> list[str]:
+    import os
+
+    d = f"{out}/{part}"
+    return sorted(os.path.join(d, n) for n in os.listdir(d)
+                  if n.startswith("data-"))
+
+
+def _read_part(out: str, part: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pa.concat_tables([pq.read_table(f) for f in _part_files(out, part)])
+
+
 def test_resumable_partitioned_sink(ray_session, tmp_path):
     """Partitioned parquet sink: atomic per-partition commits, rerun
-    skips committed partitions and writes only the missing ones."""
+    skips committed partitions and writes only the missing ones. Hot
+    partitions spread across multiple files/tasks (files_per_partition)
+    and still resume as one unit."""
     import pyarrow.parquet as pq
     import ray.data
 
@@ -662,21 +678,31 @@ def test_resumable_partitioned_sink(ray_session, tmp_path):
     ds = ray.data.from_arrow(t).repartition(4)
     r1 = write_partitioned_parquet(ds, out, "lang")
     assert r1 == {"written": 3, "skipped": 0}
-    got = pq.read_table(f"{out}/lang=en/data.parquet")
+    got = _read_part(out, "lang=en")
     assert got.num_rows == 20 and set(got["lang"].to_pylist()) == {"en"}
+    # interleaved rows hit multiple salts: the partition was written by
+    # more than one commit task
+    assert len(_part_files(out, "lang=en")) > 1
 
     # rerun: everything committed -> nothing rewritten
     import os
-    mtime = os.path.getmtime(f"{out}/lang=es/data.parquet")
+    mtimes = [os.path.getmtime(f) for f in _part_files(out, "lang=es")]
     r2 = write_partitioned_parquet(ds, out, "lang")
     assert r2 == {"written": 0, "skipped": 3}
-    assert os.path.getmtime(f"{out}/lang=es/data.parquet") == mtime
+    assert [os.path.getmtime(f) for f in _part_files(out, "lang=es")] == mtimes
 
-    # crash simulation: one partition lost its marker -> only it rewrites
+    # crash simulation: one partition lost its marker -> only it
+    # rewrites (stale partials cleared first, no duplicate rows)
     os.remove(f"{out}/lang=de/_SUCCESS")
     r3 = write_partitioned_parquet(ds, out, "lang")
     assert r3 == {"written": 1, "skipped": 2}
-    assert pq.read_table(f"{out}/lang=de/data.parquet").num_rows == 20
+    assert _read_part(out, "lang=de").num_rows == 20
+
+    # single-file layout on request
+    out1 = str(tmp_path / "sink1")
+    write_partitioned_parquet(ds, out1, "lang", files_per_partition=1)
+    assert _part_files(out1, "lang=en") == [f"{out1}/lang=en/data-0000.parquet"]
+    assert _read_part(out1, "lang=en").num_rows == 20
 
     # unsafe partition values get escaped tokens
     t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
@@ -933,7 +959,9 @@ def test_partitioned_sink_jsonl(ray_session, tmp_path):
     r = write_partitioned_parquet(ray.data.from_arrow(t), out, "lang",
                                   format="jsonl")
     assert r == {"written": 2, "skipped": 0}
-    lines = open(f"{out}/lang=en/data.jsonl", encoding="utf-8").read().splitlines()
+    lines = []
+    for f in _part_files(out, "lang=en"):
+        lines += open(f, encoding="utf-8").read().splitlines()
     rows = sorted((json.loads(l) for l in lines), key=lambda d: d["doc_id"])
     assert rows[0] == {"doc_id": 1, "lang": "en", "text": "héllo"}
     # resume contract identical to parquet mode

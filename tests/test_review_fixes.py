@@ -79,8 +79,10 @@ def test_sink_null_partition_distinct_from_none_string(ray_session, tmp_path):
     assert r1 == {"written": 3, "skipped": 0}
     names = sorted(n for n in os.listdir(out))
     assert names == ["src=None", "src=__null__", "src=web"]
-    assert pq.read_table(f"{out}/src=__null__/data.parquet").num_rows == 2
-    assert pq.read_table(f"{out}/src=None/data.parquet").num_rows == 1
+    from tests.test_functions import _read_part
+
+    assert _read_part(out, "src=__null__").num_rows == 2
+    assert _read_part(out, "src=None").num_rows == 1
 
     r2 = write_partitioned_parquet(ds, out, "src")
     assert r2 == {"written": 0, "skipped": 3}
