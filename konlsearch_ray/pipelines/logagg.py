@@ -45,6 +45,10 @@ class SearchLog:
         os.makedirs(log_dir, exist_ok=True)
 
     def log(self, term: str, hits: int) -> None:
+        """Append one entry. ``hits`` may be NEGATIVE — a frequency
+        decrement (reference trie.py:190 ``decrease_frequency`` /
+        counter.py:66 ``KonlCounter.decrease``): the aggregation folds
+        it in, clamps the term's total at 0 and drops zeroed terms."""
         sec = int(self._clock())
         if sec != self._last_sec:
             self._last_sec, self._seq = sec, 0
@@ -167,6 +171,14 @@ def aggregate_search_frequency(log_dir: str, freq_dir: str) -> pa.Table:
             old = pq.read_table(os.path.join(freq_dir, cur_name)).to_pandas()
             new = (pd.concat([old, new], ignore_index=True)
                    .groupby("term", as_index=False)["hits"].sum())
+        # Negative log entries are decrements (reference trie.py:190):
+        # totals clamp at 0 per fold, and zeroed terms drop — the
+        # reference's bounded counter likewise removes a key that
+        # decrements to 0 (counter.py:66-80). Entries within one fold
+        # sum before clamping (the reference clamps per call; the
+        # difference only shows for a decrement that precedes its own
+        # increment inside a single drain).
+        new = new[new["hits"] > 0]
         new = new.sort_values("term").reset_index(drop=True)
         out = pa.table({"term": pa.array(new["term"], pa.string()),
                         "hits": pa.array(new["hits"].astype("int64"))})
@@ -184,8 +196,59 @@ def aggregate_search_frequency(log_dir: str, freq_dir: str) -> pa.Table:
         cur_name = new_name
     if cur_name and os.path.exists(os.path.join(freq_dir, cur_name)):
         return pq.read_table(os.path.join(freq_dir, cur_name))
-    return pa.table({"term": pa.array([], pa.string()),
-                     "hits": pa.array([], pa.int64())})
+    return _EMPTY_FREQ
+
+
+_EMPTY_FREQ = pa.table({"term": pa.array([], pa.string()),
+                        "hits": pa.array([], pa.int64())})
+
+
+def current_frequency_table(freq_dir: str) -> pa.Table:
+    """The live committed term→hits table (no log drain)."""
+    manifest_path = os.path.join(freq_dir, "manifest.json")
+    if not os.path.exists(manifest_path):
+        return _EMPTY_FREQ
+    with open(manifest_path) as f:
+        m = json.load(f)
+    cur = os.path.join(freq_dir, m.get("frequency_file", "frequency.parquet"))
+    return pq.read_table(cur) if os.path.exists(cur) else _EMPTY_FREQ
+
+
+def delete_frequency_terms(freq_dir: str, terms) -> pa.Table:
+    """Remove tokens from the frequency table entirely — the parity of
+    the reference's ``trie.delete`` → ``__delete_counter`` (trie.py:
+    163-181, 219-230): when a token vanishes from the index (its last
+    posting deleted), its suggest-frequency entry vanishes with it.
+
+    Commits through the same single-atomic-manifest swap as
+    ``aggregate_search_frequency`` (consumed-parts set unchanged), so a
+    crash mid-delete leaves the old table live. Returns the new table.
+    """
+    manifest_path = os.path.join(freq_dir, "manifest.json")
+    cur = current_frequency_table(freq_dir)
+    terms = pa.array(list(terms), pa.string()) if not isinstance(
+        terms, (pa.Array, pa.ChunkedArray)) else terms
+    if not os.path.exists(manifest_path) or not cur.num_rows or not len(terms):
+        return cur
+    keep = pc.invert(pc.is_in(cur["term"], value_set=terms))
+    if pc.all(keep).as_py():
+        return cur
+    out = cur.filter(keep)
+    with open(manifest_path) as f:
+        m = json.load(f)
+    new_name = f"frequency-{uuid.uuid4().hex[:10]}.parquet"
+    tmp = os.path.join(freq_dir, "." + new_name + ".tmp")
+    pq.write_table(out, tmp)
+    os.replace(tmp, os.path.join(freq_dir, new_name))  # not yet live
+    old_name = m.get("frequency_file")
+    m["frequency_file"] = new_name
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, manifest_path)  # the single atomic commit point
+    if old_name and os.path.exists(os.path.join(freq_dir, old_name)):
+        os.remove(os.path.join(freq_dir, old_name))
+    return out
 
 
 def aggregate_from_offset(

@@ -178,9 +178,45 @@ def _rewrite_docs_file_body(path: str, dead: np.ndarray) -> int:
     return int(len(keep) - keep.sum())
 
 
-def compact_index(index_dir: str) -> dict:
+def _drop_vanished_frequency_terms(index_dir: str, freq_dir: str) -> int:
+    """Reference ``trie.delete`` parity (trie.py:163-181): after
+    compaction, tokens whose last posting died are gone from the
+    dictionary — their suggest-frequency entries must vanish too (the
+    frequency table only tracks tokens the index still contains).
+    Returns the number of dropped terms."""
+    from konlsearch_ray.pipelines.logagg import (current_frequency_table,
+                                                 delete_frequency_terms)
+
+    freq = current_frequency_table(freq_dir)
+    if not freq.num_rows:
+        return 0
+    dict_dir = os.path.join(index_dir, "dictionary")
+    dict_files = ([os.path.join(dict_dir, n)
+                   for n in sorted(os.listdir(dict_dir))
+                   if n.endswith(".parquet")]
+                  if os.path.isdir(dict_dir) else [])
+    if dict_files:
+        terms = pa.concat_tables(
+            [pq.read_table(f, columns=["term"]) for f in dict_files])["term"]
+        alive = pc.is_in(freq["term"],
+                         value_set=terms.combine_chunks())
+        vanished = freq.filter(pc.invert(alive))["term"]
+    else:  # the whole index compacted away
+        vanished = freq["term"]
+    if not len(vanished):
+        return 0
+    delete_frequency_terms(freq_dir, vanished.combine_chunks())
+    return len(vanished)
+
+
+def compact_index(index_dir: str, freq_dir: str | None = None) -> dict:
     """Physically remove tombstoned docs from every shard, refresh stats
-    and dictionary, clear the tombstone table. Returns the new stats."""
+    and dictionary, clear the tombstone table. Returns the new stats.
+
+    ``freq_dir``: optional suggest-frequency table (see
+    ``pipelines.logagg``) — tokens the compaction removes from the
+    dictionary entirely are dropped from it, mirroring the reference's
+    ``trie.delete`` → ``__delete_counter`` on doc delete."""
     import ray
     import ray.data
 
@@ -199,7 +235,10 @@ def compact_index(index_dir: str) -> dict:
     dead = (np.unique(np.concatenate(parts)).astype(np.int64)
             if parts else np.array([], dtype=np.int64))
     if len(dead) == 0:
-        return _finalize(index_dir)
+        stats = _finalize(index_dir)
+        if freq_dir is not None:  # reconcile against the live dictionary
+            _drop_vanished_frequency_terms(index_dir, freq_dir)
+        return stats
     # Persist the id high-water mark BEFORE rows leave the docstore, so a
     # compacted-away top shard can never cause doc-id reuse on append
     # (the reference's counter is monotone, index.py:20-23).
@@ -236,6 +275,8 @@ def compact_index(index_dir: str) -> dict:
     ray.get([rewrite_file.remote(p, dead_ref) for p in doc_files])
 
     stats = _finalize(index_dir)
+    if freq_dir is not None:
+        _drop_vanished_frequency_terms(index_dir, freq_dir)
     for n in snap_files:  # only the batches this compaction consumed
         os.remove(os.path.join(ts_dir, n))
     try:
