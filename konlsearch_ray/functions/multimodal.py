@@ -3,15 +3,18 @@
 Image/audio/video payloads are treated as opaque ``binary`` columns with
 typed metadata; decode / feature-extract run as actor-pool ``map_batches``
 stages sized for large rows (small batches). The actual codecs are NOT in
-this container, so `decode_image` / `decode_audio` are stubbed behind
-``NotImplementedError`` and the pipeline uses a deterministic fake feature
-extractor — the Ray-side plumbing (schema, batch size, actor signature,
-output layout) is real and tested.
+this container: the REAL decode path is the import-guarded
+``PillowImageCodec`` adapter (same pattern as
+``analyzer.MecabMorphemeAnalyzer``) — on a cluster with Pillow installed
+it decodes unchanged; here it raises the documented error and the
+pipeline uses a deterministic fake decoder — the Ray-side plumbing
+(schema, batch size, actor signature, output layout) is real and tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
@@ -20,13 +23,63 @@ import ray.data
 FEATURE_DIM = 16
 
 
+class PillowImageCodec:
+    """Adapter for a REAL image codec, import-guarded like
+    ``analyzer.MecabMorphemeAnalyzer`` (analyzer.py:192): requires the
+    public Pillow library (``PIL.Image``), which does not ship in this
+    sandbox, so tests cover the duck-typed injection path and the
+    ImportError fallback; on a cluster with Pillow installed
+    ``ImageResizeStage(..., codec=PillowImageCodec())`` works unchanged.
+
+    ``backend``: optional PIL.Image-like module exposing
+    ``open(file_obj) -> image`` where the image supports
+    ``convert("RGB")`` and numpy conversion (dependency injection for
+    tests / custom codecs).
+    """
+
+    def __init__(self, backend=None):
+        if backend is None:
+            backend = self._load_backend()
+        self._image_mod = backend
+
+    @staticmethod
+    def _load_backend():
+        try:
+            from PIL import Image  # Pillow
+
+            return Image
+        except ImportError:
+            raise ImportError(
+                "PillowImageCodec needs Pillow (PIL), which is not "
+                "installed. Pass a backend exposing open(file_obj) -> "
+                "image with convert('RGB'), or use fake_decode_image.")
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        """payload bytes -> (H, W, 3) uint8 RGB tensor."""
+        img = self._image_mod.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+
+
+_IMAGE_CODEC: PillowImageCodec | None = None
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real image decode — requires an image codec library (not in this
-    environment). Stub by spec; see module docstring."""
-    raise NotImplementedError("image codecs unavailable in this environment")
+    """Real image decode via the import-guarded :class:`PillowImageCodec`.
+    No codec library ships in this sandbox, so this raises the documented
+    ``NotImplementedError`` here; with Pillow installed it decodes."""
+    global _IMAGE_CODEC
+    if _IMAGE_CODEC is None:
+        try:
+            _IMAGE_CODEC = PillowImageCodec()
+        except ImportError as e:
+            raise NotImplementedError(str(e)) from e
+    return _IMAGE_CODEC.decode(payload)
 
 
 def decode_audio(payload: bytes) -> "np.ndarray":
+    """Audio decode — no public audio codec library ships in this
+    sandbox (an adapter would mirror PillowImageCodec over soundfile /
+    pyav). Stub by spec; see module docstring."""
     raise NotImplementedError("audio codecs unavailable in this environment")
 
 
@@ -136,11 +189,16 @@ class ImageResizeStage:
     """
 
     def __init__(self, payload_col: str, id_col: str, out_h: int = 8,
-                 out_w: int = 8, use_real_decode: bool = False):
+                 out_w: int = 8, use_real_decode: bool = False, codec=None):
         self.payload_col = payload_col
         self.id_col = id_col
         self.out_h, self.out_w = out_h, out_w
-        self.decode = decode_image if use_real_decode else fake_decode_image
+        # codec: anything exposing decode(bytes) -> (H, W, 3) uint8 —
+        # e.g. PillowImageCodec (loads once per ACTOR, the ST1 pattern).
+        if codec is not None:
+            self.decode = codec.decode
+        else:
+            self.decode = decode_image if use_real_decode else fake_decode_image
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _payloads(batch, self.payload_col)
@@ -184,11 +242,14 @@ class FrameSampleStage:
     """
 
     def __init__(self, payload_col: str, id_col: str, out_h: int = 8,
-                 out_w: int = 8, use_real_decode: bool = False):
+                 out_w: int = 8, use_real_decode: bool = False, codec=None):
         self.payload_col = payload_col
         self.id_col = id_col
         self.out_h, self.out_w = out_h, out_w
-        self.decode = decode_image if use_real_decode else fake_decode_image
+        if codec is not None:
+            self.decode = codec.decode
+        else:
+            self.decode = decode_image if use_real_decode else fake_decode_image
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _payloads(batch, self.payload_col)

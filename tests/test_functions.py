@@ -972,3 +972,65 @@ def test_partitioned_sink_jsonl(ray_session, tmp_path):
     with _pt.raises(ValueError, match="format"):
         write_partitioned_parquet(ray.data.from_arrow(t), out, "lang",
                                   format="csv")
+
+
+def test_pillow_codec_injection_and_fallback(ray_session):
+    """PillowImageCodec mirrors the MecabMorphemeAnalyzer adapter
+    contract (analyzer.py:192): duck-typed backend injection works end
+    to end through the actor-pool stage; without Pillow installed the
+    default constructor raises ImportError and decode_image raises the
+    documented NotImplementedError."""
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.multimodal import (
+        ImageResizeStage,
+        PillowImageCodec,
+        decode_image,
+    )
+
+    class _FakeImg:
+        def __init__(self, px):
+            self._px = px
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self._px if dtype is None else self._px.astype(dtype)
+
+    class _FakePIL:  # PIL.Image-like module: open(file_obj) -> image
+        @staticmethod
+        def open(fp):
+            data = fp.read()
+            h = w = max(2, data[0] % 5 + 2)  # payload-derived shape
+            need = h * w * 3
+            buf = (data * (need // len(data) + 1))[:need]
+            return _FakeImg(np.frombuffer(buf, np.uint8).reshape(h, w, 3))
+
+    codec = PillowImageCodec(backend=_FakePIL)
+    img = codec.decode(b"\x07abcdefgh")
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+
+    # end-to-end through the actor-pool resize stage (codec loads once
+    # per actor via fn_constructor_kwargs — the ST1 pattern)
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([b"\x01aaaa", b"\x02bbbbbb"], pa.binary()),
+    })
+    got = (ray.data.from_arrow(t).map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"payload_col": "payload", "id_col": "id",
+                               "out_h": 4, "out_w": 4, "codec": codec},
+        batch_format="pyarrow", batch_size=2, concurrency=1)
+        .to_pandas().sort_values("id"))
+    assert [len(p) for p in got["pixels"]] == [48, 48]
+    assert got["height"].tolist() == [4, 4]
+
+    # no Pillow in this sandbox: guarded fallbacks
+    import pytest as _pt
+    with _pt.raises(ImportError, match="Pillow"):
+        PillowImageCodec()
+    with _pt.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"x")
