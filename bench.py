@@ -454,6 +454,29 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     ivf_store_topk(ivf_dir, qdf["vec_id"].to_numpy(), qmat, k=10, n_probe=4)
     queries["ivf_store_probe_sec"] = round(time.perf_counter() - t0, 3)
+    # Recall@10 vs n_probe over a sqrt(N)-cell store (the derived
+    # default): the accuracy/compute trade the n_probe knob buys.
+    from konlsearch_ray.functions.similarity import default_n_centroids
+
+    ncent = default_n_centroids(emb.count())
+    ivf_dir2 = f"/tmp/konl_bench_ivf_auto_{NUM_CPUS}"
+    shutil.rmtree(ivf_dir2, ignore_errors=True)
+    build_ivf_store(emb, ivf_dir2)  # derived n_centroids
+    exact = ivf_store_topk(ivf_dir2, qdf["vec_id"].to_numpy(), qmat,
+                           k=10, n_probe=ncent).to_pandas()
+    truth = {q: set(g["neighbor"]) for q, g in exact.groupby("qid")}
+    for probe in sorted({1, max(1, ncent // 8), max(1, ncent // 4), ncent}):
+        t0 = time.perf_counter()
+        got = ivf_store_topk(ivf_dir2, qdf["vec_id"].to_numpy(), qmat,
+                             k=10, n_probe=probe).to_pandas()
+        dt = round(time.perf_counter() - t0, 3)
+        hits = sum(len(truth[q] & set(g["neighbor"]))
+                   for q, g in got.groupby("qid"))
+        total = sum(len(v) for v in truth.values())
+        queries[f"ivf_recall10_probe{probe}_of_{ncent}"] = round(
+            hits / max(total, 1), 4)
+        queries[f"ivf_probe{probe}_sec"] = dt
+    shutil.rmtree(ivf_dir2, ignore_errors=True)
     from konlsearch_ray.functions.aggregates import pivot_counts
 
     ev_pv = _rp_clean(os.path.join(SF_DIR, "events.parquet"),

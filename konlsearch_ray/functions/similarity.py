@@ -131,14 +131,32 @@ def ann_topk(
         ds.map_batches(partial, batch_format="pyarrow"), k)
 
 
+def default_n_centroids(n_rows: int) -> int:
+    """IVF sizing rule of thumb: ``~sqrt(N)`` cells, so probed work per
+    query scales ``O(n_probe * sqrt(N))``. Clamped to [4, 4096] — above
+    the cap the driver-sample Lloyd fit stops being the right tool; fit
+    centroids with the distributed k-means (functions/clustering.py) and
+    pass them explicitly instead."""
+    return int(min(4096, max(4, round(np.sqrt(max(n_rows, 1))))))
+
+
+def _resolve_centroids(ds, n_centroids, n_probe):
+    if n_centroids is None:
+        n_centroids = default_n_centroids(ds.count())
+    if n_probe is None:
+        # probe ~1/4 of the cells, at least 1 — the recall/compute knob
+        n_probe = max(1, n_centroids // 4)
+    return n_centroids, n_probe
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     query_ids: list[int],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     seed: int = 13,
     lloyd_iters: int = 3,
 ) -> pa.Table:
@@ -154,7 +172,11 @@ def ivf_topk(
     ``ann_topk``); smaller ``n_probe`` trades recall for compute. At
     cluster scale the natural layout keys the dataset by centroid id so
     probing reads only ``n_probe/n_centroids`` of the blocks.
+
+    ``n_centroids`` defaults to ``~sqrt(N)`` (``default_n_centroids``);
+    ``n_probe`` defaults to a quarter of the cells.
     """
+    n_centroids, n_probe = _resolve_centroids(ds, n_centroids, n_probe)
     q_ids, q_mat = _gather_queries(ds, query_ids, id_col, vec_col)
     cent = _fit_centroids(ds, vec_col, n_centroids, seed, lloyd_iters)
     # Queries probe their n_probe closest centroids.
@@ -206,9 +228,11 @@ def _fit_centroids(
     lloyd_iters: int,
 ) -> np.ndarray:
     """Deterministic k-means on a driver-side sample (centroids are tiny
-    and broadcast; the sample is bounded at 4096 rows)."""
+    and broadcast; the sample is bounded at max(4096, 16 per centroid),
+    capped at 64k rows — past that, fit with the distributed k-means)."""
+    cap = min(65_536, max(4096, 16 * n_centroids))
     sample = ds.random_sample(
-        min(1.0, 4096 / max(ds.count(), 1)), seed=seed).to_pandas()
+        min(1.0, cap / max(ds.count(), 1)), seed=seed).to_pandas()
     smat = _normalize(np.stack(
         [np.asarray(v, np.float64) for v in sample[vec_col]]))
     rng = np.random.default_rng(seed)
@@ -229,7 +253,7 @@ def build_ivf_store(
     out_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     seed: int = 13,
     lloyd_iters: int = 3,
 ) -> dict:
@@ -238,10 +262,13 @@ def build_ivf_store(
     matrix. This is the physical realization of the ivf_topk docstring's
     scale path — a query probing ``n_probe`` cells then READS only
     ``n_probe/n_centroids`` of the data (partition pruning), instead of
-    filtering every batch post-read."""
+    filtering every batch post-read. ``n_centroids`` defaults to
+    ``~sqrt(N)`` (``default_n_centroids``)."""
     import json
     import os
 
+    if n_centroids is None:
+        n_centroids = default_n_centroids(ds.count())
     cent = _fit_centroids(ds, vec_col, n_centroids, seed, lloyd_iters)
     cent_ref = ray.put(cent)
 

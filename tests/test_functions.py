@@ -1034,3 +1034,40 @@ def test_pillow_codec_injection_and_fallback(ray_session):
         PillowImageCodec()
     with _pt.raises(NotImplementedError, match="Pillow"):
         decode_image(b"x")
+
+
+def test_ivf_derived_centroid_default(ray_session, tmp_path):
+    """n_centroids defaults to ~sqrt(N) (clamped [4, 4096]); the store
+    records it, and full probing at the derived size stays exact."""
+    import ray.data
+
+    from konlsearch_ray.functions.similarity import (
+        ann_topk,
+        build_ivf_store,
+        default_n_centroids,
+        ivf_store_topk,
+    )
+
+    assert default_n_centroids(0) == 4
+    assert default_n_centroids(400) == 20
+    assert default_n_centroids(1_000_000) == 1000
+    assert default_n_centroids(10**12) == 4096
+
+    rng = np.random.default_rng(1)
+    n = 225  # sqrt -> 15
+    vecs = rng.normal(size=(n, 8))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t)
+    out = str(tmp_path / "ivf")
+    meta = build_ivf_store(ds, out)  # derived default
+    assert meta["n_centroids"] == 15
+    exact = ann_topk(ds, [0, 1], k=5).to_pandas()
+    qmat = vecs[[0, 1]]
+    got = ivf_store_topk(out, np.array([0, 1]), qmat, k=5,
+                         n_probe=15).to_pandas()
+    assert got[["qid", "neighbor", "rk"]].values.tolist() == \
+        exact[["qid", "neighbor", "rk"]].values.tolist()
