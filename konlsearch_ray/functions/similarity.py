@@ -40,19 +40,18 @@ def _grouped_topk_merge(parts_ds: ray.data.Dataset, k: int) -> pa.Table:
     asc; output sorted (qid asc, rk asc), cos rounded to 4."""
     from konlsearch_ray.functions.blocks import nonempty_blocks
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        idx = np.lexsort((g["neighbor"].to_numpy(),
-                          -g["cos"].to_numpy()))[:k]
-        g = g.iloc[idx].reset_index(drop=True)
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        # Arrow out with a metadata-free schema: uniform block format
-        # avoids executor schema-mismatch noise downstream.
-        return pa.Table.from_pandas(
-            g[["qid", "neighbor", "cos", "rk"]],
-            preserve_index=False).replace_schema_metadata(None)
+    def merge(g: pa.Table) -> pa.Table:
+        # Arrow-native (no pandas round-trip); metadata-free schema keeps
+        # block formats uniform downstream.
+        idx = np.lexsort((g["neighbor"].to_numpy(zero_copy_only=False),
+                          -g["cos"].to_numpy(zero_copy_only=False)))[:k]
+        sel = g.select(["qid", "neighbor", "cos"]).take(pa.array(idx))
+        return sel.append_column(
+            "rk", pa.array(np.arange(1, sel.num_rows + 1, dtype=np.int64))
+        ).replace_schema_metadata(None)
 
     parts_ds = nonempty_blocks(parts_ds, ("qid", "neighbor", "cos"))
-    merged = parts_ds.groupby("qid").map_groups(merge, batch_format="pandas")
+    merged = parts_ds.groupby("qid").map_groups(merge, batch_format="pyarrow")
     # Bypassed empty group partitions carry the rk-less partial schema —
     # drop them so the driver frame's dtypes stay stable.
     res = nonempty_blocks(merged, ("qid", "neighbor", "cos", "rk")).to_pandas()
