@@ -55,6 +55,36 @@ def _calibrate() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _probed_section(queries: dict, label: str, fn, tries: int = 3) -> None:
+    """Host-drift guard for a throttle-sensitive section: run
+    ``fn() -> dict`` bracketed by single-core probes and RERUN the
+    section when either probe shows a degraded host — the same
+    dual-probe methodology as ``--scaling``, applied per section because
+    the run-level probes cannot see a mid-run throttle window (observed:
+    a titles build 3x slow between two clean run-level probes). The
+    FIRST clean attempt is accepted (no min-over-attempts cherry-pick);
+    with no clean window in ``tries`` attempts the least-throttled one
+    is kept. Every raw attempt + its probes is recorded under
+    ``<label>__attempts`` when a retry happened."""
+    calib_ok = float(os.environ.get("GRAFT_BENCH_CALIB_OK", "0.25"))
+    raw: list[dict] = []
+    chosen = None
+    for _ in range(tries):
+        c0 = _calibrate()
+        out = fn()
+        c1 = _calibrate()
+        raw.append({**out, "calib_before": c0, "calib_after": c1})
+        if max(c0, c1) <= calib_ok:
+            chosen = out
+            break
+    if chosen is None:  # no clean window — keep the least-throttled run
+        best = min(raw, key=lambda r: max(r["calib_before"], r["calib_after"]))
+        chosen = {k: v for k, v in best.items() if not k.startswith("calib_")}
+    queries.update(chosen)
+    if len(raw) > 1:
+        queries[label + "__attempts"] = raw
+
+
 def _silence_schema_hash_noise() -> None:
     """Ray's HashShuffleAggregator logs "Failed to hash the schemas (for
     deduplication): unhashable type: 'dict'" during joins — harmless
@@ -188,14 +218,19 @@ def run_bench() -> dict:
         write_corpus(titles_dir, n_titles, seed=5, mean_tokens=3,
                      vocab_size=30000)
         titles_idx = f"/tmp/konl_bench_titlesidx_{NUM_CPUS}"
-        shutil.rmtree(titles_idx, ignore_errors=True)
-        t0 = time.perf_counter()
-        tstats = build_index(
-            titles_dir, titles_idx,
-            IndexConfig(shard_size=32768, tokenize_batch_size=8192))
-        dt = time.perf_counter() - t0
-        queries["index_build_titles_sec"] = round(dt, 3)
-        queries["index_build_titles_docs_per_sec"] = round(tstats["N"] / dt, 1)
+
+        def _titles() -> dict:
+            shutil.rmtree(titles_idx, ignore_errors=True)
+            t0 = time.perf_counter()
+            tstats = build_index(
+                titles_dir, titles_idx,
+                IndexConfig(shard_size=32768, tokenize_batch_size=8192))
+            dt = time.perf_counter() - t0
+            return {"index_build_titles_sec": round(dt, 3),
+                    "index_build_titles_docs_per_sec": round(
+                        tstats["N"] / dt, 1)}
+
+        _probed_section(queries, "titles", _titles)
 
     # --- secondary: index build over the sf documents table --------------
     docs_idx = f"/tmp/konl_bench_docsindex_{NUM_CPUS}"
@@ -217,34 +252,42 @@ def run_bench() -> dict:
 
     rng = np.random.default_rng(7)
     vocab_terms = [t for t in reader.sample_terms(4000) if t]
-    lat = []
-    for i in range(N_QUERY_REPS):
-        toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
-                vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
-        t0 = time.perf_counter()
-        reader.bm25_topk(toks, 10)
-        lat.append(time.perf_counter() - t0)
-    queries["bm25_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
-    queries["bm25_p99_ms"] = round(float(np.percentile(lat, 99)) * 1000, 3)
 
-    lat = []
-    for i in range(N_QUERY_REPS):
-        toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
-                vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
-        t0 = time.perf_counter()
-        reader.search(toks, "AND")
-        lat.append(time.perf_counter() - t0)
-    queries["boolean_and_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
+    def _latency() -> dict:
+        out = {}
+        lat = []
+        for i in range(N_QUERY_REPS):
+            toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
+                    vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
+            t0 = time.perf_counter()
+            reader.bm25_topk(toks, 10)
+            lat.append(time.perf_counter() - t0)
+        out["bm25_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
+        out["bm25_p99_ms"] = round(float(np.percentile(lat, 99)) * 1000, 3)
 
-    # Exact (unpruned) BM25 for the pruning speedup ratio.
-    lat = []
-    for i in range(N_QUERY_REPS):
-        toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
-                vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
-        t0 = time.perf_counter()
-        reader.bm25_topk(toks, 10, prune=False)
-        lat.append(time.perf_counter() - t0)
-    queries["bm25_exact_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
+        lat = []
+        for i in range(N_QUERY_REPS):
+            toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
+                    vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
+            t0 = time.perf_counter()
+            reader.search(toks, "AND")
+            lat.append(time.perf_counter() - t0)
+        out["boolean_and_p50_ms"] = round(
+            float(np.percentile(lat, 50)) * 1000, 3)
+
+        # Exact (unpruned) BM25 for the pruning speedup ratio.
+        lat = []
+        for i in range(N_QUERY_REPS):
+            toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
+                    vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
+            t0 = time.perf_counter()
+            reader.bm25_topk(toks, 10, prune=False)
+            lat.append(time.perf_counter() - t0)
+        out["bm25_exact_p50_ms"] = round(
+            float(np.percentile(lat, 50)) * 1000, 3)
+        return out
+
+    _probed_section(queries, "latency", _latency)
 
     # --- distributed query serving throughput -----------------------------
     import pyarrow as pa
@@ -264,24 +307,33 @@ def run_bench() -> dict:
     import ray.data as rd
 
     pool = max(2, NUM_CPUS // 4)
-    t0 = time.perf_counter()
-    (rd.from_arrow(qt).repartition(pool * 4)
-     .map_batches(QueryStage, fn_constructor_kwargs={"index_dir": code_idx},
-                  batch_format="pyarrow", concurrency=pool)
-     .materialize())
-    dt = time.perf_counter() - t0
-    queries["bm25_distributed_qps"] = round(n_q / dt, 1)
+
+    def _dist_qps() -> dict:
+        t0 = time.perf_counter()
+        (rd.from_arrow(qt).repartition(pool * 4)
+         .map_batches(QueryStage,
+                      fn_constructor_kwargs={"index_dir": code_idx},
+                      batch_format="pyarrow", concurrency=pool)
+         .materialize())
+        return {"bm25_distributed_qps": round(
+            n_q / (time.perf_counter() - t0), 1)}
+
+    _probed_section(queries, "dist_qps", _dist_qps)
 
     # Scatter-gather serving in the Dataset API: same total actor count,
     # but each actor holds only index/num_subsets (the cluster layout).
     from konlsearch_ray.query import sharded_query_pipeline
 
-    t0 = time.perf_counter()
-    sharded_query_pipeline(
-        code_idx, rd.from_arrow(qt).repartition(pool * 4), num_subsets=4,
-        concurrency_per_subset=max(1, pool // 4)).materialize()
-    dt = time.perf_counter() - t0
-    queries["bm25_sharded_qps"] = round(n_q / dt, 1)
+    def _sharded_qps() -> dict:
+        t0 = time.perf_counter()
+        sharded_query_pipeline(
+            code_idx, rd.from_arrow(qt).repartition(pool * 4),
+            num_subsets=4,
+            concurrency_per_subset=max(1, pool // 4)).materialize()
+        return {"bm25_sharded_qps": round(
+            n_q / (time.perf_counter() - t0), 1)}
+
+    _probed_section(queries, "sharded_qps", _sharded_qps)
 
     # --- one training-data pipeline for coverage --------------------------
     import ray.data as rd
@@ -538,58 +590,102 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
-    def one(ncpu: int) -> dict | None:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_DOCS=str(SCALE_DOCS),
-                   GRAFT_BENCH_HEADLINE_ONLY="1")
-        # A crashed leg (worker OOM, transient Ray failure on the shared
-        # host) must not abort the run and discard the completed legs —
-        # surface its stderr tail and let the retry loop try again.
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        if res.returncode != 0 or not res.stdout.strip():
-            print(f"# scaling leg ncpu={ncpu} crashed (rc={res.returncode}): "
-                  f"{res.stderr.strip().splitlines()[-3:]}", file=sys.stderr)
-            return None
-        return json.loads(res.stdout.strip().splitlines()[-1])
+def _scaling_leg(ncpu: int) -> dict | None:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               GRAFT_BENCH_DOCS=str(SCALE_DOCS),
+               GRAFT_BENCH_HEADLINE_ONLY="1")
+    # A crashed leg (worker OOM, transient Ray failure on the shared
+    # host) must not abort the run and discard the completed legs —
+    # surface its stderr tail and let the retry loop try again.
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    if res.returncode != 0 or not res.stdout.strip():
+        print(f"# scaling leg ncpu={ncpu} crashed (rc={res.returncode}): "
+              f"{res.stderr.strip().splitlines()[-3:]}", file=sys.stderr)
+        return None
+    return json.loads(res.stdout.strip().splitlines()[-1])
 
-    lo_cpus, hi_cpus = SCALE_LO, SCALE_HI
-    # The sandbox host's per-core speed fluctuates 2-5x minute to minute
-    # (shared tenancy), so a single pair of legs can be dominated by host
-    # drift. Methodology: alternate legs; each leg carries a warm
-    # single-core calibration probe (~0.15-0.2 s on the unthrottled host).
-    # A leg whose calibration exceeds CALIB_OK ran on a degraded host and
-    # is retried (up to GRAFT_SCALE_TRIES runs per leg); the reported
-    # time is the minimum over accepted legs (all raw observations and
-    # calibrations are emitted for transparency).
+
+def _collect_legs(rungs: tuple[int, ...]) -> tuple[dict, float]:
+    """Shared scaling-leg collection: alternate rungs; each leg carries
+    TWO warm single-core calibration probes (before and after the timed
+    work, ~0.15-0.2 s on the unthrottled host — the sandbox's per-core
+    speed fluctuates 2-5x minute to minute under shared tenancy). A leg
+    where either probe shows a degraded host is retried (up to
+    GRAFT_SCALE_TRIES runs per rung); all raw observations and
+    calibrations are kept for transparency."""
     calib_ok = float(os.environ.get("GRAFT_SCALE_CALIB_OK", "0.25"))
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
     tries = int(os.environ.get("GRAFT_SCALE_TRIES", str(2 * reps)))
-    legs: dict[int, list[dict]] = {lo_cpus: [], hi_cpus: []}
-    for rep in range(tries):
-        for ncpu in (hi_cpus, lo_cpus) if rep % 2 == 0 else (lo_cpus, hi_cpus):
-            good = [r for r in legs[ncpu]
-                    if max(r.get("calib_sort10m_sec", 9.9),
-                           r.get("calib_start_sort10m_sec", 0.0)) <= calib_ok]
-            if len(good) >= reps:
-                continue
-            r = one(ncpu)
-            if r is not None:
-                legs[ncpu].append(r)
+    legs: dict[int, list[dict]] = {c: [] for c in rungs}
 
-    def best(ncpu: int) -> dict:
-        if not legs[ncpu]:
-            raise RuntimeError(
-                f"every scaling leg at num_cpus={ncpu} crashed — see the "
-                f"'# scaling leg ... crashed' lines above")
-        good = [r for r in legs[ncpu]
+    def good(ncpu: int) -> list[dict]:
+        return [r for r in legs[ncpu]
                 if max(r.get("calib_sort10m_sec", 9.9),
                        r.get("calib_start_sort10m_sec", 0.0)) <= calib_ok]
-        pool = good or legs[ncpu]  # fall back to least-throttled overall
-        return min(pool, key=lambda r: r["value"])
+
+    for rep in range(tries):
+        order = tuple(reversed(rungs)) if rep % 2 == 0 else rungs
+        for ncpu in order:
+            if len(good(ncpu)) >= reps:
+                continue
+            r = _scaling_leg(ncpu)
+            if r is not None:
+                legs[ncpu].append(r)
+    return legs, calib_ok
+
+
+def _best_leg(legs: dict, ncpu: int, calib_ok: float) -> dict:
+    if not legs[ncpu]:
+        raise RuntimeError(
+            f"every scaling leg at num_cpus={ncpu} crashed — see the "
+            f"'# scaling leg ... crashed' lines above")
+    good = [r for r in legs[ncpu]
+            if max(r.get("calib_sort10m_sec", 9.9),
+                   r.get("calib_start_sort10m_sec", 0.0)) <= calib_ok]
+    pool = good or legs[ncpu]  # fall back to least-throttled overall
+    return min(pool, key=lambda r: r["value"])
+
+
+def run_ladder() -> dict:
+    """Three-rung scaling ladder (one run, same methodology as
+    --scaling): per-rung best calib-clean time and efficiency vs the
+    bottom rung — the N→2N→4N curve, not just its endpoints."""
+    rungs = tuple(int(x) for x in os.environ.get(
+        "GRAFT_LADDER_RUNGS", "2,4,8").split(","))
+    legs, calib_ok = _collect_legs(rungs)
+    base = rungs[0]
+    b = _best_leg(legs, base, calib_ok)
+    out_rungs = []
+    for c in rungs:
+        r = _best_leg(legs, c, calib_ok)
+        eff = (b["value"] / r["value"]) / (c / base)
+        out_rungs.append({
+            "num_cpus": c,
+            "sec": r["value"],
+            "docs_per_sec": round(r["built_docs"] / r["value"], 1),
+            "efficiency_vs_base": round(eff, 3),
+            "phase_sec": r.get("phase_sec"),
+            "sec_all": [x["value"] for x in legs[c]],
+            "calib_all": [x.get("calib_sort10m_sec") for x in legs[c]],
+            "calib_start_all": [x.get("calib_start_sort10m_sec")
+                                for x in legs[c]],
+        })
+    return {"metric": "scaling_ladder", "unit": "ratio",
+            "value": out_rungs[-1]["efficiency_vs_base"],
+            "rungs": out_rungs, "built_docs": b["built_docs"]}
+
+
+def run_scaling() -> dict:
+    lo_cpus, hi_cpus = SCALE_LO, SCALE_HI
+    # Methodology details in _collect_legs; the reported time is the
+    # minimum over accepted (calib-clean) legs.
+    legs, calib_ok = _collect_legs((lo_cpus, hi_cpus))
+
+    def best(ncpu: int) -> dict:
+        return _best_leg(legs, ncpu, calib_ok)
 
     lo, hi = best(lo_cpus), best(hi_cpus)
     t_lo, t_hi = lo["value"], hi["value"]
@@ -620,7 +716,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--ladder" in sys.argv:
+        print(json.dumps(run_ladder()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -143,14 +143,33 @@ class IndexReader:
         self._dl_docs = dl["doc_id"].to_numpy()  # ascending across shards
         self._dl_vals = dl["doc_len"].to_numpy().astype(np.float64)
 
-        # Per-shard segment tables (term-sorted), loaded once, each paired
-        # with its term column as a SORTED fixed-width bytes array —
-        # queried terms resolve by binary search (lazily memoized in
-        # ``_locate``). The whole-vocabulary Python dict this replaces
-        # cost O(vocab) Python-loop init time and a per-actor heap that
-        # held every term as a Python object — the dominant query-actor
-        # startup cost at 10M+ terms.
-        self._segments = [(t, _string_col_to_S(t["term"])) for t in seg_tables]
+        # Per-shard segment tables (term-sorted), loaded once. Term
+        # resolution goes through ONE global sorted (term bytes, segment,
+        # row) index: a cold term costs two binary searches TOTAL instead
+        # of one numpy searchsorted call per segment (~25 us of dispatch
+        # overhead each — 95 segments made every cold term pay ~2.4 ms,
+        # the dominant serving cost for rare terms). Total bytes equal
+        # the per-segment sorted arrays this replaces (zero Python
+        # objects per term, same as before); the sort is the parallel
+        # chunked argsort, so init stays IO-dominated.
+        self._segments = [(t,) for t in seg_tables]
+        nz = [(i, p) for i, p in
+              ((i, _string_col_to_S(t["term"]))
+               for i, t in enumerate(seg_tables)) if len(p)]
+        if nz:
+            wmax = max(p.dtype.itemsize for _, p in nz)
+            from konlsearch_ray.build import _parallel_stable_argsort
+
+            keys = np.concatenate([p.astype(f"S{wmax}") for _, p in nz])
+            seg_i = np.concatenate(
+                [np.full(len(p), i, np.int32) for i, p in nz])
+            row_i = np.concatenate(
+                [np.arange(len(p), dtype=np.int32) for _, p in nz])
+            order = _parallel_stable_argsort(keys)
+            self._vocab = (keys[order], seg_i[order], row_i[order])
+        else:
+            self._vocab = (np.zeros(0, "S1"), np.zeros(0, np.int32),
+                           np.zeros(0, np.int32))
         self._term_locs: dict[str, list[tuple[int, int]]] = {}  # probe memo
 
         # Global df: sorted term bytes + aligned df values (probed with
@@ -175,6 +194,13 @@ class IndexReader:
         self._block_ub_cache: dict[str, np.ndarray] = {}
         self._ent_ub_cache: dict[str, np.ndarray] = {}
         self._live_mask_cache: dict[str, np.ndarray | None] = {}
+        # Per-(segment, column) zero-copy views (offsets + data buffer /
+        # flat values), built lazily once per segment: per-term cell
+        # access is then a pure buffer slice — no per-cell .as_py()
+        # Python-object materialization on the serving path.
+        self._segbin_cache: dict[tuple[int, str], tuple] = {}
+        self._seglist_cache: dict[tuple[int, str], tuple] = {}
+        self._segdf_cache: dict[int, np.ndarray] = {}
 
         # Tombstones: deleted docs are masked out of every posting list at
         # decode time; collection stats are recomputed over live docs so
@@ -208,7 +234,7 @@ class IndexReader:
         """First ``n`` stored terms in segment order — bench/test helper
         (term enumeration is not a serving-path operation)."""
         out: list[str] = []
-        for tab, _s in self._segments:
+        for (tab,) in self._segments:
             col = tab["term"]
             take = min(n - len(out), len(col))
             out.extend(col.slice(0, take).to_pylist())
@@ -217,21 +243,65 @@ class IndexReader:
         return out
 
     # --- posting access -------------------------------------------------
+    def _seg_bin(self, si: int, name: str) -> tuple[np.ndarray, memoryview]:
+        """(absolute offsets, data buffer) of a binary segment column —
+        cell ``i`` is ``data[offs[i]:offs[i+1]]``, a zero-copy slice."""
+        hit = self._segbin_cache.get((si, name))
+        if hit is None:
+            col = self._segments[si][0][name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            col = col.cast(pa.large_binary())
+            bufs = col.buffers()
+            offs = np.frombuffer(bufs[1], np.int64,
+                                 count=len(col) + 1 + col.offset)[col.offset:]
+            data = (memoryview(bufs[2]) if bufs[2] is not None
+                    else memoryview(b""))
+            hit = (offs, data)
+            self._segbin_cache[(si, name)] = hit
+        return hit
+
+    def _seg_list(self, si: int, name: str) -> tuple[np.ndarray, np.ndarray]:
+        """(offsets, flat values) of a list-typed segment column — cell
+        ``i`` is ``vals[offs[i]:offs[i+1]]``, a numpy view."""
+        hit = self._seglist_cache.get((si, name))
+        if hit is None:
+            col = self._segments[si][0][name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = col.values.to_numpy(zero_copy_only=False)
+            hit = (offs, vals)
+            self._seglist_cache[(si, name)] = hit
+        return hit
+
+    def _seg_df(self, si: int) -> np.ndarray:
+        hit = self._segdf_cache.get(si)
+        if hit is None:
+            hit = self._segments[si][0]["df"].to_numpy(zero_copy_only=False)
+            self._segdf_cache[si] = hit
+        return hit
+
     def _locate(self, term: str) -> list[tuple[int, int]]:
-        """term → [(segment_idx, row)] via one binary search per segment
-        over its sorted term bytes (memoized — the queried vocabulary is
-        tiny next to the stored one, so the memo stays small while init
-        never touches Python objects)."""
+        """term → [(segment_idx, row), ...] ascending by segment, via TWO
+        binary searches over the global sorted (term, segment, row) index
+        (memoized — the queried vocabulary is tiny next to the stored
+        one, so the memo stays small while init never touches Python
+        objects). The previous one-searchsorted-per-segment probe paid
+        ~25 us of numpy dispatch per segment: ~2.4 ms per cold term on a
+        95-shard index — the dominant rare-term serving cost."""
         locs = self._term_locs.get(term)
         if locs is None:
             tb = term.encode("utf-8")
-            locs = []
-            for si, (_t, terms_s) in enumerate(self._segments):
-                if not len(terms_s) or len(tb) > terms_s.dtype.itemsize:
-                    continue  # longer than the segment's longest term
-                i = int(np.searchsorted(terms_s, tb))
-                if i < len(terms_s) and terms_s[i] == tb:
-                    locs.append((si, i))
+            keys, seg_i, row_i = self._vocab
+            if not len(keys) or len(tb) > keys.dtype.itemsize:
+                locs = []  # longer than the longest stored term
+            else:
+                i0 = int(np.searchsorted(keys, tb, side="left"))
+                i1 = int(np.searchsorted(keys, tb, side="right"))
+                # stable sort preserved concat order -> ascending segment
+                locs = [(int(s), int(r))
+                        for s, r in zip(seg_i[i0:i1], row_i[i0:i1])]
             self._term_locs[term] = locs
         return locs
 
@@ -253,9 +323,9 @@ class IndexReader:
 
             blobs, dfs = [], 0
             for si, i in self._locate(term):
-                t = self._segments[si][0]
-                dfs += t["df"][i].as_py()
-                blobs.append(t["pos_bin"][i].as_py())
+                dfs += int(self._seg_df(si)[i])
+                offs, data = self._seg_bin(si, "pos_bin")
+                blobs.append(data[offs[i]:offs[i + 1]])
             pos = (varint_decode(b"".join(blobs), dfs).astype(np.int32)
                    if blobs else np.array([], dtype=np.int32))
             mask = self._live_mask_cache.get(term)
@@ -275,10 +345,11 @@ class IndexReader:
 
         blobs_doc, blobs_tf, dfs = [], [], []
         for si, i in self._locate(term):
-            t = self._segments[si][0]
-            dfs.append(t["df"][i].as_py())
-            blobs_doc.append(t["doc_ids_bin"][i].as_py())
-            blobs_tf.append(t["tfs_bin"][i].as_py())
+            dfs.append(int(self._seg_df(si)[i]))
+            offs, data = self._seg_bin(si, "doc_ids_bin")
+            blobs_doc.append(data[offs[i]:offs[i + 1]])
+            offs, data = self._seg_bin(si, "tfs_bin")
+            blobs_tf.append(data[offs[i]:offs[i + 1]])
         if dfs:
             n = int(sum(dfs))
             dfs_np = np.asarray(dfs, dtype=np.int64)
@@ -321,17 +392,24 @@ class IndexReader:
             return hit
         from konlsearch_ray.codec import BLOCK_SIZE
 
-        parts = []
+        # Gather every shard's block-max list as a numpy view, then ONE
+        # np.full/np.repeat over the concatenation — a head term spanning
+        # ~100 shards previously paid per-shard .as_py() + np.full +
+        # np.repeat (~60 numpy dispatches per cold term).
+        mtfs, last_counts = [], []
         for si, i in self._locate(term):
-            t = self._segments[si][0]
-            df = t["df"][i].as_py()
-            mtf = np.asarray(t["block_max_tf"][i].as_py(), dtype=np.int64)
-            counts = np.full(len(mtf), BLOCK_SIZE, dtype=np.int64)
-            if len(mtf):
-                counts[-1] = df - BLOCK_SIZE * (len(mtf) - 1)
-            parts.append(np.repeat(mtf, counts))
-        if parts:
-            out = np.concatenate(parts)
+            offs, vals = self._seg_list(si, "block_max_tf")
+            m = vals[offs[i]:offs[i + 1]]
+            if len(m):
+                mtfs.append(m)
+                df = int(self._seg_df(si)[i])
+                last_counts.append(df - BLOCK_SIZE * (len(m) - 1))
+        if mtfs:
+            m = np.concatenate(mtfs).astype(np.int64)
+            counts = np.full(len(m), BLOCK_SIZE, dtype=np.int64)
+            ends = np.cumsum([len(x) for x in mtfs]) - 1
+            counts[ends] = last_counts
+            out = np.repeat(m, counts)
         else:
             out = np.array([], dtype=np.int64)
         # Align with postings_scores(): apply the same tombstone mask.

@@ -271,3 +271,23 @@ def test_id_col_path_all_rows_duplicated(ray_session, tmp_path):
     r = IndexReader(idx)
     assert r.search(["alpha"], "OR") == [1]
     assert r.search(["gamma"], "OR") == [2]
+
+
+def test_parallel_stable_argsort_matches_numpy():
+    """Bit-identical to np.argsort(kind='stable'), including stability
+    across chunk boundaries on heavily duplicated keys."""
+    import numpy as np
+
+    from konlsearch_ray.build import _parallel_stable_argsort
+
+    rng = np.random.default_rng(3)
+    # few distinct keys -> massive cross-chunk ties exercise stability
+    vocab = np.array([f"key{i:02d}".encode() for i in range(7)], dtype="S12")
+    keys = vocab[rng.integers(0, len(vocab), size=400_000)]
+    got = _parallel_stable_argsort(keys)
+    exp = np.argsort(keys, kind="stable")
+    assert (got == exp).all()
+    # small input takes the serial path
+    small = vocab[rng.integers(0, len(vocab), size=1000)]
+    assert (_parallel_stable_argsort(small)
+            == np.argsort(small, kind="stable")).all()
