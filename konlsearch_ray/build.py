@@ -608,6 +608,106 @@ def _finish_docs_block(
     return n
 
 
+def _concat_s(parts: list[np.ndarray], wmax: int | None = None) -> np.ndarray:
+    """Concatenate fixed-width bytes ("S") arrays via their uint8 views.
+
+    ``np.concatenate`` on S dtype takes a slow per-element casting path
+    (measured ~1-3 s for 1.5M S75 keys on its FIRST call in a process —
+    exactly where the driver-rank step runs — vs ~0.15 s for pad +
+    uint8 memcpy), and mixed widths (each block's ``astype("S")`` is
+    width-local) always cast. Pads narrower parts to the widest, then
+    one memcpy-speed uint8 concat."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return np.zeros(0, dtype="S1")
+    if wmax is None:
+        wmax = max(p.dtype.itemsize for p in parts)
+    padded = [p if p.dtype.itemsize == wmax else p.astype(f"S{wmax}")
+              for p in parts]
+    return np.concatenate(
+        [p.view(np.uint8) for p in padded]).view(f"S{wmax}")
+
+
+def _concat_s_parallel(parts: list[np.ndarray]) -> np.ndarray:
+    """_concat_s with the per-bucket pad+copy fanned out over threads —
+    the parts are plasma-backed views, so the dominant cost is faulting
+    their cold pages in, which parallelizes."""
+    parts = [p for p in parts if len(p)]
+    n = sum(len(p) for p in parts)
+    if n < 200_000 or len(parts) < 2:
+        return _concat_s(parts)
+    import concurrent.futures as cf
+
+    wmax = max(p.dtype.itemsize for p in parts)
+    P = int(min(16, os.cpu_count() or 8, len(parts)))
+    groups = np.array_split(np.arange(len(parts)), P)
+    with cf.ThreadPoolExecutor(P) as ex:
+        chunks = list(ex.map(
+            lambda g: _concat_s([parts[i] for i in g], wmax),
+            [g for g in groups if len(g)]))
+    return np.concatenate(
+        [c.view(np.uint8) for c in chunks]).view(f"S{wmax}")
+
+
+def _parallel_argsort_s_parts(
+    parts: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted-merge order, bucket arrays concatenated) for a LIST of
+    fixed-width bytes parts, without ever materializing the full key
+    array serially: parts group into P consecutive buckets whose
+    pad+concat AND argsort run in threads — so the cold object-store
+    pages (the parts are plasma-backed zero-copy views) fault in on P
+    cores, not one. Returns ``(keys, order)`` where ``keys`` is the
+    concatenation (same layout as ``_concat_s(parts)``) and ``order``
+    is bit-identical to ``np.argsort(keys, kind="stable")``."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        e = np.zeros(0, dtype="S1")
+        return e, np.zeros(0, dtype=np.int64)
+    lens = np.array([len(p) for p in parts], dtype=np.int64)
+    n = int(lens.sum())
+    wmax = max(p.dtype.itemsize for p in parts)
+    if n < 200_000 or len(parts) == 1:
+        keys = _concat_s(parts, wmax)
+        return keys, np.argsort(keys, kind="stable")
+    import concurrent.futures as cf
+
+    P = int(min(16, os.cpu_count() or 8, max(2, n // 100_000),
+                len(parts)))
+    # consecutive part ranges with ~equal row counts
+    csum = np.cumsum(lens)
+    targets = np.linspace(0, n, P + 1)[1:-1]
+    cut = np.unique(np.searchsorted(csum, targets) + 1)
+    groups = np.split(np.arange(len(parts)), cut)
+    groups = [g for g in groups if len(g)]
+    with cf.ThreadPoolExecutor(len(groups)) as ex:
+        chunks = list(ex.map(
+            lambda g: _concat_s([parts[i] for i in g], wmax), groups))
+        orders = list(ex.map(
+            lambda c: np.argsort(c, kind="stable"), chunks))
+        sorted_chunks = [c[o] for c, o in zip(chunks, orders)]
+
+        def global_pos(i: int) -> np.ndarray:
+            ki = sorted_chunks[i]
+            pos = np.arange(len(ki), dtype=np.int64)
+            for j in range(len(groups)):
+                if j == i:
+                    continue
+                side = "left" if j > i else "right"
+                pos += np.searchsorted(sorted_chunks[j], ki, side=side)
+            return pos
+
+        poss = list(ex.map(global_pos, range(len(groups))))
+    bounds = np.concatenate(([0], np.cumsum(
+        [len(c) for c in chunks])))
+    order = np.empty(n, dtype=np.int64)
+    for i in range(len(groups)):
+        order[poss[i]] = orders[i] + bounds[i]
+    keys = np.concatenate(
+        [c.view(np.uint8) for c in chunks]).view(f"S{wmax}")
+    return keys, order
+
+
 def _parallel_stable_argsort(keys: np.ndarray) -> np.ndarray:
     """Stable argsort of a fixed-width bytes key array using all driver
     cores — bit-identical to ``np.argsort(keys, kind="stable")``.
@@ -687,10 +787,12 @@ def _driver_rank_docs(
         return {}
     light = ray.get(light_futs)
     t1 = time.perf_counter()
-    keys = np.concatenate([d["key"] for d in light])
-    shas = np.concatenate([d["sha"] for d in light])
+    shas = _concat_s_parallel([d["sha"] for d in light])
     t1b = time.perf_counter()
-    order = _parallel_stable_argsort(keys)
+    # keys never materialize serially: bucket pad+concat+argsort all run
+    # in threads (the parts are plasma-backed — cold pages fault in on P
+    # cores); the full key array itself is not needed after the order.
+    _, order = _parallel_argsort_s_parts([d["key"] for d in light])
     t1c = time.perf_counter()
     if cfg.dedup:
         # First-wins: first occurrence of each sha in canonical key order.

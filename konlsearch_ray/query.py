@@ -157,15 +157,13 @@ class IndexReader:
               ((i, _string_col_to_S(t["term"]))
                for i, t in enumerate(seg_tables)) if len(p)]
         if nz:
-            wmax = max(p.dtype.itemsize for _, p in nz)
-            from konlsearch_ray.build import _parallel_stable_argsort
+            from konlsearch_ray.build import _parallel_argsort_s_parts
 
-            keys = np.concatenate([p.astype(f"S{wmax}") for _, p in nz])
+            keys, order = _parallel_argsort_s_parts([p for _, p in nz])
             seg_i = np.concatenate(
                 [np.full(len(p), i, np.int32) for i, p in nz])
             row_i = np.concatenate(
                 [np.arange(len(p), dtype=np.int32) for _, p in nz])
-            order = _parallel_stable_argsort(keys)
             self._vocab = (keys[order], seg_i[order], row_i[order])
         else:
             self._vocab = (np.zeros(0, "S1"), np.zeros(0, np.int32),
