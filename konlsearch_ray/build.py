@@ -709,49 +709,16 @@ def _parallel_argsort_s_parts(
 
 
 def _parallel_stable_argsort(keys: np.ndarray) -> np.ndarray:
-    """Stable argsort of a fixed-width bytes key array using all driver
-    cores — bit-identical to ``np.argsort(keys, kind="stable")``.
-
-    The serial argsort of the canonical keys is THE single-node serial
-    floor of the driver-rank docs phase (~1.6 s clean for 1.49M S75
-    keys, and the step that amplifies host throttle in every titles
-    bench). numpy's sort and searchsorted release the GIL, so: P
-    position-chunks argsort in threads, then each chunk's global
-    position = local rank + its keys' insertion points into every other
-    sorted chunk (side chosen by chunk order, which preserves
-    stability: for equal keys, earlier-chunk elements count only
-    strictly-smaller keys of later chunks and count equal keys of
-    earlier ones). Same total comparisons as one serial sort, spread
-    over P threads; one O(n) scatter at the end. Measured 0.94 s ->
-    0.41 s at P=8 on 1.49M S75 keys."""
+    """Stable argsort of one fixed-width bytes key array using all
+    driver cores — bit-identical to ``np.argsort(keys, kind="stable")``.
+    Thin wrapper over ``_parallel_argsort_s_parts`` (position-chunk
+    views in, no copies). Measured 0.94 s -> 0.41 s at P=8 on 1.49M
+    S75 keys."""
     n = len(keys)
     if n < 200_000:
         return np.argsort(keys, kind="stable")
-    import concurrent.futures as cf
-
     P = int(min(16, os.cpu_count() or 8, max(2, n // 100_000)))
-    bounds = np.linspace(0, n, P + 1).astype(np.int64)
-    chunks = [keys[bounds[i]:bounds[i + 1]] for i in range(P)]
-    with cf.ThreadPoolExecutor(P) as ex:
-        orders = list(ex.map(
-            lambda c: np.argsort(c, kind="stable"), chunks))
-        sorted_chunks = [c[o] for c, o in zip(chunks, orders)]
-
-        def global_pos(i: int) -> np.ndarray:
-            ki = sorted_chunks[i]
-            pos = np.arange(len(ki), dtype=np.int64)
-            for j in range(P):
-                if j == i:
-                    continue
-                side = "left" if j > i else "right"
-                pos += np.searchsorted(sorted_chunks[j], ki, side=side)
-            return pos
-
-        poss = list(ex.map(global_pos, range(P)))
-    order = np.empty(n, dtype=np.int64)
-    for i in range(P):
-        order[poss[i]] = orders[i] + bounds[i]
-    return order
+    return _parallel_argsort_s_parts(list(np.array_split(keys, P)))[1]
 
 
 def _driver_rank_docs(
