@@ -814,6 +814,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return global_topk(
             dn, [("n_chars", "descending"), ("doc_id", "ascending")], 100)
 
+    def join_orders(sf_dir):
+        # Large×large hash equi-join (both sides shuffle exactly once —
+        # the path beside the broadcast join when neither side is
+        # O(dimension)); money in integer cents for exactness.
+        import numpy as np
+        import pyarrow as pa
+
+        from konlsearch_ray.functions.joins import equi_join
+
+        def cents(t: pa.Table) -> pa.Table:
+            v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_cents": pa.array(np.round(v * 100.0).astype(np.int64)),
+            })
+
+        orders = _rp_clean(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        ).map_batches(cents, batch_format="pyarrow")
+        cust = _rp_clean(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_mktsegment"])
+        return equi_join(orders, cust, "o_custkey", "c_custkey")
+
+    def top_tokens(sf_dir):
+        # Heavy hitters over the (Zipfian) token stream: per-block
+        # Misra-Gries summaries -> one bounded merge -> exact recount of
+        # the candidates. Exact top-10 counts in bounded memory at any
+        # vocabulary size.
+        import pyarrow as pa
+
+        from konlsearch_ray.functions.aggregates import heavy_hitters
+        from konlsearch_ray.analyzer import analyze_strings
+
+        def explode(t: pa.Table) -> pa.Table:
+            occ = analyze_strings(t["text"])
+            return pa.table({"term": pa.array(occ["term"], pa.string())})
+
+        toks = (_docs(sf_dir).select_columns(["text"])
+                .map_batches(explode, batch_format="pyarrow"))
+        return heavy_hitters(toks, "term", k=10, capacity=4096)
+
     return {
         "search_and": search_and,
         "search_or": search_or,
@@ -879,6 +922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": tfidf_topk,
         "embed_kmeans": embed_kmeans,
         "pivot_user": pivot_user,
+        "join_orders": join_orders,
+        "top_tokens": top_tokens,
     }
 
 
@@ -1411,7 +1456,15 @@ FROM sc QUALIFY row_number()
            FILTER (event_type = 'view'), 0)::BIGINT AS cents_view
 FROM events WHERE event_type IN ('click', 'purchase', 'view')
 GROUP BY user_id""",
+        "join_orders": """SELECT o.o_custkey::BIGINT AS o_custkey,
+       o.o_orderkey::BIGINT AS o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
+       c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
     }
+    out["top_tokens"] = f"""WITH {_KEPT}, {_OCC}
+SELECT term, count(*)::BIGINT AS n FROM occ
+GROUP BY term ORDER BY n DESC, term LIMIT 10"""
     # fp(doc) = Σ h_i·131^(n-1-i) mod M31 == Horner fold
     # ((h1·131+h2)·131+h3)… — list_reduce reproduces it exactly;
     # acc < 2^31 so acc*131 + x < 2^39 never overflows BIGINT.

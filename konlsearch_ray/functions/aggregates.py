@@ -344,3 +344,115 @@ def pivot_counts(
     out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
     return nonempty_blocks(out, tuple(out_cols), fallback=empty)
+
+
+def _mg_reduce(vals: pa.Array, counts: np.ndarray, capacity: int
+               ) -> tuple[pa.Array, np.ndarray]:
+    """Misra-Gries reduction of an exact (value, count) summary to at
+    most ``capacity`` survivors: subtract the (capacity+1)-th largest
+    count from everyone, drop the non-positive. Standard guarantee: any
+    value whose true count exceeds (total decrements) survives, and a
+    surviving count underestimates by at most the sum of per-fold
+    thresholds (<= n/capacity overall)."""
+    if len(counts) <= capacity:
+        return vals, counts
+    thresh = np.partition(counts, len(counts) - capacity - 1)[
+        len(counts) - capacity - 1]
+    adj = counts - thresh
+    keep = adj > 0
+    return vals.filter(pa.array(keep)), adj[keep]
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    value_col: str,
+    k: int = 10,
+    capacity: int = 8192,
+) -> ray.data.Dataset:
+    """Top-k most frequent values with EXACT counts, in bounded memory —
+    the heavy-hitters pattern for columns whose full vocabulary does not
+    fit anywhere (Misra-Gries 1982, public algorithm).
+
+    Three bounded stages, two passes over the data:
+
+    1. per-block Misra-Gries summaries (Arrow C++ value_counts reduced
+       to ``capacity`` rows — the exchange moves <= capacity x blocks
+       rows, never the raw stream);
+    2. one merge task folds the summaries (exact sum per surviving
+       value, then one more MG reduction) and keeps the top ``4k``
+       candidates. MG containment: every value with true count >
+       n/capacity is still present, so with capacity >> k the true
+       top-k is inside the candidate set for any skewed column;
+    3. an exact RECOUNT pass over the data restricted to the candidates
+       (broadcast ``is_in`` filter + one tiny keyed merge) repairs the
+       sketch's underestimates — emitted counts are exact, top-k by
+       (count desc, value asc).
+
+    Null values are dropped (SQL COUNT semantics). For a uniform column
+    (no heavy hitters) the candidate set can miss boundary ties — the
+    guarantee is only meaningful when counts exceed n/capacity.
+    """
+    if k < 1 or capacity < 4 * k:
+        raise ValueError("need k >= 1 and capacity >= 4k")
+    vtype = _arrow_schema(ds).field(value_col).type
+    empty = pa.table({value_col: pa.array([], vtype),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = col.drop_null()
+        if not len(col):
+            return empty
+        vc = col.value_counts()
+        vals, counts = (vc.field(0),
+                        vc.field(1).to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        vals, counts = _mg_reduce(vals, counts, capacity)
+        return pa.table({value_col: vals,
+                         "n": pa.array(counts, pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        g = (t.group_by(value_col).aggregate([("n", "sum")])
+             .rename_columns([value_col, "n"]))
+        vals = g[value_col].combine_chunks()
+        counts = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, counts = _mg_reduce(vals, counts, capacity)
+        order = np.lexsort((np.arange(len(counts)), -counts))[:4 * k]
+        return pa.table({value_col: vals.take(pa.array(order)),
+                         "n": pa.array(counts[order], pa.int64())})
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None)
+            .take_all())
+    cand_vals = pa.array([r[value_col] for r in cand], vtype)
+    if not len(cand_vals):
+        return ray.data.from_arrow(empty)
+
+    def recount(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        m = pc.is_in(col, value_set=cand_vals)
+        sub = col.filter(m)
+        if not len(sub):
+            return empty
+        vc = sub.value_counts()
+        return pa.table({value_col: vc.field(0),
+                         "n": pc.cast(vc.field(1), pa.int64())})
+
+    def topk(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        g = (t.group_by(value_col).aggregate([("n", "sum")])
+             .rename_columns([value_col, "n"]))
+        idx = pc.sort_indices(g, sort_keys=[("n", "descending"),
+                                            (value_col, "ascending")])
+        return g.take(idx[:k]).replace_schema_metadata(None)
+
+    out = (ds.map_batches(recount, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(topk, batch_format="pyarrow", batch_size=None))
+    return nonempty_blocks(out, (value_col, "n"), fallback=empty)

@@ -20,6 +20,9 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from konlsearch_ray.functions.blocks import (default_join_partitions,
+                                             pinned_nonempty)
+
 
 def broadcast_lookup_join(
     ds: ray.data.Dataset,
@@ -64,3 +67,72 @@ def broadcast_lookup_join(
         return batch.replace_schema_metadata(None)
 
     return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def equi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Large×large hash equi-join — the shuffle path beside
+    :func:`broadcast_lookup_join` for when NEITHER side is O(dimension).
+
+    Wraps Ray's hash-partitioned ``Dataset.join`` with the house guards
+    that make it safe in real pipelines:
+
+    - SQL NULL semantics: null-key rows never match. They are filtered
+      from both inputs up front (on ``how="left"`` the left ones are
+      dropped too — pass them through a union upstream if outer
+      null-row retention matters);
+    - schema metadata stripped (unhashable pandas metadata trips the
+      hash-shuffle aggregator's schema dedup);
+    - empty-block/empty-side handling (0-row shuffle partitions with
+      stale schemas crash the join — ``pinned_nonempty`` both sides and
+      short-circuit an empty input).
+
+    Both sides move exactly once (one hash exchange each). Key columns
+    must share a comparable type; non-key column names must not collide.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    overlap = (set(lcols) - {left_key}) & (set(rcols) - {right_key})
+    if overlap:
+        raise ValueError(
+            f"non-key columns collide: {sorted(overlap)} (rename upstream)")
+
+    def _clean(key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return (t.filter(pc.is_valid(t[key]))
+                    .replace_schema_metadata(None))
+        return fn
+
+    lds = left.map_batches(_clean(left_key), batch_format="pyarrow")
+    rds = right.map_batches(_clean(right_key), batch_format="pyarrow")
+    lds, l_rows = pinned_nonempty(lds, tuple(lcols))
+    if not l_rows:
+        return lds
+    rds, r_rows = pinned_nonempty(rds, tuple(rcols))
+    if not r_rows and how == "inner":
+        # empty right side: inner join is empty WITH the joined schema
+        lsch = lds.schema()
+        rsch = right.schema()
+        cols = {n: pa.array([], t) for n, t in zip(lsch.names, lsch.types)}
+        for n, t in zip(rsch.names, rsch.types):
+            if n != right_key:
+                cols[n] = pa.array([], t)
+        return ray.data.from_arrow(pa.table(cols))
+    jt = "inner" if how == "inner" else "left_outer"
+    out = lds.join(rds, jt,
+                   num_partitions=num_partitions or default_join_partitions(),
+                   on=(left_key,), right_on=(right_key,))
+    names = [left_key] + [c for c in lcols if c != left_key] + \
+        [c for c in rcols if c != right_key]
+    keep = [c for c in out.schema().names if c in set(names)]
+    from konlsearch_ray.functions.blocks import nonempty_blocks
+
+    return nonempty_blocks(out.select_columns(keep), tuple(keep))

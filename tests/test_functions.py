@@ -1071,3 +1071,66 @@ def test_ivf_derived_centroid_default(ray_session, tmp_path):
                          n_probe=15).to_pandas()
     assert got[["qid", "neighbor", "rk"]].values.tolist() == \
         exact[["qid", "neighbor", "rk"]].values.tolist()
+
+
+def test_equi_join_inner_and_left(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.joins import equi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, None, 2], pa.int64()),
+        "lv": pa.array([10, 20, 30, 40, 21], pa.int64()),
+    })).repartition(2)
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 3, None], pa.int64()),
+        "rv": pa.array(["b", "c1", "c2", "z"]),
+    })).repartition(2)
+    out = (equi_join(left, right, "k", "rk").to_pandas()
+           .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    # null keys never match; k=3 fans out to both right rows
+    assert out["k"].tolist() == [2, 2, 3, 3]
+    assert out["rv"].tolist() == ["b", "b", "c1", "c2"]
+
+    lo = (equi_join(left, right, "k", "rk", how="left").to_pandas()
+          .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    assert len(lo) == 5  # k=1 kept unmatched; null-key left row dropped
+    assert lo[lo["k"] == 1]["rv"].isna().all()
+
+    # empty right side short-circuits with the joined schema
+    er = ray.data.from_arrow(pa.table({
+        "rk": pa.array([], pa.int64()), "rv": pa.array([], pa.string())}))
+    eo = equi_join(left, er, "k", "rk")
+    assert eo.count() == 0
+    assert set(eo.schema().names) == {"k", "lv", "rv"}
+
+    import pytest as _pt
+    bad = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1], pa.int64()), "lv": pa.array([9], pa.int64())}))
+    with _pt.raises(ValueError, match="collide"):
+        equi_join(left, bad, "k", "rk")
+
+
+def test_heavy_hitters_exact_topk(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import heavy_hitters
+
+    rng = np.random.default_rng(2)
+    # zipf-ish: value v appears ~ 3000/v times
+    vals = np.concatenate([np.full(3000 // v, v) for v in range(1, 200)])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array(vals, pa.int64())})).repartition(6)
+    out = heavy_hitters(ds, "v", k=5, capacity=64).to_pandas()
+    # exact counts for the true top-5, despite the tiny sketch capacity
+    assert out["v"].tolist() == [1, 2, 3, 4, 5]
+    assert out["n"].tolist() == [3000, 1500, 1000, 750, 600]
+
+    # string column + ties broken by value asc
+    t = pa.table({"s": pa.array(
+        ["b"] * 4 + ["a"] * 4 + ["c"] * 2 + [None] * 3)})
+    out2 = heavy_hitters(ray.data.from_arrow(t).repartition(2),
+                         "s", k=2, capacity=16).to_pandas()
+    assert out2["s"].tolist() == ["a", "b"]
+    assert out2["n"].tolist() == [4, 4]
