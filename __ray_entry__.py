@@ -857,6 +857,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .map_batches(explode, batch_format="pyarrow"))
         return heavy_hitters(toks, "term", k=10, capacity=4096)
 
+    def event_lag(sf_dir):
+        # Per-user inter-event gaps (SQL LAG window parity): one key-
+        # bucket exchange + in-bucket lexsort/diff — the gap features
+        # sessionization and bot detection build on.
+        from konlsearch_ray.functions.temporal import key_lag_deltas
+
+        ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id"])
+        return key_lag_deltas(ev, "user_id", "ts", "event_id")
+
     return {
         "search_and": search_and,
         "search_or": search_or,
@@ -924,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user": pivot_user,
         "join_orders": join_orders,
         "top_tokens": top_tokens,
+        "event_lag": event_lag,
     }
 
 
@@ -1461,6 +1471,13 @@ GROUP BY user_id""",
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
        c.c_name, c.c_mktsegment
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "event_lag": """SELECT user_id::BIGINT AS user_id,
+       event_id::BIGINT AS event_id,
+       epoch_us(ts)::BIGINT AS ts_us,
+       (epoch_us(ts) - lag(epoch_us(ts))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT
+         AS delta_us
+FROM events WHERE user_id IS NOT NULL""",
     }
     out["top_tokens"] = f"""WITH {_KEPT}, {_OCC}
 SELECT term, count(*)::BIGINT AS n FROM occ

@@ -529,6 +529,30 @@ def run_bench() -> dict:
             hits / max(total, 1), 4)
         queries[f"ivf_probe{probe}_sec"] = dt
     shutil.rmtree(ivf_dir2, ignore_errors=True)
+    # Large x large hash equi-join (orders x customer, both sides shuffle
+    # once) and Misra-Gries heavy hitters with exact recount.
+    from konlsearch_ray.functions.aggregates import heavy_hitters
+    from konlsearch_ray.functions.joins import equi_join
+
+    ordr = _rp_clean(os.path.join(SF_DIR, "orders.parquet"),
+                     columns=["o_orderkey", "o_custkey"])
+    custj = _rp_clean(os.path.join(SF_DIR, "customer.parquet"),
+                      columns=["c_custkey", "c_name"])
+    t0 = time.perf_counter()
+    equi_join(ordr, custj, "o_custkey", "c_custkey").materialize()
+    queries["equi_join_sec"] = round(time.perf_counter() - t0, 3)
+    ev_uid = _rp_clean(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id"])
+    t0 = time.perf_counter()
+    heavy_hitters(ev_uid, "user_id", k=10, capacity=4096).materialize()
+    queries["heavy_hitters_sec"] = round(time.perf_counter() - t0, 3)
+    from konlsearch_ray.functions.temporal import key_lag_deltas
+
+    ev_lag = _rp_clean(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "ts", "event_id"])
+    t0 = time.perf_counter()
+    key_lag_deltas(ev_lag, "user_id", "ts", "event_id").materialize()
+    queries["lag_deltas_sec"] = round(time.perf_counter() - t0, 3)
     from konlsearch_ray.functions.aggregates import pivot_counts
 
     ev_pv = _rp_clean(os.path.join(SF_DIR, "events.parquet"),

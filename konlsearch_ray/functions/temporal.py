@@ -684,3 +684,73 @@ def band_join(
 
     out = unioned.groupby("bucket").map_groups(emit, batch_format="pyarrow")
     return nonempty_blocks(out, tuple(out_names), fallback=out_fallback)
+
+
+def key_lag_deltas(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    nbuckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key LAG delta — SQL ``ts - lag(ts) OVER (PARTITION BY key
+    ORDER BY ts, id)`` — the inter-event-gap primitive sessionization
+    and bot-detection features build on.
+
+    Output: ``key_col``, ``id_col``, ``ts_us``, ``delta_us`` (null for
+    each key's first event). One hash exchange on the key bucket; the
+    in-bucket pass is one lexsort + shifted diff (no row loops).
+
+    ``ts_col``: timestamp[s/ms/us/ns], or a bare integer column that
+    MUST already be epoch MICROSECONDS (see ``_ts_us``). Null-key rows
+    are dropped (SQL window partitions them separately, but a null
+    partition's deltas carry no signal — documented deviation).
+    """
+    nbuckets = nbuckets or _default_nbuckets()
+    ktyp = _arrow_schema(ds).field(key_col).type
+    ityp = _arrow_schema(ds).field(id_col).type
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        return pa.table({
+            "k": t[key_col],
+            "i": t[id_col],
+            "t": _ts_us(t[ts_col]),
+            "bucket": pa.array(_key_bucket(t[key_col], nbuckets)),
+        })
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        id_col: pa.array([], ityp),
+        "ts_us": pa.array([], pa.int64()),
+        "delta_us": pa.array([], pa.int64()),
+    })
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        codes = pd.factorize(g["k"].to_pandas(), sort=False)[0].astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, t, codes))
+        ks, ts = codes[order], t[order]
+        first = np.ones(len(ts), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        delta = np.empty(len(ts), dtype=np.int64)
+        delta[1:] = ts[1:] - ts[:-1]
+        delta[0] = 0
+        dcol = pc.if_else(pa.array(~first), pa.array(delta),
+                          pa.nulls(len(ts), pa.int64()))
+        oi = pa.array(order)
+        return pa.table({
+            key_col: g["k"].take(oi),
+            id_col: g["i"].take(oi),
+            "ts_us": pa.array(ts),
+            "delta_us": dcol,
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)

@@ -235,3 +235,35 @@ def test_timestamp_column_input(ray_session):
     assert out["n"].tolist() == [1, 1]
     sess = _sorted(sessionize(ds, "t", "k", gap_s=60), ["k", "session_seq"])
     assert sess["n_events"].tolist() == [1, 1]  # 120 s gap > 60 s splits
+
+
+def test_key_lag_deltas(ray_session):
+    from konlsearch_ray.functions.temporal import key_lag_deltas
+
+    ds = _ds({
+        "k": pa.array([1, 1, 1, 2, None], pa.int64()),
+        "t": pa.array([10 * US, 4 * US, 7 * US, 5 * US, 1 * US], pa.int64()),
+        "i": pa.array([100, 101, 102, 103, 104], pa.int64()),
+    })
+    out = (key_lag_deltas(ds, "k", "t", "i").to_pandas()
+           .sort_values(["k", "ts_us"]).reset_index(drop=True))
+    # null-key row dropped; first event per key has null delta
+    assert out["i"].tolist() == [101, 102, 100, 103]
+    assert pd.isna(out["delta_us"][0])
+    assert out["delta_us"].tolist()[1:3] == [3 * US, 3 * US]
+    assert pd.isna(out["delta_us"][3])
+
+
+def test_key_lag_deltas_ties_break_by_id(ray_session):
+    from konlsearch_ray.functions.temporal import key_lag_deltas
+
+    ds = _ds({
+        "k": pa.array([7, 7, 7], pa.int64()),
+        "t": pa.array([5 * US, 5 * US, 6 * US], pa.int64()),
+        "i": pa.array([2, 1, 3], pa.int64()),
+    })
+    out = (key_lag_deltas(ds, "k", "t", "i").to_pandas()
+           .sort_values(["ts_us", "i"]).reset_index(drop=True))
+    # equal ts: order by id — id 1 first (null), id 2 delta 0, id 3 delta 1s
+    d = dict(zip(out["i"], out["delta_us"]))
+    assert pd.isna(d[1]) and d[2] == 0 and d[3] == US
