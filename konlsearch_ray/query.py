@@ -142,6 +142,14 @@ class IndexReader:
             {"doc_id": pa.array([], pa.int64()), "doc_len": pa.array([], pa.int64())})
         self._dl_docs = dl["doc_id"].to_numpy()  # ascending across shards
         self._dl_vals = dl["doc_len"].to_numpy().astype(np.float64)
+        # Dense fast path: build-assigned ids are 1-based consecutive, so
+        # doc_len is a direct index (doc_id - first) — no binary search
+        # per scoring batch. Falls back to searchsorted for shard-subset
+        # readers / post-compaction gaps.
+        n_dl = len(self._dl_docs)
+        self._dl_dense = bool(
+            n_dl and int(self._dl_docs[-1]) - int(self._dl_docs[0]) == n_dl - 1)
+        self._dl_first = int(self._dl_docs[0]) if n_dl else 0
 
         # Per-shard segment tables (term-sorted), loaded once. Term
         # resolution goes through ONE global sorted (term bytes, segment,
@@ -419,6 +427,8 @@ class IndexReader:
         return out
 
     def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
+        if self._dl_dense:
+            return self._dl_vals[doc_ids - self._dl_first]
         pos = np.searchsorted(self._dl_docs, doc_ids)
         return self._dl_vals[pos]
 
