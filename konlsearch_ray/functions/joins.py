@@ -111,28 +111,53 @@ def equi_join(
                     .replace_schema_metadata(None))
         return fn
 
+    lsch, rsch = left.schema(), right.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    r_extra = [(n, t) for n, t in zip(rsch.names, rsch.types)
+               if n != right_key]
+    keep = ([left_key] + [c for c in lcols if c != left_key]
+            + [n for n, _ in r_extra])
+
+    def _empty_joined() -> ray.data.Dataset:
+        # 0-row result WITH the exact joined schema — never the generic
+        # all-int64 fallback (a wrong empty schema breaks downstream
+        # unions/selects).
+        cols = {n: pa.array([], ltypes[n]) for n in lcols}
+        for n, t in r_extra:
+            cols[n] = pa.array([], t)
+        return ray.data.from_arrow(pa.table(
+            {n: cols[n] for n in keep}))
+
     lds = left.map_batches(_clean(left_key), batch_format="pyarrow")
     rds = right.map_batches(_clean(right_key), batch_format="pyarrow")
     lds, l_rows = pinned_nonempty(lds, tuple(lcols))
-    if not l_rows:
-        return lds
+    if not l_rows:  # empty (or all-null-key) left side
+        return _empty_joined()
     rds, r_rows = pinned_nonempty(rds, tuple(rcols))
-    if not r_rows and how == "inner":
-        # empty right side: inner join is empty WITH the joined schema
-        lsch = lds.schema()
-        rsch = right.schema()
-        cols = {n: pa.array([], t) for n, t in zip(lsch.names, lsch.types)}
-        for n, t in zip(rsch.names, rsch.types):
-            if n != right_key:
-                cols[n] = pa.array([], t)
-        return ray.data.from_arrow(pa.table(cols))
+    if not r_rows:
+        # Empty (or all-null-key) right side: a 0-row join input crashes
+        # the hash-shuffle aggregator — short-circuit. Inner join is
+        # empty; left join keeps every left row with null right columns.
+        if how == "inner":
+            return _empty_joined()
+
+        def pad(t: pa.Table) -> pa.Table:
+            for n, typ in r_extra:
+                t = t.append_column(n, pa.nulls(t.num_rows, typ))
+            return t.select(keep)
+
+        return lds.map_batches(pad, batch_format="pyarrow")
     jt = "inner" if how == "inner" else "left_outer"
     out = lds.join(rds, jt,
                    num_partitions=num_partitions or default_join_partitions(),
                    on=(left_key,), right_on=(right_key,))
-    names = [left_key] + [c for c in lcols if c != left_key] + \
-        [c for c in rcols if c != right_key]
-    keep = [c for c in out.schema().names if c in set(names)]
+
+    # Project inside the stream (out.schema() on the driver would execute
+    # the whole join plan once just for names, then re-execute it below).
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select([c for c in keep if c in t.schema.names])
+
     from konlsearch_ray.functions.blocks import nonempty_blocks
 
-    return nonempty_blocks(out.select_columns(keep), tuple(keep))
+    return nonempty_blocks(out.map_batches(proj, batch_format="pyarrow"),
+                           tuple(keep))

@@ -702,16 +702,20 @@ def key_lag_deltas(
     in-bucket pass is one lexsort + shifted diff (no row loops).
 
     ``ts_col``: timestamp[s/ms/us/ns], or a bare integer column that
-    MUST already be epoch MICROSECONDS (see ``_ts_us``). Null-key rows
-    are dropped (SQL window partitions them separately, but a null
-    partition's deltas carry no signal — documented deviation).
+    MUST already be epoch MICROSECONDS (see ``_ts_us``). Rows with a
+    null key, null timestamp or null id are dropped (SQL windows a null
+    key separately and sorts null timestamps last, but such rows carry
+    no gap signal — and an unguarded null ts would NaN-cast to
+    INT64_MIN, sorting first and corrupting its neighbor's delta).
     """
     nbuckets = nbuckets or _default_nbuckets()
     ktyp = _arrow_schema(ds).field(key_col).type
     ityp = _arrow_schema(ds).field(id_col).type
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[key_col]))
+        t = t.filter(pc.and_kleene(
+            pc.is_valid(t[key_col]),
+            pc.and_kleene(pc.is_valid(t[ts_col]), pc.is_valid(t[id_col]))))
         return pa.table({
             "k": t[key_col],
             "i": t[id_col],

@@ -1134,3 +1134,58 @@ def test_heavy_hitters_exact_topk(ray_session):
                          "s", k=2, capacity=16).to_pandas()
     assert out2["s"].tolist() == ["a", "b"]
     assert out2["n"].tolist() == [4, 4]
+
+
+def test_equi_join_empty_sides_keep_joined_schema(ray_session):
+    """Empty/all-null-key sides must not reach the hash-shuffle join
+    (0-row inputs crash it) and must keep the full joined schema with
+    real types — on both how modes."""
+    import ray.data
+
+    from konlsearch_ray.functions.joins import equi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "lv": pa.array(["x", "y"], pa.string()),
+    }))
+    null_right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([None, None], pa.int64()),
+        "rv": pa.array(["a", "b"], pa.string()),
+    }))
+    # left join against an all-null-key right: every left row kept,
+    # right columns null, schema complete
+    lo = equi_join(left, null_right, "k", "rk", how="left").to_pandas()
+    assert sorted(lo.columns) == ["k", "lv", "rv"]
+    assert lo["rv"].isna().all() and len(lo) == 2
+    assert lo["lv"].tolist() == ["x", "y"]
+
+    # empty LEFT side: typed joined schema, zero rows (not the generic
+    # int64 fallback)
+    empty_left = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "lv": pa.array([], pa.string())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2], pa.int64()), "rv": pa.array(["b"], pa.string())}))
+    eo = equi_join(empty_left, right, "k", "rk")
+    assert eo.count() == 0
+    sch = dict(zip(eo.schema().names, eo.schema().types))
+    assert str(sch["lv"]) == "string" and str(sch["rv"]) == "string"
+
+
+def test_key_lag_deltas_null_ts_and_id_dropped(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from konlsearch_ray.functions.temporal import key_lag_deltas
+
+    US = 1_000_000
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "t": pa.array([10 * US, None, 20 * US, 30 * US], pa.int64()),
+        "i": pa.array([1, 2, 3, None], pa.int64()),
+    }))
+    out = (key_lag_deltas(ds, "k", "t", "i").to_pandas()
+           .sort_values("ts_us").reset_index(drop=True))
+    # null-ts and null-id rows dropped; no INT64_MIN corruption
+    assert out["i"].tolist() == [1, 3]
+    assert pd.isna(out["delta_us"][0])
+    assert out["delta_us"][1] == 10 * US
