@@ -866,6 +866,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _events(sf_dir).select_columns(["user_id", "ts", "event_id"])
         return key_lag_deltas(ev, "user_id", "ts", "event_id")
 
+    def url_domains(sf_dir):
+        # Per-domain URL counts (source-attribution profile). The test
+        # tables carry no URLs, so both engines derive the same URL-
+        # bearing text from customer rows deterministically; the
+        # extract-all + count work is the operator's real path.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from konlsearch_ray.functions.text import url_domain_counts
+
+        cust = _rp_clean(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+
+        def mk(t: pa.Table) -> pa.Table:
+            seg = pc.utf8_lower(pc.replace_substring_regex(
+                t["c_mktsegment"], r"\s+", "-"))
+            key = pc.cast(t["c_custkey"], pa.string())
+            txt = pc.binary_join_element_wise(
+                pa.scalar("visit https://"), seg,
+                pa.scalar(".example.com/u/"), key, pa.scalar(" now"), "")
+            extra = pc.binary_join_element_wise(
+                txt, pa.scalar(" and http://mirror."), seg,
+                pa.scalar(".org/x"), "")
+            third = pc.equal(pc.cast(
+                pc.bit_wise_and(t["c_custkey"], 3), pa.int64()), 0)
+            return pa.table({"text": pc.if_else(third, extra, txt)})
+
+        return url_domain_counts(cust.map_batches(mk, batch_format="pyarrow"),
+                                 "text")
+
+    def value_winsor(sf_dir):
+        # Per-type winsorization at [1%, 99%] exact discrete quantiles:
+        # bounds from one keyed exchange, clip in a single map pass.
+        from konlsearch_ray.functions.stats import winsorize
+
+        ev = _events(sf_dir).select_columns(
+            ["event_id", "event_type", "value"])
+        return winsorize(ev, "event_type", "value", "event_id",
+                         lo_bp=100, hi_bp=9900)
+
     return {
         "search_and": search_and,
         "search_or": search_or,
@@ -934,6 +974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders": join_orders,
         "top_tokens": top_tokens,
         "event_lag": event_lag,
+        "url_domains": url_domains,
+        "value_winsor": value_winsor,
     }
 
 
@@ -1478,6 +1520,30 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
           OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT
          AS delta_us
 FROM events WHERE user_id IS NOT NULL""",
+        "url_domains": r"""WITH mk AS (
+  SELECT CASE WHEN (c_custkey & 3) = 0
+    THEN 'visit https://' || lower(regexp_replace(c_mktsegment, '\s+', '-', 'g'))
+         || '.example.com/u/' || c_custkey || ' now and http://mirror.'
+         || lower(regexp_replace(c_mktsegment, '\s+', '-', 'g')) || '.org/x'
+    ELSE 'visit https://' || lower(regexp_replace(c_mktsegment, '\s+', '-', 'g'))
+         || '.example.com/u/' || c_custkey || ' now' END AS text
+  FROM customer),
+h AS (SELECT unnest(regexp_extract_all(text, 'https?://([^/\s]+)', 1)) AS d
+      FROM mk)
+SELECT lower(d) AS domain, count(*)::BIGINT AS n FROM h GROUP BY 1""",
+        "value_winsor": """WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM events WHERE value IS NOT NULL),
+b AS (SELECT event_type,
+        max(CASE WHEN rk = ((nn-1)*100)//10000 THEN value END) AS lo,
+        max(CASE WHEN rk = ((nn-1)*9900)//10000 THEN value END) AS hi
+      FROM r GROUP BY event_type)
+SELECT e.event_id::BIGINT AS event_id, e.event_type,
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE least(greatest(e.value, b.lo), b.hi) END AS v_clip
+FROM events e JOIN b USING (event_type)""",
     }
     out["top_tokens"] = f"""WITH {_KEPT}, {_OCC}
 SELECT term, count(*)::BIGINT AS n FROM occ

@@ -95,3 +95,59 @@ def global_topk(
     partial = ds.map_batches(topk, batch_format="pyarrow", batch_size=None)
     return partial.repartition(1).map_batches(topk, batch_format="pyarrow",
                                               batch_size=None)
+
+
+def winsorize(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    lo_bp: int = 100,
+    hi_bp: int = 9900,
+) -> ray.data.Dataset:
+    """Per-key winsorization: clip ``value_col`` to its key's exact
+    discrete [lo_bp, hi_bp] basis-point quantiles — the outlier-taming
+    normalization quality-score and reward columns get before training.
+
+    Two bounded stages: the per-key quantile bounds come from
+    :func:`grouped_quantiles` (one keyed exchange of values, O(keys)
+    result), broadcast via ``ray.put``; the clip itself is a single
+    vectorized map pass (the raw stream never shuffles for the clip).
+    Null values pass through as null (SQL semantics: they are not
+    values, so they neither shift the quantiles nor get clipped).
+    ``key_col`` must be non-null (same contract as
+    ``grouped_quantiles`` — Ray's sort-shuffle groupby cannot range-
+    partition a null key). Output: ``id_col``, ``key_col``, ``v_clip``
+    (float64).
+    """
+    import ray as _ray
+
+    if not (0 <= lo_bp <= hi_bp <= 10_000):
+        raise ValueError("need 0 <= lo_bp <= hi_bp <= 10000")
+    bounds = grouped_quantiles(
+        ds, key_col, value_col,
+        qs=(("lo", lo_bp), ("hi", hi_bp))).to_pandas()
+    bt = pa.table({
+        key_col: pa.array(bounds[key_col]),
+        "lo": pa.array(bounds["lo"].astype(np.float64)),
+        "hi": pa.array(bounds["hi"].astype(np.float64)),
+    })
+    ref = _ray.put(bt)
+
+    def clip(t: pa.Table) -> pa.Table:
+        b: pa.Table = _ray.get(ref)
+        idx = pc.index_in(t[key_col], value_set=b[key_col])
+        lo = pc.take(b["lo"], idx).to_numpy(zero_copy_only=False)
+        hi = pc.take(b["hi"], idx).to_numpy(zero_copy_only=False)
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        clipped = np.minimum(np.maximum(v, lo), hi)
+        vcol = pc.if_else(pc.is_valid(t[value_col]), pa.array(clipped),
+                          pa.nulls(t.num_rows, pa.float64()))
+        return pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            key_col: t[key_col],
+            "v_clip": vcol,
+        })
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -1189,3 +1189,46 @@ def test_key_lag_deltas_null_ts_and_id_dropped(ray_session):
     assert out["i"].tolist() == [1, 3]
     assert pd.isna(out["delta_us"][0])
     assert out["delta_us"][1] == 10 * US
+
+
+def test_url_domain_counts(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.text import url_domain_counts
+
+    t = pa.table({"text": pa.array([
+        "see https://A.example.com/x and http://b.org/y?z",
+        "nothing here",
+        "https://a.example.com/other plus https://a.example.com again",
+        None,
+    ])})
+    out = (url_domain_counts(ray.data.from_arrow(t).repartition(2), "text")
+           .to_pandas().sort_values("domain").reset_index(drop=True))
+    got = dict(zip(out["domain"], out["n"]))
+    assert got == {"a.example.com": 3, "b.org": 1}
+
+
+def test_winsorize_per_key_quantile_clip(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from konlsearch_ray.functions.stats import winsorize
+
+    vals = list(range(1, 101))  # key "a": 1..100
+    t = pa.table({
+        "k": pa.array(["a"] * 100 + ["b"] * 3),
+        "id": pa.array(range(103), pa.int64()),
+        "v": pa.array([float(v) for v in vals] + [5.0, None, 500.0]),
+    })
+    out = (winsorize(ray.data.from_arrow(t).repartition(3), "k", "v", "id",
+                     lo_bp=1000, hi_bp=9000).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    a = out[out["k"] == "a"]["v_clip"]
+    # discrete quantiles of 1..100 at 10%/90%: sorted[(99*1000)//10000]=v[9]=10,
+    # sorted[(99*9000)//10000]=v[89]=90
+    assert a.min() == 10.0 and a.max() == 90.0
+    assert a.tolist()[49] == 50.0  # mid values untouched
+    b = out[out["k"] == "b"]["v_clip"].tolist()
+    # key b: values [5, null, 500] -> non-null sorted [5, 500];
+    # lo idx (1*1000)//10000=0 -> 5, hi idx (1*9000)//10000=0 -> 5
+    assert b[0] == 5.0 and pd.isna(b[1]) and b[2] == 5.0
