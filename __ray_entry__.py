@@ -1541,9 +1541,9 @@ b AS (SELECT event_type,
         max(CASE WHEN rk = ((nn-1)*9900)//10000 THEN value END) AS hi
       FROM r GROUP BY event_type)
 SELECT e.event_id::BIGINT AS event_id, e.event_type,
-       CASE WHEN e.value IS NULL THEN NULL
+       CASE WHEN e.value IS NULL OR b.lo IS NULL THEN NULL
             ELSE least(greatest(e.value, b.lo), b.hi) END AS v_clip
-FROM events e JOIN b USING (event_type)""",
+FROM events e LEFT JOIN b USING (event_type)""",
     }
     out["top_tokens"] = f"""WITH {_KEPT}, {_OCC}
 SELECT term, count(*)::BIGINT AS n FROM occ

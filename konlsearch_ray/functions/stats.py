@@ -21,7 +21,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from konlsearch_ray.functions.blocks import nonempty_blocks
+from konlsearch_ray.functions.blocks import (arrow_schema as _arrow_schema,
+                                             nonempty_blocks)
 
 DEFAULT_QS = (("p50", 5000), ("p90", 9000), ("p99", 9900))
 
@@ -127,8 +128,21 @@ def winsorize(
     bounds = grouped_quantiles(
         ds, key_col, value_col,
         qs=(("lo", lo_bp), ("hi", hi_bp))).to_pandas()
+    ktyp = _arrow_schema(ds).field(key_col).type
+    if not len(bounds):
+        # Every value is null (grouped_quantiles emits nothing): all
+        # rows pass through with null v_clip — the 0-row fallback frame
+        # loses its columns/types through to_pandas, so don't index it.
+        def passthru(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: t[id_col].cast(pa.int64()),
+                key_col: t[key_col],
+                "v_clip": pa.nulls(t.num_rows, pa.float64()),
+            })
+
+        return ds.map_batches(passthru, batch_format="pyarrow")
     bt = pa.table({
-        key_col: pa.array(bounds[key_col]),
+        key_col: pa.array(bounds[key_col]).cast(ktyp),
         "lo": pa.array(bounds["lo"].astype(np.float64)),
         "hi": pa.array(bounds["hi"].astype(np.float64)),
     })

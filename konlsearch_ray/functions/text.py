@@ -539,12 +539,14 @@ def url_domain_counts(
 
     Vectorized extract-all: pyarrow has no extract_all kernel, so each
     pass extracts every row's FIRST remaining URL's host (one RE2
-    ``extract_regex``), strips it (one ``replace_substring_regex`` with
-    ``max_replacements=1``), and repeats while any row still matches —
-    the loop runs max-URLs-per-row times (bounded by ``max_per_row``),
-    each pass a C kernel over the whole batch, never a per-row Python
-    loop. Domains lowercase; the groupby moves domain-vocabulary rows
-    only (per-batch value_counts partials).
+    ``extract_regex``), replaces it with a space (a bare removal could
+    concatenate a URL-like prefix with the remainder and fabricate a
+    match that never existed in the text), and repeats while any row
+    still matches — each pass a C kernel over the whole batch, never a
+    per-row Python loop. A row with more than ``max_per_row`` URLs
+    RAISES rather than silently undercounting. Domains lowercase; the
+    groupby moves domain-vocabulary rows only (per-batch value_counts
+    partials).
     """
     pat_full = r"https?://[^/\s]+"
     pat_host = r"https?://(?P<host>[^/\s]+)"
@@ -560,8 +562,16 @@ def url_domain_counts(
                 break
             host = pc.struct_field(m, 0).drop_null()
             parts.append(pc.utf8_lower(host))
-            s = pc.replace_substring_regex(s, pat_full, "",
+            s = pc.replace_substring_regex(s, pat_full, " ",
                                            max_replacements=1)
+        else:
+            still = pc.extract_regex(s, pat_host)
+            n_left = len(still) - still.null_count
+            if n_left:
+                raise ValueError(
+                    f"{n_left} rows carry more than max_per_row="
+                    f"{max_per_row} URLs — raise max_per_row (refusing "
+                    f"to silently undercount)")
         if not parts:
             return pa.table({"domain": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})

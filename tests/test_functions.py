@@ -1232,3 +1232,38 @@ def test_winsorize_per_key_quantile_clip(ray_session):
     # key b: values [5, null, 500] -> non-null sorted [5, 500];
     # lo idx (1*1000)//10000=0 -> 5, hi idx (1*9000)//10000=0 -> 5
     assert b[0] == 5.0 and pd.isna(b[1]) and b[2] == 5.0
+
+
+def test_url_domain_counts_no_fabricated_urls(ray_session):
+    """Stripping a matched URL must not concatenate a URL-like prefix
+    with the remainder into a match that never existed (replace with a
+    space, not empty); >max_per_row rows raise instead of undercounting."""
+    import ray.data
+
+    from konlsearch_ray.functions.text import url_domain_counts
+
+    t = ray.data.from_arrow(pa.table(
+        {"text": pa.array(["https:/https://a.com/b.com x"])}))
+    d = url_domain_counts(t, "text").to_pandas()
+    assert dict(zip(d["domain"], d["n"])) == {"a.com": 1}
+
+    many = " ".join(f"https://d{i}.io/x" for i in range(5))
+    ds = ray.data.from_arrow(pa.table({"text": pa.array([many])}))
+    with pytest.raises(Exception, match="max_per_row"):
+        url_domain_counts(ds, "text", max_per_row=3).to_pandas()
+
+
+def test_winsorize_all_null_values_pass_through(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from konlsearch_ray.functions.stats import winsorize
+
+    t = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "b"]),
+        "id": pa.array([1, 2], pa.int64()),
+        "v": pa.array([None, None], pa.float64()),
+    }))
+    out = winsorize(t, "k", "v", "id").to_pandas()
+    assert len(out) == 2 and out["v_clip"].isna().all()
+    assert sorted(out["k"]) == ["a", "b"]
