@@ -906,6 +906,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return winsorize(ev, "event_type", "value", "event_id",
                          lo_bp=100, hi_bp=9900)
 
+    def roll_value(sf_dir):
+        # Per-user 5-row rolling sum/count (SQL ROWS-frame window
+        # parity): one key-bucket exchange + in-bucket prefix sums.
+        # Cents for exact, order-free int64 sums (log_aggregate
+        # rationale).
+        from konlsearch_ray.functions.temporal import rolling_agg
+
+        def to_cents(t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0),
+                         round_mode="half_towards_infinity"), pa.int64())
+            return (t.drop_columns(["value"]).append_column("v", cents))
+
+        ev = (_events(sf_dir)
+              .select_columns(["event_id", "ts", "user_id", "value"])
+              .map_batches(to_cents, batch_format="pyarrow"))
+        return rolling_agg(ev, "user_id", "ts", "event_id", "v",
+                           window_rows=5)
+
+    def anti_customers(sf_dir):
+        # Existence filter (NOT EXISTS): customers with no 420k+ order.
+        # Right side reduces to distinct keys before the exchange — the
+        # blocklist/decontamination join shape.
+        from konlsearch_ray.functions.joins import filter_join
+
+        cust = _rp_clean(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+        big = (_rp_clean(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+               .filter(expr="o_totalprice > 420000.0"))
+        return filter_join(cust, big, "c_custkey", "o_custkey",
+                           mode="anti")
+
+    def semi_customers(sf_dir):
+        # Same shape, EXISTS: customers WITH at least one 420k+ order.
+        from konlsearch_ray.functions.joins import filter_join
+
+        cust = _rp_clean(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+        big = (_rp_clean(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+               .filter(expr="o_totalprice > 420000.0"))
+        return filter_join(cust, big, "c_custkey", "o_custkey",
+                           mode="semi")
+
+    def event_corr(sf_dir):
+        # Per-type exact Pearson corr(value_cents, hour-of-day) from
+        # integer sufficient statistics — bit-identical to the oracle's
+        # identical final float expression.
+        from konlsearch_ray.functions.stats import grouped_corr
+
+        def xy(t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0),
+                         round_mode="half_towards_infinity"), pa.int64())
+            hour = pc.cast(pc.hour(t["ts"]), pa.int64())
+            return pa.table({"event_type": t["event_type"],
+                             "x": cents, "y": hour})
+
+        ev = (_events(sf_dir).select_columns(["ts", "event_type", "value"])
+              .map_batches(xy, batch_format="pyarrow"))
+        return grouped_corr(ev, "event_type", "x", "y")
+
     return {
         "search_and": search_and,
         "search_or": search_or,
@@ -976,6 +1039,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag": event_lag,
         "url_domains": url_domains,
         "value_winsor": value_winsor,
+        "roll_value": roll_value,
+        "anti_customers": anti_customers,
+        "semi_customers": semi_customers,
+        "event_corr": event_corr,
     }
 
 
@@ -1544,6 +1611,46 @@ SELECT e.event_id::BIGINT AS event_id, e.event_type,
        CASE WHEN e.value IS NULL OR b.lo IS NULL THEN NULL
             ELSE least(greatest(e.value, b.lo), b.hi) END AS v_clip
 FROM events e LEFT JOIN b USING (event_type)""",
+        "roll_value": """SELECT user_id::BIGINT AS user_id,
+       event_id::BIGINT AS event_id,
+       epoch_us(ts)::BIGINT AS ts_us,
+       COUNT(v) OVER w::BIGINT AS roll_n,
+       SUM(v) OVER w::BIGINT AS roll_sum
+FROM (SELECT event_id, ts, user_id, CAST(round(value*100) AS BIGINT) AS v
+      FROM events WHERE user_id IS NOT NULL
+        AND ts IS NOT NULL AND event_id IS NOT NULL)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+        "anti_customers": """SELECT c_custkey::BIGINT AS c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 420000)""",
+        "semi_customers": """SELECT c_custkey::BIGINT AS c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 420000)""",
+        # The corr oracle mirrors grouped_corr's EXACT final float
+        # expression over exact integer sums — operand-for-operand, so
+        # the doubles are bit-identical (see stats.grouped_corr).
+        "event_corr": """WITH b AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+s AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+             sum(y*y)::BIGINT AS syy, sum(x*y)::BIGINT AS sxy
+      FROM b GROUP BY event_type)
+SELECT event_type, n,
+  CASE WHEN (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) <= 0
+         OR (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy) <= 0 THEN NULL
+       ELSE (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+            / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+               * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))
+  END AS corr
+FROM s""",
     }
     out["top_tokens"] = f"""WITH {_KEPT}, {_OCC}
 SELECT term, count(*)::BIGINT AS n FROM occ

@@ -20,7 +20,9 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from konlsearch_ray.functions.blocks import (default_join_partitions,
+from konlsearch_ray.functions.blocks import (arrow_schema,
+                                             default_join_partitions,
+                                             default_nbuckets,
                                              pinned_nonempty)
 
 
@@ -161,3 +163,94 @@ def equi_join(
 
     return nonempty_blocks(out.map_batches(proj, batch_format="pyarrow"),
                            tuple(keep))
+
+def filter_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    mode: str = "semi",
+    nbuckets: int | None = None,
+) -> ray.data.Dataset:
+    """Semi / anti join — keep left rows whose key does (``semi``) or
+    does not (``anti``) appear in ``right``; SQL ``WHERE [NOT] EXISTS
+    (SELECT 1 FROM right r WHERE r.key = l.key)``.
+
+    This is the existence-filter shape (decontamination against a
+    blocklist, "customers with no orders", drop-already-processed):
+    attaching right columns with ``equi_join`` and dropping them would
+    multiply matched rows and ship the right payload. Here the right
+    side is projected to its KEY column and pre-distinct-ed per block
+    before the exchange, so the shuffle moves the left rows once plus
+    O(distinct right keys) — never the right payload.
+
+    SQL NULL semantics: a null left key matches nothing — ``semi``
+    drops such rows, ``anti`` keeps them; null right keys are ignored.
+    Key columns must share a comparable Arrow type.
+    """
+    from konlsearch_ray.functions.temporal import _key_bucket
+
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
+    nbuckets = nbuckets or default_nbuckets()
+    lsch = arrow_schema(left)
+    lcols = list(lsch.names)
+    if "__fj_side" in lcols or "__fj_bucket" in lcols:
+        raise ValueError("left columns collide with filter_join internals")
+    ktyp = lsch.field(left_key).type
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        # Null left keys route to bucket 0 deterministically; they are
+        # resolved in-bucket (never match) so semantics hold wherever
+        # they land.
+        return (t.append_column("__fj_side",
+                                pa.nulls(t.num_rows, pa.int8()).fill_null(0))
+                 .append_column("__fj_bucket",
+                                pa.array(_key_bucket(t[left_key], nbuckets)))
+                 .replace_schema_metadata(None))
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        # Project to the key, drop nulls, per-block distinct BEFORE the
+        # exchange: the shuffle carries O(distinct keys per block).
+        keys = pc.unique(pc.drop_null(
+            pc.cast(t[right_key], ktyp, safe=False)
+            if t[right_key].type != ktyp else t[right_key]))
+        n = len(keys)
+        cols: dict[str, object] = {}
+        for name in lcols:
+            if name == left_key:
+                cols[name] = keys
+            else:
+                cols[name] = pa.nulls(n, lsch.field(name).type)
+        cols["__fj_side"] = pa.nulls(n, pa.int8()).fill_null(1)
+        cols["__fj_bucket"] = pa.array(_key_bucket(keys, nbuckets))
+        return pa.table(cols)
+
+    fallback = pa.table(
+        {name: pa.array([], lsch.field(name).type) for name in lcols})
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        side = g["__fj_side"].to_numpy(zero_copy_only=False)
+        lrows = g.filter(pa.array(side == 0)).drop_columns(
+            ["__fj_side", "__fj_bucket"])
+        rkeys = pc.unique(g.filter(pa.array(side == 1))[left_key]
+                          .combine_chunks())
+        if len(rkeys) == 0:
+            match = pa.nulls(lrows.num_rows, pa.bool_()).fill_null(False)
+        else:
+            # index_in gives a NULL index for a null left key -> no
+            # match, exactly the SQL EXISTS contract.
+            match = pc.is_valid(pc.index_in(lrows[left_key],
+                                            value_set=rkeys))
+        keep = match if mode == "semi" else pc.invert(match)
+        return lrows.filter(keep).select(lcols)
+
+    lds = left.map_batches(prep_left, batch_format="pyarrow")
+    rds = right.map_batches(prep_right, batch_format="pyarrow")
+    out = (lds.union(rds).groupby("__fj_bucket")
+              .map_groups(emit, batch_format="pyarrow"))
+    from konlsearch_ray.functions.blocks import nonempty_blocks
+    return nonempty_blocks(out, tuple(lcols), fallback=fallback)

@@ -165,3 +165,107 @@ def winsorize(
         })
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> ray.data.Dataset:
+    """Per-key exact Pearson correlation between two INTEGER columns.
+
+    Both columns must be integer-typed (quantize floats upstream — same
+    cents rationale as every money aggregate here): the six sufficient
+    statistics ``(n, Sx, Sy, Sxx, Syy, Sxy)`` then fold as exact int64
+    sums in any order, and the one float expression
+
+        (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    is evaluated once per key from exact inputs — so the result is
+    bit-identical to any engine (e.g. a SQL oracle) that computes the
+    same expression from the same sums, with none of the order-dependent
+    drift a streaming float covariance accumulates.
+
+    Scale shape: per-batch vectorized partials (one ``np.add.at`` pass
+    per statistic) reduce the exchange to ``O(keys x blocks)`` partial
+    rows; one keyed merge sums them and applies the final expression.
+    SQL aggregate NULL semantics: a row with a null in ``x_col`` or
+    ``y_col`` contributes to neither sum nor count (matching
+    ``corr(x, y)``, which skips pairs with any null); null keys are
+    dropped. Zero variance in either column yields a null ``corr``
+    (SQL corr returns NULL there too... via NaN; we emit NULL).
+
+    Output: ``key_col``, ``n`` (int64), ``corr`` (float64).
+
+    Overflow contract (checked nowhere — document at call sites): each
+    per-key ``sum(x*x)`` etc. must fit int64 and stay below 2^53 if the
+    oracle casts through doubles; |x|,|y| <= ~3e4 with <= ~1e8 rows/key
+    is safe.
+    """
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    for c in (x_col, y_col):
+        if not pa.types.is_integer(sch.field(c).type):
+            raise ValueError(
+                f"{c!r} must be integer-typed for exact corr partials "
+                f"(got {sch.field(c).type}); quantize upstream")
+
+    part_cols = ("n", "sx", "sy", "sxx", "syy", "sxy")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        empty = {key_col: pd.Series([], dtype=object)}
+        empty.update({c: pd.Series([], dtype="int64") for c in part_cols})
+        if not t.num_rows:
+            return pd.DataFrame(empty)
+        ok = pc.and_kleene(
+            pc.is_valid(t[key_col]),
+            pc.and_kleene(pc.is_valid(t[x_col]), pc.is_valid(t[y_col])))
+        t = t.filter(ok)
+        if not t.num_rows:
+            return pd.DataFrame(empty)
+        t = t.combine_chunks()
+        codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(uniq)
+        out = {key_col: pd.Series(uniq)}
+        for name, vec in (("n", np.ones(len(x), dtype=np.int64)),
+                          ("sx", x), ("sy", y), ("sxx", x * x),
+                          ("syy", y * y), ("sxy", x * y)):
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, codes, vec)
+            out[name] = pd.Series(acc, dtype="int64")
+        return pd.DataFrame(out)
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "n": pa.array([], pa.int64()),
+        "corr": pa.array([], pa.float64()),
+    })
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return fallback
+        n = int(g["n"].sum())
+        sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+        sxx, syy = int(g["sxx"].sum()), int(g["syy"].sum())
+        sxy = int(g["sxy"].sum())
+        # The one float expression — mirror it EXACTLY in any oracle:
+        # every operand cast to double first, same operation order.
+        vx = float(n) * float(sxx) - float(sx) * float(sx)
+        vy = float(n) * float(syy) - float(sy) * float(sy)
+        if vx <= 0.0 or vy <= 0.0:
+            corr_arr = pa.nulls(1, pa.float64())
+        else:
+            num = float(n) * float(sxy) - float(sx) * float(sy)
+            corr_arr = pa.array(
+                [num / (np.sqrt(vx) * np.sqrt(vy))], pa.float64())
+        return pa.table({
+            key_col: pa.array([g[key_col].iloc[0]], ktyp),
+            "n": pa.array([n], pa.int64()),
+            "corr": corr_arr,
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).map_groups(merge, batch_format="pandas"))
+    return nonempty_blocks(out, (key_col, "n", "corr"), fallback=fallback)

@@ -758,3 +758,107 @@ def key_lag_deltas(
              .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
     return nonempty_blocks(out, tuple(fallback.column_names),
                            fallback=fallback)
+
+def rolling_agg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_rows: int,
+    nbuckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key rolling row-frame aggregate — SQL
+    ``SUM(v) / COUNT(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` — the moving-sum
+    / moving-average primitive behind rate limiting, trend features and
+    per-source drift monitors.
+
+    ``value_col`` must be an INTEGER column (sum folds are then exact
+    and order-free; convert money to cents upstream, see the
+    ``log_aggregate`` cents rationale). Output: ``key_col``, ``id_col``,
+    ``ts_us``, ``roll_n`` (count of non-null values in the frame — SQL
+    ``COUNT(v)``), ``roll_sum`` (null when ``roll_n`` is 0 — SQL
+    ``SUM``). The frame is ROWS-based, so null values stay in the frame
+    (they widen it like SQL) but contribute nothing.
+
+    One hash exchange on the key bucket; the in-bucket pass is one
+    lexsort + two prefix sums with a per-key-segment clamped lower
+    bound — no per-row Python, O(n log n) per bucket. Rows with a null
+    key, null timestamp or null id are dropped (same contract and
+    rationale as :func:`key_lag_deltas`).
+
+    ``ts_col``: timestamp[s/ms/us/ns], or a bare integer column that
+    MUST already be epoch MICROSECONDS (see ``_ts_us``).
+    """
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    ityp = sch.field(id_col).type
+    vtyp = sch.field(value_col).type
+    if not pa.types.is_integer(vtyp):
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed for exact "
+            f"rolling sums (got {vtyp}); convert to cents/int upstream")
+    nbuckets = nbuckets or _default_nbuckets()
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_kleene(
+            pc.is_valid(t[key_col]),
+            pc.and_kleene(pc.is_valid(t[ts_col]), pc.is_valid(t[id_col]))))
+        return pa.table({
+            "k": t[key_col],
+            "i": t[id_col],
+            "t": _ts_us(t[ts_col]),
+            "v": pc.cast(t[value_col], pa.int64()),
+            "bucket": pa.array(_key_bucket(t[key_col], nbuckets)),
+        })
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        id_col: pa.array([], ityp),
+        "ts_us": pa.array([], pa.int64()),
+        "roll_n": pa.array([], pa.int64()),
+        "roll_sum": pa.array([], pa.int64()),
+    })
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        codes = pd.factorize(g["k"].to_pandas(), sort=False)[0].astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, t, codes))
+        n = len(order)
+        ks, ts = codes[order], t[order]
+        valid = pc.is_valid(g["v"]).to_numpy(zero_copy_only=False)[order]
+        vals = (pc.fill_null(g["v"], 0).to_numpy(zero_copy_only=False)
+                .astype(np.int64)[order])
+        first = np.ones(n, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        seg_start = np.flatnonzero(first)[np.cumsum(first) - 1]
+        pos = np.arange(n, dtype=np.int64)
+        lower = np.maximum(pos - np.int64(window_rows - 1), seg_start)
+        cs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vals, out=cs[1:])
+        cn = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(valid.astype(np.int64), out=cn[1:])
+        roll_n = cn[pos + 1] - cn[lower]
+        roll_sum = cs[pos + 1] - cs[lower]
+        scol = pc.if_else(pa.array(roll_n > 0), pa.array(roll_sum),
+                          pa.nulls(n, pa.int64()))
+        oi = pa.array(order)
+        return pa.table({
+            key_col: g["k"].take(oi),
+            id_col: g["i"].take(oi),
+            "ts_us": pa.array(ts),
+            "roll_n": pa.array(roll_n),
+            "roll_sum": scol,
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)

@@ -1267,3 +1267,121 @@ def test_winsorize_all_null_values_pass_through(ray_session):
     out = winsorize(t, "k", "v", "id").to_pandas()
     assert len(out) == 2 and out["v_clip"].isna().all()
     assert sorted(out["k"]) == ["a", "b"]
+
+
+def test_rolling_agg_matches_window_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from konlsearch_ray.functions.temporal import rolling_agg
+
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b", None, "a"],
+        "ts": pa.array([10, 20, 30, 10, 40, 50, 40], pa.int64()),  # epoch us
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "v": pa.array([5, None, 7, 1, 2, 9, 11], pa.int64()),
+    })
+    out = (rolling_agg(ray.data.from_arrow(t), "k", "ts", "id", "v",
+                       window_rows=2)
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    o = duckdb.sql("""SELECT k, id, ts AS ts_us,
+        COUNT(v) OVER w::BIGINT AS roll_n, SUM(v) OVER w::BIGINT AS roll_sum
+        FROM t WHERE k IS NOT NULL
+        WINDOW w AS (PARTITION BY k ORDER BY ts, id
+                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+        ORDER BY k, id""").df()
+    assert len(out) == 6  # null-key row dropped
+    assert out["roll_n"].tolist() == o["roll_n"].tolist()
+    # null value widens the frame but contributes nothing; all-null
+    # frame -> null sum
+    assert out["roll_sum"].astype("object").where(
+        out["roll_sum"].notna(), None).tolist() == \
+        o["roll_sum"].astype("object").where(o["roll_sum"].notna(),
+                                             None).tolist()
+
+
+def test_rolling_agg_window_one_and_validation(ray_session):
+    import pytest
+    import ray.data
+
+    from konlsearch_ray.functions.temporal import rolling_agg
+
+    t = pa.table({"k": ["x", "x"], "ts": pa.array([1, 2], pa.int64()),
+                  "id": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([3, 4], pa.int64())})
+    out = (rolling_agg(ray.data.from_arrow(t), "k", "ts", "id", "v", 1)
+           .to_pandas().sort_values("id"))
+    assert out["roll_sum"].tolist() == [3, 4]  # frame = current row only
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_agg(ray.data.from_arrow(t), "k", "ts", "id", "v", 0)
+    tf = pa.table({"k": ["x"], "ts": pa.array([1], pa.int64()),
+                   "id": pa.array([1], pa.int64()),
+                   "v": pa.array([1.5], pa.float64())})
+    with pytest.raises(ValueError, match="integer-typed"):
+        rolling_agg(ray.data.from_arrow(tf), "k", "ts", "id", "v", 2)
+
+
+def test_filter_join_semi_anti_null_semantics(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.joins import filter_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, None], pa.int64()),
+        "p": ["a", "b", "c", "d"],
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 2, None], pa.int64()),
+        "junk": ["x", "y", "z"],
+    }))
+    semi = (filter_join(left, right, "k", "rk", mode="semi")
+            .to_pandas())
+    # null left key matches nothing; null right key matches nothing
+    assert semi["p"].tolist() == ["b"]
+    anti = (filter_join(left, right, "k", "rk", mode="anti")
+            .to_pandas().sort_values("p"))
+    assert anti["p"].tolist() == ["a", "c", "d"]  # null-key row KEPT
+
+
+def test_filter_join_empty_right_and_mode_validation(ray_session):
+    import pytest
+    import ray.data
+
+    from konlsearch_ray.functions.joins import filter_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()), "p": ["a", "b"]}))
+    empty = ray.data.from_arrow(pa.table({
+        "rk": pa.array([], pa.int64())}))
+    anti = filter_join(left, empty, "k", "rk", mode="anti").to_pandas()
+    assert sorted(anti["p"].tolist()) == ["a", "b"]
+    semi = filter_join(left, empty, "k", "rk", mode="semi")
+    assert semi.count() == 0
+    with pytest.raises(ValueError, match="mode"):
+        filter_join(left, empty, "k", "rk", mode="outer")
+
+
+def test_grouped_corr_exact_and_null_rules(ray_session):
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_corr
+
+    # group a: perfect positive corr; group b: zero variance in y ->
+    # null; null x / null key rows dropped.
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b", "a", None],
+        "x": pa.array([1, 2, 3, 5, 6, None, 9], pa.int64()),
+        "y": pa.array([10, 20, 30, 7, 7, 5, 9], pa.int64()),
+    })
+    out = (grouped_corr(ray.data.from_arrow(t), "k", "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["n"].tolist() == [3, 2]
+    assert abs(out["corr"][0] - 1.0) < 1e-12
+    assert np.isnan(out["corr"][1])  # zero variance -> null
+
+    tf = pa.table({"k": ["a"], "x": pa.array([1.0]), "y": pa.array([2], pa.int64())})
+    import pytest
+    with pytest.raises(ValueError, match="integer-typed"):
+        grouped_corr(ray.data.from_arrow(tf), "k", "x", "y")
