@@ -925,6 +925,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rolling_agg(ev, "user_id", "ts", "event_id", "v",
                            window_rows=5)
 
+    def cum_value(sf_dir):
+        # Unbounded frame (running per-user total) — same operator,
+        # window_rows=None.
+        from konlsearch_ray.functions.temporal import rolling_agg
+
+        def to_cents(t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0),
+                         round_mode="half_towards_infinity"), pa.int64())
+            return (t.drop_columns(["value"]).append_column("v", cents))
+
+        ev = (_events(sf_dir)
+              .select_columns(["event_id", "ts", "user_id", "value"])
+              .map_batches(to_cents, batch_format="pyarrow"))
+        return rolling_agg(ev, "user_id", "ts", "event_id", "v",
+                           window_rows=None)
+
+    def value_pct_rank(sf_dir):
+        # Within-type percentile of each event's value (RANK-tie
+        # percent_rank parity) — the per-source score-calibration
+        # primitive.
+        from konlsearch_ray.functions.stats import grouped_percent_rank
+
+        def to_cents(t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0),
+                         round_mode="half_towards_infinity"), pa.int64())
+            return (t.drop_columns(["value"]).append_column("v", cents))
+
+        ev = (_events(sf_dir)
+              .select_columns(["event_id", "event_type", "value"])
+              .map_batches(to_cents, batch_format="pyarrow"))
+        return grouped_percent_rank(ev, "event_type", "v", "event_id")
+
+    def user_sequence(sf_dir):
+        # Per-user time-ordered event-type sequence (string_agg ORDER
+        # BY parity) — session-as-token-sequence extraction.
+        from konlsearch_ray.functions.temporal import grouped_sequence
+
+        ev = _events(sf_dir).select_columns(
+            ["user_id", "ts", "event_id", "event_type"])
+        return grouped_sequence(ev, "user_id", "ts", "event_id",
+                                "event_type")
+
+    def sample_fixed(sf_dir):
+        # Exactly-k deterministic uniform sample by md5 priority (the
+        # fixed-budget eval draw); per-block top-k + one bounded merge.
+        from konlsearch_ray.functions.sampling import exact_sample
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+        return exact_sample(docs, "doc_id", 100, salt="s1")
+
     def anti_customers(sf_dir):
         # Existence filter (NOT EXISTS): customers with no 420k+ order.
         # Right side reduces to distinct keys before the exchange — the
@@ -1040,6 +1092,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_domains": url_domains,
         "value_winsor": value_winsor,
         "roll_value": roll_value,
+        "cum_value": cum_value,
+        "value_pct_rank": value_pct_rank,
+        "user_sequence": user_sequence,
+        "sample_fixed": sample_fixed,
         "anti_customers": anti_customers,
         "semi_customers": semi_customers,
         "event_corr": event_corr,
@@ -1621,6 +1677,40 @@ FROM (SELECT event_id, ts, user_id, CAST(round(value*100) AS BIGINT) AS v
         AND ts IS NOT NULL AND event_id IS NOT NULL)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+        "cum_value": """SELECT user_id::BIGINT AS user_id,
+       event_id::BIGINT AS event_id,
+       epoch_us(ts)::BIGINT AS ts_us,
+       COUNT(v) OVER w::BIGINT AS roll_n,
+       SUM(v) OVER w::BIGINT AS roll_sum
+FROM (SELECT event_id, ts, user_id, CAST(round(value*100) AS BIGINT) AS v
+      FROM events WHERE user_id IS NOT NULL
+        AND ts IS NOT NULL AND event_id IS NOT NULL)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+        # percent_rank parity: the engine computes the one expression
+        # double(rank-1)/double(n-1) from exact integer ranks — the
+        # oracle mirrors it operand-for-operand (not DuckDB's own
+        # percent_rank(), whose internal arithmetic is unspecified).
+        "value_pct_rank": """SELECT event_type, event_id::BIGINT AS event_id,
+       v::BIGINT AS v,
+       CASE WHEN nn = 1 THEN 0.0
+            ELSE CAST(rk - 1 AS DOUBLE) / CAST(nn - 1 AS DOUBLE) END AS pct
+FROM (SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS v,
+             rank() OVER (PARTITION BY event_type
+                          ORDER BY CAST(round(value*100) AS BIGINT)) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nn
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND event_id IS NOT NULL)""",
+        "user_sequence": """SELECT user_id::BIGINT AS user_id,
+       count(event_type)::BIGINT AS n,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+GROUP BY user_id""",
+        "sample_fixed": """SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""",
         "anti_customers": """SELECT c_custkey::BIGINT AS c_custkey, c_name
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o

@@ -137,3 +137,48 @@ def stratified_sample(
         return t.filter(pa.array(_bucket_of(t[id_col], salt) < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+def exact_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Exactly-k deterministic uniform sample — the fixed-budget eval /
+    inspection draw (``hash_sample`` gives a *rate*; this gives a
+    *count*).
+
+    Each row's priority is the full md5 hex digest of
+    ``salt || str(id)`` and the sample is the k smallest priorities
+    (ties broken by id) — a deterministic reservoir: reproducible
+    across runs, engines (SQL: ``ORDER BY md5(salt || CAST(id AS
+    VARCHAR)), id LIMIT k``) and partitionings, and uniform because the
+    digest is uniform over ids. Changing ``salt`` redraws; growing the
+    corpus only ever swaps rows in/out by priority, never reshuffles
+    the kept set wholesale.
+
+    Scale shape: per-block top-k inside ``map_batches`` then one
+    O(k x blocks)-row merge (:func:`~konlsearch_ray.functions.stats.
+    global_topk`) — the corpus itself never shuffles. Output: the
+    sampled rows with their original columns (the priority column is
+    dropped).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from konlsearch_ray.build import hash_hex_column
+    from konlsearch_ray.functions.stats import global_topk
+
+    def prio(t: pa.Table) -> pa.Table:
+        if "__prio" in t.schema.names:
+            raise ValueError("column __prio collides with exact_sample")
+        s = pc.cast(t[id_col], pa.string())
+        if salt:
+            s = pc.binary_join_element_wise(pa.scalar(salt), s, "")
+        return t.append_column("__prio", hash_hex_column(s, "md5"))
+
+    orig = list(ds.schema().names)
+    out = global_topk(
+        ds.map_batches(prio, batch_format="pyarrow"),
+        [("__prio", "ascending"), (id_col, "ascending")], k)
+    return out.map_batches(lambda t: t.select(orig),
+                           batch_format="pyarrow")

@@ -212,30 +212,33 @@ def grouped_corr(
 
     part_cols = ("n", "sx", "sy", "sxx", "syy", "sxy")
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        empty = {key_col: pd.Series([], dtype=object)}
-        empty.update({c: pd.Series([], dtype="int64") for c in part_cols})
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow (not pandas) partial blocks: mixed-format RefBundles
+        # into the shuffle spam schema-divergence warnings.
+        empty = pa.table(
+            {key_col: pa.array([], ktyp),
+             **{c: pa.array([], pa.int64()) for c in part_cols}})
         if not t.num_rows:
-            return pd.DataFrame(empty)
+            return empty
         ok = pc.and_kleene(
             pc.is_valid(t[key_col]),
             pc.and_kleene(pc.is_valid(t[x_col]), pc.is_valid(t[y_col])))
         t = t.filter(ok)
         if not t.num_rows:
-            return pd.DataFrame(empty)
+            return empty
         t = t.combine_chunks()
         codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         k = len(uniq)
-        out = {key_col: pd.Series(uniq)}
+        out = {key_col: pa.array(uniq, ktyp)}
         for name, vec in (("n", np.ones(len(x), dtype=np.int64)),
                           ("sx", x), ("sy", y), ("sxx", x * x),
                           ("syy", y * y), ("sxy", x * y)):
             acc = np.zeros(k, dtype=np.int64)
             np.add.at(acc, codes, vec)
-            out[name] = pd.Series(acc, dtype="int64")
-        return pd.DataFrame(out)
+            out[name] = pa.array(acc)
+        return pa.table(out)
 
     fallback = pa.table({
         key_col: pa.array([], ktyp),
@@ -269,3 +272,103 @@ def grouped_corr(
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(key_col).map_groups(merge, batch_format="pandas"))
     return nonempty_blocks(out, (key_col, "n", "corr"), fallback=fallback)
+
+def grouped_percent_rank(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    nbuckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key percent rank — SQL ``percent_rank() OVER (PARTITION BY
+    key ORDER BY v)`` = ``(rank - 1) / (n - 1)`` with RANK tie
+    semantics (ties share the min rank) and 0.0 for single-row keys —
+    the per-source score-calibration primitive (turn a raw quality
+    score into its within-source percentile before cross-source
+    filtering).
+
+    Output: ``key_col``, ``id_col``, ``v`` (int64), ``pct`` (float64,
+    computed as the one expression ``double(rank-1) / double(n-1)`` —
+    mirror it exactly in any oracle). ``value_col`` must be
+    integer-typed (rank ties on floats are representation-dependent;
+    quantize upstream). Rows with a null key, value or id are dropped
+    (SQL orders null values as a rank group, but they carry no rank
+    signal and the null-ordering convention differs per engine).
+
+    One hash exchange on the key bucket (same partitioning contract as
+    every keyed op here); in-bucket it is one lexsort + run-length
+    first-occurrence scan — no per-row Python.
+    """
+    import ray as _ray  # noqa: F401  (parallel with siblings)
+
+    from konlsearch_ray.functions.temporal import _key_bucket
+    from konlsearch_ray.functions.blocks import default_nbuckets
+
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    ityp = sch.field(id_col).type
+    if not pa.types.is_integer(sch.field(value_col).type):
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed "
+            f"(got {sch.field(value_col).type}); quantize upstream")
+    nbuckets = nbuckets or default_nbuckets()
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_kleene(
+            pc.is_valid(t[key_col]),
+            pc.and_kleene(pc.is_valid(t[value_col]),
+                          pc.is_valid(t[id_col]))))
+        return pa.table({
+            "k": t[key_col],
+            "i": t[id_col],
+            "v": pc.cast(t[value_col], pa.int64()),
+            "bucket": pa.array(_key_bucket(t[key_col], nbuckets)),
+        })
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        id_col: pa.array([], ityp),
+        "v": pa.array([], pa.int64()),
+        "pct": pa.array([], pa.float64()),
+    })
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        codes = pd.factorize(g["k"].to_pandas(), sort=False)[0].astype(np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v, codes))
+        ks, vs = codes[order], v[order]
+        n = len(order)
+        pos = np.arange(n, dtype=np.int64)
+        first_k = np.ones(n, dtype=bool)
+        first_k[1:] = ks[1:] != ks[:-1]
+        seg_start = np.flatnonzero(first_k)[np.cumsum(first_k) - 1]
+        # segment sizes -> per-row n
+        bounds = np.append(np.flatnonzero(first_k), n)
+        seg_n = np.diff(bounds)[np.cumsum(first_k) - 1]
+        # RANK with ties: first occurrence of each (key, v) run
+        first_v = first_k.copy()
+        first_v[1:] |= vs[1:] != vs[:-1]
+        rank_pos = np.maximum.accumulate(np.where(first_v, pos, -1))
+        rank = rank_pos - seg_start + 1
+        denom = seg_n - 1
+        # The one float expression — mirror in the oracle exactly.
+        pct = np.where(denom > 0,
+                       (rank - 1).astype(np.float64)
+                       / np.maximum(denom, 1).astype(np.float64),
+                       0.0)
+        oi = pa.array(order)
+        return pa.table({
+            key_col: g["k"].take(oi),
+            id_col: g["i"].take(oi),
+            "v": pa.array(vs),
+            "pct": pa.array(pct),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)

@@ -765,14 +765,15 @@ def rolling_agg(
     ts_col: str,
     id_col: str,
     value_col: str,
-    window_rows: int,
+    window_rows: int | None,
     nbuckets: int | None = None,
 ) -> ray.data.Dataset:
     """Per-key rolling row-frame aggregate — SQL
     ``SUM(v) / COUNT(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
     BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` — the moving-sum
     / moving-average primitive behind rate limiting, trend features and
-    per-source drift monitors.
+    per-source drift monitors. ``window_rows=None`` means UNBOUNDED
+    PRECEDING: the per-key running (cumulative) sum/count.
 
     ``value_col`` must be an INTEGER column (sum folds are then exact
     and order-free; convert money to cents upstream, see the
@@ -791,8 +792,9 @@ def rolling_agg(
     ``ts_col``: timestamp[s/ms/us/ns], or a bare integer column that
     MUST already be epoch MICROSECONDS (see ``_ts_us``).
     """
-    if window_rows < 1:
-        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    if window_rows is not None and window_rows < 1:
+        raise ValueError(
+            f"window_rows must be >= 1 or None (unbounded), got {window_rows}")
     sch = _arrow_schema(ds)
     ktyp = sch.field(key_col).type
     ityp = sch.field(id_col).type
@@ -840,7 +842,10 @@ def rolling_agg(
         first[1:] = ks[1:] != ks[:-1]
         seg_start = np.flatnonzero(first)[np.cumsum(first) - 1]
         pos = np.arange(n, dtype=np.int64)
-        lower = np.maximum(pos - np.int64(window_rows - 1), seg_start)
+        if window_rows is None:  # UNBOUNDED PRECEDING
+            lower = seg_start
+        else:
+            lower = np.maximum(pos - np.int64(window_rows - 1), seg_start)
         cs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(vals, out=cs[1:])
         cn = np.zeros(n + 1, dtype=np.int64)
@@ -856,6 +861,95 @@ def rolling_agg(
             "ts_us": pa.array(ts),
             "roll_n": pa.array(roll_n),
             "roll_sum": scol,
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)
+
+def grouped_sequence(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    sep: str = ",",
+    nbuckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key time-ordered value sequence — SQL ``string_agg(v, sep
+    ORDER BY ts, id)`` — the session-as-token-sequence primitive
+    behavioral models train on (per-user event-type strings, per-repo
+    file-touch traces).
+
+    Output: ``key_col``, ``n`` (int64 — non-null values concatenated,
+    SQL ``count(v)``), ``seq`` (string). ``value_col`` is cast to
+    string. Rows with a null key, timestamp or id are dropped (ordering
+    contract, as in :func:`key_lag_deltas`); null values are skipped
+    like SQL ``string_agg`` skips nulls (no separator either), and a
+    key whose values are ALL null emits ``n = 0`` with a null ``seq``.
+
+    One hash exchange on the key bucket; in-bucket one lexsort + one
+    ``binary_join`` over a run-length-built ListArray — no per-row
+    Python. The whole-key sequence lands in one output row, so per-key
+    volume follows the same co-location contract as any keyed
+    map_groups.
+    """
+    nbuckets = nbuckets or _default_nbuckets()
+    ktyp = _arrow_schema(ds).field(key_col).type
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_kleene(
+            pc.is_valid(t[key_col]),
+            pc.and_kleene(pc.is_valid(t[ts_col]), pc.is_valid(t[id_col]))))
+        return pa.table({
+            "k": t[key_col],
+            "i": t[id_col],
+            "t": _ts_us(t[ts_col]),
+            "v": pc.cast(t[value_col], pa.string()),
+            "bucket": pa.array(_key_bucket(t[key_col], nbuckets)),
+        })
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "n": pa.array([], pa.int64()),
+        "seq": pa.array([], pa.string()),
+    })
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        codes = pd.factorize(g["k"].to_pandas(), sort=False)[0].astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, t, codes))
+        ks = codes[order]
+        n = len(order)
+        first = np.ones(n, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(first)
+        keys = g["k"].take(pa.array(order[starts]))
+        vs = g["v"].take(pa.array(order)).combine_chunks()
+        valid = pc.is_valid(vs).to_numpy(zero_copy_only=False)
+        # SQL string_agg skips nulls entirely: compact the non-null
+        # values, rebuild per-key offsets from non-null counts.
+        seg_id = np.cumsum(first) - 1
+        nn_counts = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(nn_counts, seg_id, valid.astype(np.int64))
+        offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(nn_counts, out=offsets[1:])
+        la = pa.ListArray.from_arrays(pa.array(offsets),
+                                      vs.filter(pa.array(valid)))
+        seq = pc.binary_join(la, sep)
+        # all-null-value key: SQL string_agg -> NULL (binary_join of an
+        # empty list gives "", so patch those to null)
+        seq = pc.if_else(pa.array(nn_counts > 0), seq,
+                         pa.nulls(len(starts), pa.string()))
+        return pa.table({
+            key_col: keys,
+            "n": pa.array(nn_counts),
+            "seq": seq,
         })
 
     out = (ds.map_batches(prep, batch_format="pyarrow")

@@ -1385,3 +1385,76 @@ def test_grouped_corr_exact_and_null_rules(ray_session):
     import pytest
     with pytest.raises(ValueError, match="integer-typed"):
         grouped_corr(ray.data.from_arrow(tf), "k", "x", "y")
+
+
+def test_rolling_agg_unbounded_is_running_sum(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.temporal import rolling_agg
+
+    t = pa.table({"k": ["a"] * 4, "ts": pa.array([1, 2, 3, 4], pa.int64()),
+                  "id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array([1, 2, 3, 4], pa.int64())})
+    out = (rolling_agg(ray.data.from_arrow(t), "k", "ts", "id", "v", None)
+           .to_pandas().sort_values("id"))
+    assert out["roll_sum"].tolist() == [1, 3, 6, 10]
+    assert out["roll_n"].tolist() == [1, 2, 3, 4]
+
+
+def test_grouped_percent_rank_tie_and_singleton(ray_session):
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_percent_rank
+
+    t = pa.table({
+        "k": ["a", "a", "a", "a", "b", None, "a"],
+        "v": pa.array([10, 10, 20, 30, 5, 1, None], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    out = (grouped_percent_rank(ray.data.from_arrow(t), "k", "v", "id")
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    # group a: ranks 1,1,3,4 over n=4 -> pct 0, 0, 2/3, 1
+    a = out[out["k"] == "a"]["pct"].to_numpy()
+    assert np.allclose(a, [0.0, 0.0, 2.0 / 3.0, 1.0], rtol=0, atol=0)
+    # singleton group -> 0.0; null key / null value rows dropped
+    assert out[out["k"] == "b"]["pct"].tolist() == [0.0]
+    assert len(out) == 5
+
+
+def test_grouped_sequence_order_and_null_values(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.temporal import grouped_sequence
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([30, 10, 20, 5, 6], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": ["c", "a", None, None, None],
+    })
+    out = (grouped_sequence(ray.data.from_arrow(t), "k", "ts", "id", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # time order a(10) -> [null 20] -> c(30); nulls skipped, no extra sep
+    assert out["seq"].tolist()[0] == "a,c"
+    assert out["n"].tolist() == [2, 0]
+    assert out["seq"].isna().tolist() == [False, True]  # all-null -> NULL
+
+
+def test_exact_sample_deterministic_and_exact_k(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.sampling import exact_sample
+
+    t = pa.table({"id": pa.array(range(200), pa.int64()),
+                  "p": pa.array([f"r{i}" for i in range(200)])})
+    ds = ray.data.from_arrow(t).repartition(7)
+    a = exact_sample(ds, "id", 10, salt="x").to_pandas()
+    b = exact_sample(ray.data.from_arrow(t).repartition(3), "id", 10,
+                     salt="x").to_pandas()
+    assert len(a) == 10
+    # partition-invariant and reproducible
+    assert sorted(a["id"]) == sorted(b["id"])
+    c = exact_sample(ds, "id", 10, salt="y").to_pandas()
+    assert sorted(c["id"]) != sorted(a["id"])  # salt redraws
+    assert list(a.columns) == ["id", "p"]  # priority column dropped
