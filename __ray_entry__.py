@@ -126,6 +126,38 @@ def _events(sf_dir: str):
     return _rp_clean(os.path.join(sf_dir, "events.parquet"))
 
 
+def _cents_col(t: "pa.Table", col: str = "value") -> "pa.ChunkedArray":
+    """value*100 -> int64 cents, the one rounding rule shared by every
+    money entry: a float64 sum folds per-block partials in
+    nondeterministic order, and round(2) near a .xx5 boundary could
+    then flip the last digit engine-vs-oracle — integer cents are exact
+    and order-free. half_towards_infinity (= half away from zero)
+    matches DuckDB's round(); Arrow's default half_to_even would flip
+    an exact .5-cent tie (the table's values are 2-decimal so ties
+    can't occur, but the rule should not depend on that data
+    contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(
+        pc.round(pc.multiply(t[col], 100.0),
+                 round_mode="half_towards_infinity"), pa.int64())
+
+
+def _to_cents(t: "pa.Table", out_col: str = "value") -> "pa.Table":
+    """Replace the float ``value`` column with integer cents named
+    ``out_col`` (see ``_cents_col`` for the parity rationale)."""
+    return (t.drop_columns(["value"])
+            .append_column(out_col, _cents_col(t)))
+
+
+def _cents_events(sf_dir: str, columns: list):
+    """events with ``value`` replaced by the cents column ``v``."""
+    return (_events(sf_dir).select_columns(columns)
+            .map_batches(lambda t: _to_cents(t, "v"),
+                         batch_format="pyarrow"))
+
+
 def _embeddings(sf_dir: str):
     import ray.data
 
@@ -475,23 +507,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from konlsearch_ray.pipelines.logagg import aggregate_from_offset
 
-        # Integer-cents money sum (like pivot_user / window_tumbling):
-        # a float64 Sum folds per-block partials in nondeterministic
-        # order, and round(2) near a .xx5 boundary could then flip the
-        # last digit engine-vs-oracle. Cents are exact and order-free.
-        def to_cents(t: pa.Table) -> pa.Table:
-            # half_towards_infinity (= half away from zero) matches
-            # DuckDB's round(); Arrow's default half_to_even would flip
-            # an exact .5-cent tie (the table's values are 2-decimal so
-            # ties can't occur, but the rule should not depend on that
-            # data contract).
-            cents = pc.cast(
-                pc.round(pc.multiply(t["value"], 100.0),
-                         round_mode="half_towards_infinity"), pa.int64())
-            return (t.drop_columns(["value"])
-                    .append_column("value", cents))
-
-        ev = _events(sf_dir).map_batches(to_cents, batch_format="pyarrow")
+        # Integer-cents money sum via the shared _to_cents rule (see
+        # its docstring for the order-free / round-mode parity
+        # rationale).
+        ev = _events(sf_dir).map_batches(_to_cents, batch_format="pyarrow")
         out = aggregate_from_offset(
             ev, datetime.datetime(2024, 1, 15)).to_pandas()
         out["hits"] = out["hits"].astype("int64")
@@ -913,15 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rationale).
         from konlsearch_ray.functions.temporal import rolling_agg
 
-        def to_cents(t: pa.Table) -> pa.Table:
-            cents = pc.cast(
-                pc.round(pc.multiply(t["value"], 100.0),
-                         round_mode="half_towards_infinity"), pa.int64())
-            return (t.drop_columns(["value"]).append_column("v", cents))
-
-        ev = (_events(sf_dir)
-              .select_columns(["event_id", "ts", "user_id", "value"])
-              .map_batches(to_cents, batch_format="pyarrow"))
+        ev = _cents_events(sf_dir, ["event_id", "ts", "user_id", "value"])
         return rolling_agg(ev, "user_id", "ts", "event_id", "v",
                            window_rows=5)
 
@@ -930,15 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window_rows=None.
         from konlsearch_ray.functions.temporal import rolling_agg
 
-        def to_cents(t: pa.Table) -> pa.Table:
-            cents = pc.cast(
-                pc.round(pc.multiply(t["value"], 100.0),
-                         round_mode="half_towards_infinity"), pa.int64())
-            return (t.drop_columns(["value"]).append_column("v", cents))
-
-        ev = (_events(sf_dir)
-              .select_columns(["event_id", "ts", "user_id", "value"])
-              .map_batches(to_cents, batch_format="pyarrow"))
+        ev = _cents_events(sf_dir, ["event_id", "ts", "user_id", "value"])
         return rolling_agg(ev, "user_id", "ts", "event_id", "v",
                            window_rows=None)
 
@@ -948,15 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # primitive.
         from konlsearch_ray.functions.stats import grouped_percent_rank
 
-        def to_cents(t: pa.Table) -> pa.Table:
-            cents = pc.cast(
-                pc.round(pc.multiply(t["value"], 100.0),
-                         round_mode="half_towards_infinity"), pa.int64())
-            return (t.drop_columns(["value"]).append_column("v", cents))
-
-        ev = (_events(sf_dir)
-              .select_columns(["event_id", "event_type", "value"])
-              .map_batches(to_cents, batch_format="pyarrow"))
+        ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
         return grouped_percent_rank(ev, "event_type", "v", "event_id")
 
     def user_sequence(sf_dir):
@@ -1010,12 +1005,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from konlsearch_ray.functions.stats import grouped_corr
 
         def xy(t: pa.Table) -> pa.Table:
-            cents = pc.cast(
-                pc.round(pc.multiply(t["value"], 100.0),
-                         round_mode="half_towards_infinity"), pa.int64())
             hour = pc.cast(pc.hour(t["ts"]), pa.int64())
             return pa.table({"event_type": t["event_type"],
-                             "x": cents, "y": hour})
+                             "x": _cents_col(t), "y": hour})
 
         ev = (_events(sf_dir).select_columns(["ts", "event_type", "value"])
               .map_batches(xy, batch_format="pyarrow"))

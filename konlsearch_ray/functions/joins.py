@@ -211,9 +211,12 @@ def filter_join(
 
     def prep_right(t: pa.Table) -> pa.Table:
         # Project to the key, drop nulls, per-block distinct BEFORE the
-        # exchange: the shuffle carries O(distinct keys per block).
+        # exchange: the shuffle carries O(distinct keys per block). The
+        # cast is SAFE on purpose: a lossy key-type mismatch (float
+        # right keys, narrowing) must raise, not truncate into spurious
+        # matches.
         keys = pc.unique(pc.drop_null(
-            pc.cast(t[right_key], ktyp, safe=False)
+            pc.cast(t[right_key], ktyp)
             if t[right_key].type != ktyp else t[right_key]))
         n = len(keys)
         cols: dict[str, object] = {}

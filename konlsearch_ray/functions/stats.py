@@ -299,9 +299,9 @@ def grouped_percent_rank(
     every keyed op here); in-bucket it is one lexsort + run-length
     first-occurrence scan — no per-row Python.
     """
-    import ray as _ray  # noqa: F401  (parallel with siblings)
-
-    from konlsearch_ray.functions.temporal import _key_bucket
+    from konlsearch_ray.functions.temporal import (_key_bucket,
+                                                   _required_rows,
+                                                   _segmented_order)
     from konlsearch_ray.functions.blocks import default_nbuckets
 
     sch = _arrow_schema(ds)
@@ -314,10 +314,7 @@ def grouped_percent_rank(
     nbuckets = nbuckets or default_nbuckets()
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_kleene(
-            pc.is_valid(t[key_col]),
-            pc.and_kleene(pc.is_valid(t[value_col]),
-                          pc.is_valid(t[id_col]))))
+        t = _required_rows(t, (key_col, value_col, id_col))
         return pa.table({
             "k": t[key_col],
             "i": t[id_col],
@@ -336,19 +333,14 @@ def grouped_percent_rank(
         if not g.num_rows:
             return fallback
         g = g.combine_chunks()
-        codes = pd.factorize(g["k"].to_pandas(), sort=False)[0].astype(np.int64)
         v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = g["i"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, v, codes))
-        ks, vs = codes[order], v[order]
+        order, first_k, starts, seg_start = _segmented_order(g, (ids, v))
+        vs = v[order]
         n = len(order)
         pos = np.arange(n, dtype=np.int64)
-        first_k = np.ones(n, dtype=bool)
-        first_k[1:] = ks[1:] != ks[:-1]
-        seg_start = np.flatnonzero(first_k)[np.cumsum(first_k) - 1]
         # segment sizes -> per-row n
-        bounds = np.append(np.flatnonzero(first_k), n)
-        seg_n = np.diff(bounds)[np.cumsum(first_k) - 1]
+        seg_n = np.diff(np.append(starts, n))[np.cumsum(first_k) - 1]
         # RANK with ties: first occurrence of each (key, v) run
         first_v = first_k.copy()
         first_v[1:] |= vs[1:] != vs[:-1]

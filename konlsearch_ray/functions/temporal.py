@@ -77,6 +77,41 @@ def _key_bucket(col, nbuckets: int) -> np.ndarray:
     return (hv % np.uint64(nbuckets)).astype(np.int64)
 
 
+def _required_rows(t: pa.Table, cols: tuple[str, ...]) -> pa.Table:
+    """Drop rows where ANY of ``cols`` is null — the shared ordering
+    contract of the per-key ordered operators (a null key has no
+    partition, and an unguarded null ts/id would NaN-cast to INT64_MIN
+    and corrupt its neighbors' ordering — see ``key_lag_deltas``)."""
+    mask = pc.is_valid(t[cols[0]])
+    for c in cols[1:]:
+        mask = pc.and_kleene(mask, pc.is_valid(t[c]))
+    return t.filter(mask)
+
+
+def _segmented_order(
+    g: pa.Table, minor_keys: tuple[np.ndarray, ...],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared in-bucket scaffold for the per-key ordered operators
+    (lag, rolling frames, sequences, percent_rank): one stable lexsort
+    by (key, *minor_keys) plus the key-run segment geometry.
+
+    ``g`` must carry the routed key in column ``"k"``; ``minor_keys``
+    are numpy sort keys HIGHEST significance LAST (np.lexsort order).
+    Returns ``(order, first, starts, seg_start)``: the sort
+    permutation, the key-change mask over sorted rows, the segment
+    start indices, and the per-row segment start (broadcast).
+    """
+    codes = pd.factorize(g["k"].to_pandas(), sort=False)[0].astype(np.int64)
+    order = np.lexsort((*minor_keys, codes))
+    ks = codes[order]
+    n = len(ks)
+    first = np.ones(n, dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(first)
+    seg_start = starts[np.cumsum(first) - 1]
+    return order, first, starts, seg_start
+
+
 # --------------------------------------------------------------------------
 # Tumbling-window aggregate
 # --------------------------------------------------------------------------
@@ -713,9 +748,7 @@ def key_lag_deltas(
     ityp = _arrow_schema(ds).field(id_col).type
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_kleene(
-            pc.is_valid(t[key_col]),
-            pc.and_kleene(pc.is_valid(t[ts_col]), pc.is_valid(t[id_col]))))
+        t = _required_rows(t, (key_col, ts_col, id_col))
         return pa.table({
             "k": t[key_col],
             "i": t[id_col],
@@ -734,13 +767,10 @@ def key_lag_deltas(
         if not g.num_rows:
             return fallback
         g = g.combine_chunks()
-        codes = pd.factorize(g["k"].to_pandas(), sort=False)[0].astype(np.int64)
         t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = g["i"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, t, codes))
-        ks, ts = codes[order], t[order]
-        first = np.ones(len(ts), dtype=bool)
-        first[1:] = ks[1:] != ks[:-1]
+        order, first, _, _ = _segmented_order(g, (ids, t))
+        ts = t[order]
         delta = np.empty(len(ts), dtype=np.int64)
         delta[1:] = ts[1:] - ts[:-1]
         delta[0] = 0
@@ -806,9 +836,7 @@ def rolling_agg(
     nbuckets = nbuckets or _default_nbuckets()
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_kleene(
-            pc.is_valid(t[key_col]),
-            pc.and_kleene(pc.is_valid(t[ts_col]), pc.is_valid(t[id_col]))))
+        t = _required_rows(t, (key_col, ts_col, id_col))
         return pa.table({
             "k": t[key_col],
             "i": t[id_col],
@@ -829,18 +857,14 @@ def rolling_agg(
         if not g.num_rows:
             return fallback
         g = g.combine_chunks()
-        codes = pd.factorize(g["k"].to_pandas(), sort=False)[0].astype(np.int64)
         t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = g["i"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, t, codes))
+        order, _, _, seg_start = _segmented_order(g, (ids, t))
         n = len(order)
-        ks, ts = codes[order], t[order]
+        ts = t[order]
         valid = pc.is_valid(g["v"]).to_numpy(zero_copy_only=False)[order]
         vals = (pc.fill_null(g["v"], 0).to_numpy(zero_copy_only=False)
                 .astype(np.int64)[order])
-        first = np.ones(n, dtype=bool)
-        first[1:] = ks[1:] != ks[:-1]
-        seg_start = np.flatnonzero(first)[np.cumsum(first) - 1]
         pos = np.arange(n, dtype=np.int64)
         if window_rows is None:  # UNBOUNDED PRECEDING
             lower = seg_start
@@ -883,7 +907,9 @@ def grouped_sequence(
     file-touch traces).
 
     Output: ``key_col``, ``n`` (int64 — non-null values concatenated,
-    SQL ``count(v)``), ``seq`` (string). ``value_col`` is cast to
+    SQL ``count(v)``), ``seq`` (large_string — 64-bit offsets, so a
+    block of long sequences is not capped at 2 GiB). ``value_col`` is
+    cast to
     string. Rows with a null key, timestamp or id are dropped (ordering
     contract, as in :func:`key_lag_deltas`); null values are skipped
     like SQL ``string_agg`` skips nulls (no separator either), and a
@@ -899,53 +925,51 @@ def grouped_sequence(
     ktyp = _arrow_schema(ds).field(key_col).type
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_kleene(
-            pc.is_valid(t[key_col]),
-            pc.and_kleene(pc.is_valid(t[ts_col]), pc.is_valid(t[id_col]))))
+        t = _required_rows(t, (key_col, ts_col, id_col))
         return pa.table({
             "k": t[key_col],
             "i": t[id_col],
             "t": _ts_us(t[ts_col]),
-            "v": pc.cast(t[value_col], pa.string()),
+            # large_string: per-bucket concatenated value bytes may
+            # pass 2 GiB at scale — 32-bit offsets would overflow in
+            # take/filter below.
+            "v": pc.cast(t[value_col], pa.large_string()),
             "bucket": pa.array(_key_bucket(t[key_col], nbuckets)),
         })
 
     fallback = pa.table({
         key_col: pa.array([], ktyp),
         "n": pa.array([], pa.int64()),
-        "seq": pa.array([], pa.string()),
+        "seq": pa.array([], pa.large_string()),
     })
 
     def emit(g: pa.Table) -> pa.Table:
         if not g.num_rows:
             return fallback
         g = g.combine_chunks()
-        codes = pd.factorize(g["k"].to_pandas(), sort=False)[0].astype(np.int64)
         t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = g["i"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, t, codes))
-        ks = codes[order]
-        n = len(order)
-        first = np.ones(n, dtype=bool)
-        first[1:] = ks[1:] != ks[:-1]
-        starts = np.flatnonzero(first)
+        order, first, starts, _ = _segmented_order(g, (ids, t))
         keys = g["k"].take(pa.array(order[starts]))
         vs = g["v"].take(pa.array(order)).combine_chunks()
         valid = pc.is_valid(vs).to_numpy(zero_copy_only=False)
         # SQL string_agg skips nulls entirely: compact the non-null
         # values, rebuild per-key offsets from non-null counts.
+        # 64-bit offsets (LargeListArray over large_string values):
+        # a bucket is not capped at 2^31 rows / 2 GiB of value bytes.
         seg_id = np.cumsum(first) - 1
         nn_counts = np.zeros(len(starts), dtype=np.int64)
         np.add.at(nn_counts, seg_id, valid.astype(np.int64))
-        offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+        offsets = np.zeros(len(starts) + 1, dtype=np.int64)
         np.cumsum(nn_counts, out=offsets[1:])
-        la = pa.ListArray.from_arrays(pa.array(offsets),
-                                      vs.filter(pa.array(valid)))
-        seq = pc.binary_join(la, sep)
+        la = pa.LargeListArray.from_arrays(pa.array(offsets),
+                                           vs.filter(pa.array(valid)))
+        seq = pc.binary_join(la, pa.scalar(sep, pa.large_string()))
         # all-null-value key: SQL string_agg -> NULL (binary_join of an
         # empty list gives "", so patch those to null)
-        seq = pc.if_else(pa.array(nn_counts > 0), seq,
-                         pa.nulls(len(starts), pa.string()))
+        seq = pc.if_else(pa.array(nn_counts > 0),
+                         pc.cast(seq, pa.large_string()),
+                         pa.nulls(len(starts), pa.large_string()))
         return pa.table({
             key_col: keys,
             "n": pa.array(nn_counts),
