@@ -553,6 +553,47 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     key_lag_deltas(ev_lag, "user_id", "ts", "event_id").materialize()
     queries["lag_deltas_sec"] = round(time.perf_counter() - t0, 3)
+
+    # per-key window family (rolling frame, percent_rank, ordered
+    # sequence, exact-k sample, anti join) — one key-bucket exchange
+    # each; fixed exchange cost dominates at sf0.1
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from konlsearch_ray.functions.joins import filter_join
+    from konlsearch_ray.functions.sampling import exact_sample
+    from konlsearch_ray.functions.stats import grouped_percent_rank
+    from konlsearch_ray.functions.temporal import rolling_agg
+
+    def _cents(t):
+        c = _pc.cast(_pc.round(_pc.multiply(t["value"], 100.0),
+                               round_mode="half_towards_infinity"),
+                     _pa.int64())
+        return t.drop_columns(["value"]).append_column("v", c)
+
+    ev_w = _rp_clean(os.path.join(SF_DIR, "events.parquet"),
+                     columns=["event_id", "ts", "user_id", "event_type",
+                              "value"]).map_batches(
+                         _cents, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    rolling_agg(ev_w, "user_id", "ts", "event_id", "v", 5).materialize()
+    queries["rolling_agg_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    grouped_percent_rank(ev_w, "event_type", "v", "event_id").materialize()
+    queries["percent_rank_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    exact_sample(_rp_clean(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "lang"]),
+                 "doc_id", 1000, salt="b").materialize()
+    queries["exact_sample_sec"] = round(time.perf_counter() - t0, 3)
+    cust_b = _rp_clean(os.path.join(SF_DIR, "customer.parquet"),
+                       columns=["c_custkey", "c_name"])
+    big_b = _rp_clean(os.path.join(SF_DIR, "orders.parquet"),
+                      columns=["o_custkey", "o_totalprice"]).filter(
+                          expr="o_totalprice > 420000.0")
+    t0 = time.perf_counter()
+    filter_join(cust_b, big_b, "c_custkey", "o_custkey",
+                mode="anti").materialize()
+    queries["filter_join_sec"] = round(time.perf_counter() - t0, 3)
     from konlsearch_ray.functions.aggregates import pivot_counts
 
     ev_pv = _rp_clean(os.path.join(SF_DIR, "events.parquet"),
