@@ -998,6 +998,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return filter_join(cust, big, "c_custkey", "o_custkey",
                            mode="semi")
 
+    def value_ntile(sf_dir):
+        # Per-type quartile bucket of each event's value (exact SQL
+        # NTILE sizing — first n%b tiles get one extra row).
+        from konlsearch_ray.functions.stats import grouped_ntile
+
+        ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
+        return grouped_ntile(ev, "event_type", "v", "event_id", 4)
+
+    def melt_lineitem(sf_dir):
+        # Wide->long unpivot of the four lineitem metrics — pure map
+        # stage, no shuffle; UNION ALL parity.
+        from konlsearch_ray.functions.aggregates import melt
+
+        li = _rp_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                       columns=["l_orderkey", "l_linenumber", "l_quantity",
+                                "l_extendedprice", "l_discount", "l_tax"])
+        return melt(li, ["l_orderkey", "l_linenumber"],
+                    ["l_quantity", "l_extendedprice", "l_discount",
+                     "l_tax"])
+
     def event_corr(sf_dir):
         # Per-type exact Pearson corr(value_cents, hour-of-day) from
         # integer sufficient statistics — bit-identical to the oracle's
@@ -1091,6 +1111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_customers": anti_customers,
         "semi_customers": semi_customers,
         "event_corr": event_corr,
+        "value_ntile": value_ntile,
+        "melt_lineitem": melt_lineitem,
     }
 
 
@@ -1713,6 +1735,26 @@ FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_totalprice > 420000)""",
+        "value_ntile": """SELECT event_type, event_id::BIGINT AS event_id,
+       v::BIGINT AS v,
+       ntile(4) OVER (PARTITION BY event_type ORDER BY v, event_id)::BIGINT
+         AS tile
+FROM (SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND event_id IS NOT NULL)""",
+        "melt_lineitem": """SELECT l_orderkey::BIGINT AS l_orderkey,
+       l_linenumber::BIGINT AS l_linenumber, variable,
+       CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+         l_quantity AS value FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         l_extendedprice FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+         l_discount FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+         l_tax FROM lineitem)""",
         # The corr oracle mirrors grouped_corr's EXACT final float
         # expression over exact integer sums — operand-for-operand, so
         # the doubles are bit-identical (see stats.grouped_corr).

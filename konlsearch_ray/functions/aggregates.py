@@ -456,3 +456,41 @@ def heavy_hitters(
            .repartition(1)
            .map_batches(topk, batch_format="pyarrow", batch_size=None))
     return nonempty_blocks(out, (value_col, "n"), fallback=empty)
+
+def melt(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """Wide→long unpivot (the inverse of :func:`pivot_counts`) — SQL
+    ``UNPIVOT`` / a ``UNION ALL`` of one projection per value column —
+    the normalization step before any per-metric groupby over a
+    many-metric table.
+
+    Each input row emits ``len(value_cols)`` output rows: the id
+    columns, ``var_name`` (the source column's name), ``value_name``
+    (its value cast to float64 — the common supertype; null values
+    stay null, matching ``UNION ALL``, while SQL ``UNPIVOT``'s default
+    null-row EXCLUSION is one ``filter`` away). Pure per-batch map
+    stage — no shuffle, no state; output volume is the explicit
+    ``x len(value_cols)`` the caller asked for.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    overlap = {var_name, value_name} & set(id_cols)
+    if overlap or var_name == value_name:
+        raise ValueError(
+            f"var/value names collide: {sorted(overlap) or [var_name]}")
+
+    def unpivot(t: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            cols = {c: t[c] for c in id_cols}
+            cols[var_name] = pa.nulls(t.num_rows, pa.string()).fill_null(vc)
+            cols[value_name] = pc.cast(t[vc], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts).combine_chunks()
+
+    return ds.map_batches(unpivot, batch_format="pyarrow")

@@ -364,3 +364,92 @@ def grouped_percent_rank(
              .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
     return nonempty_blocks(out, tuple(fallback.column_names),
                            fallback=fallback)
+
+def grouped_ntile(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    n_tiles: int,
+    nbuckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key NTILE bucketing — SQL ``ntile(n) OVER (PARTITION BY key
+    ORDER BY v, id)`` — the quantile-bucket assignment behind
+    difficulty tiers, stratified curriculum buckets, and per-source
+    balanced batch mixes.
+
+    Exact SQL tile sizing: with ``n`` rows and ``b`` tiles, the first
+    ``n % b`` tiles get ``n // b + 1`` rows, the rest ``n // b`` —
+    pure integer arithmetic over the per-key row number (ordered by
+    value then id: ROW_NUMBER, not RANK — equal values in different
+    rows may land in different tiles, exactly like SQL). Output:
+    ``key_col``, ``id_col``, ``v`` (int64), ``tile`` (int64, 1-based).
+
+    ``value_col`` must be integer-typed (float order ties are
+    representation-dependent; quantize upstream). Rows with a null
+    key, value or id are dropped (same contract and rationale as
+    :func:`grouped_percent_rank`). One hash exchange on the key
+    bucket; in-bucket one lexsort + integer arithmetic.
+    """
+    from konlsearch_ray.functions.blocks import default_nbuckets
+    from konlsearch_ray.functions.temporal import (_key_bucket,
+                                                   _required_rows,
+                                                   _segmented_order)
+
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    ityp = sch.field(id_col).type
+    if not pa.types.is_integer(sch.field(value_col).type):
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed "
+            f"(got {sch.field(value_col).type}); quantize upstream")
+    nbuckets = nbuckets or default_nbuckets()
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _required_rows(t, (key_col, value_col, id_col))
+        return pa.table({
+            "k": t[key_col],
+            "i": t[id_col],
+            "v": pc.cast(t[value_col], pa.int64()),
+            "bucket": pa.array(_key_bucket(t[key_col], nbuckets)),
+        })
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        id_col: pa.array([], ityp),
+        "v": pa.array([], pa.int64()),
+        "tile": pa.array([], pa.int64()),
+    })
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["i"].to_numpy(zero_copy_only=False)
+        order, first, starts, seg_start = _segmented_order(g, (ids, v))
+        n = len(order)
+        rn = np.arange(n, dtype=np.int64) - seg_start  # 0-based row num
+        seg_n = np.diff(np.append(starts, n))[np.cumsum(first) - 1]
+        q, rem = seg_n // n_tiles, seg_n % n_tiles
+        big = q + 1                       # size of the first `rem` tiles
+        cut = rem * big                   # rows covered by the big tiles
+        in_big = rn < cut
+        # q can be 0 (more tiles than rows): every row is then in a
+        # "big" tile of size 1, so the else-branch divisor never sees 0.
+        tile = np.where(in_big, rn // np.maximum(big, 1) + 1,
+                        rem + (rn - cut) // np.maximum(q, 1) + 1)
+        oi = pa.array(order)
+        return pa.table({
+            key_col: g["k"].take(oi),
+            id_col: g["i"].take(oi),
+            "v": pa.array(v[order]),
+            "tile": pa.array(tile.astype(np.int64)),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)

@@ -1458,3 +1458,49 @@ def test_exact_sample_deterministic_and_exact_k(ray_session):
     c = exact_sample(ds, "id", 10, salt="y").to_pandas()
     assert sorted(c["id"]) != sorted(a["id"])  # salt redraws
     assert list(a.columns) == ["id", "p"]  # priority column dropped
+
+
+def test_grouped_ntile_exact_sql_sizing(ray_session):
+    import pytest
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_ntile
+
+    # key a: 7 rows into 3 tiles -> sizes 3,2,2; key b: 2 rows into 3
+    # tiles -> sizes 1,1 (tile 3 empty — NTILE never emits empties)
+    t = pa.table({
+        "k": ["a"] * 7 + ["b"] * 2 + [None],
+        "v": pa.array([10, 20, 30, 40, 50, 60, 70, 1, 2, 9], pa.int64()),
+        "id": pa.array(list(range(1, 11)), pa.int64()),
+    })
+    out = (grouped_ntile(ray.data.from_arrow(t), "k", "v", "id", 3)
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    assert out[out["k"] == "a"]["tile"].tolist() == [1, 1, 1, 2, 2, 3, 3]
+    assert out[out["k"] == "b"]["tile"].tolist() == [1, 2]
+    assert len(out) == 9  # null key dropped
+    with pytest.raises(ValueError, match="n_tiles"):
+        grouped_ntile(ray.data.from_arrow(t), "k", "v", "id", 0)
+
+
+def test_melt_unpivot_roundtrip(ray_session):
+    import pytest
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import melt
+
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "a": pa.array([1.5, None], pa.float64()),
+        "b": pa.array([3, 4], pa.int64()),
+    })
+    out = (melt(ray.data.from_arrow(t), ["id"], ["a", "b"])
+           .to_pandas().sort_values(["id", "variable"])
+           .reset_index(drop=True))
+    assert len(out) == 4
+    assert out["variable"].tolist() == ["a", "b", "a", "b"]
+    assert out["value"].tolist()[1] == 3.0  # int upcast to float64
+    assert out["value"].isna().tolist() == [False, False, True, False]
+    with pytest.raises(ValueError, match="collide"):
+        melt(ray.data.from_arrow(t), ["id"], ["a"], var_name="id")
+    with pytest.raises(ValueError, match="non-empty"):
+        melt(ray.data.from_arrow(t), ["id"], [])
