@@ -190,3 +190,43 @@ def test_topk_within_matches_pandas_reference(rows, k):
            .sort_values(["k", "v", "id"], ascending=[True, False, True])
            .groupby("k").head(k))
     assert gdf.values.tolist() == ref.values.tolist()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+             max_size=120),
+    st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_segmented_order_matches_lexsort_reference(keys, data):
+    # The shared scaffold under lag/rolling/sequence/percent_rank/ntile:
+    # its (order, first, starts, seg_start) must agree with a naive
+    # per-row derivation from np.lexsort.
+    import pyarrow as pa
+
+    from konlsearch_ray.functions.temporal import _segmented_order
+
+    n = len(keys)
+    minor = np.array(
+        data.draw(st.lists(st.integers(-10, 10), min_size=n, max_size=n)),
+        dtype=np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    g = pa.table({"k": pa.array([f"k{v}" for v in keys])})
+    order, first, starts, seg_start = _segmented_order(g, (ids, minor))
+
+    ks = np.array(keys)[order]
+    # stable total order within each key by (minor, ids)
+    for a, b in zip(range(n - 1), range(1, n)):
+        if ks[a] == ks[b]:
+            ma, mb = minor[order[a]], minor[order[b]]
+            assert (ma, order[a]) < (mb, order[b])
+    ref_first = np.ones(n, dtype=bool)
+    ref_first[1:] = ks[1:] != ks[:-1]
+    assert first.tolist() == ref_first.tolist()
+    assert starts.tolist() == np.flatnonzero(ref_first).tolist()
+    # seg_start broadcasts each row's own segment start index
+    for i in range(n):
+        j = i
+        while j > 0 and ks[j - 1] == ks[j]:
+            j -= 1
+        assert seg_start[i] == j
