@@ -127,21 +127,12 @@ def _events(sf_dir: str):
 
 
 def _cents_col(t: "pa.Table", col: str = "value") -> "pa.ChunkedArray":
-    """value*100 -> int64 cents, the one rounding rule shared by every
-    money entry: a float64 sum folds per-block partials in
-    nondeterministic order, and round(2) near a .xx5 boundary could
-    then flip the last digit engine-vs-oracle — integer cents are exact
-    and order-free. half_towards_infinity (= half away from zero)
-    matches DuckDB's round(); Arrow's default half_to_even would flip
-    an exact .5-cent tie (the table's values are 2-decimal so ties
-    can't occur, but the rule should not depend on that data
-    contract)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    """The shared money-quantization rule — see
+    ``konlsearch_ray.functions.blocks.cents_col`` for the full
+    order-free / round-mode parity rationale."""
+    from konlsearch_ray.functions.blocks import cents_col
 
-    return pc.cast(
-        pc.round(pc.multiply(t[col], 100.0),
-                 round_mode="half_towards_infinity"), pa.int64())
+    return cents_col(t, col)
 
 
 def _to_cents(t: "pa.Table", out_col: str = "value") -> "pa.Table":

@@ -557,18 +557,14 @@ def run_bench() -> dict:
     # per-key window family (rolling frame, percent_rank, ordered
     # sequence, exact-k sample, anti join) — one key-bucket exchange
     # each; fixed exchange cost dominates at sf0.1
-    import pyarrow as _pa
-    import pyarrow.compute as _pc
+    from konlsearch_ray.functions.blocks import cents_col
     from konlsearch_ray.functions.joins import filter_join
     from konlsearch_ray.functions.sampling import exact_sample
     from konlsearch_ray.functions.stats import grouped_percent_rank
     from konlsearch_ray.functions.temporal import rolling_agg
 
     def _cents(t):
-        c = _pc.cast(_pc.round(_pc.multiply(t["value"], 100.0),
-                               round_mode="half_towards_infinity"),
-                     _pa.int64())
-        return t.drop_columns(["value"]).append_column("v", c)
+        return t.drop_columns(["value"]).append_column("v", cents_col(t))
 
     ev_w = _rp_clean(os.path.join(SF_DIR, "events.parquet"),
                      columns=["event_id", "ts", "user_id", "event_type",

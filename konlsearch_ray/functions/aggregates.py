@@ -473,9 +473,10 @@ def melt(
     columns, ``var_name`` (the source column's name), ``value_name``
     (its value cast to float64 — the common supertype; null values
     stay null, matching ``UNION ALL``, while SQL ``UNPIVOT``'s default
-    null-row EXCLUSION is one ``filter`` away). Pure per-batch map
-    stage — no shuffle, no state; output volume is the explicit
-    ``x len(value_cols)`` the caller asked for.
+    null-row EXCLUSION is one ``filter`` away). ``var_name`` is emitted
+    dictionary-encoded (constant per part — O(1) bytes per row). Pure
+    per-batch map stage — no shuffle, no state; output volume is the
+    explicit ``x len(value_cols)`` the caller asked for.
     """
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
@@ -488,9 +489,15 @@ def melt(
         parts = []
         for vc in value_cols:
             cols = {c: t[c] for c in id_cols}
-            cols[var_name] = pa.nulls(t.num_rows, pa.string()).fill_null(vc)
+            # dictionary-encoded constant: one dictionary entry + an
+            # all-zeros index vector, not n copies of the column name.
+            cols[var_name] = pa.DictionaryArray.from_arrays(
+                np.zeros(t.num_rows, dtype=np.int32),
+                pa.array([vc], pa.string()))
             cols[value_name] = pc.cast(t[vc], pa.float64())
             parts.append(pa.table(cols))
-        return pa.concat_tables(parts).combine_chunks()
+        # chunked output on purpose — Ray consumes chunked tables; a
+        # combine_chunks here would re-copy the whole k x n-row block.
+        return pa.concat_tables(parts)
 
     return ds.map_batches(unpivot, batch_format="pyarrow")

@@ -89,3 +89,19 @@ def pinned_nonempty(
             fallback if fallback is not None
             else pa.table({c: pa.array([], pa.int64()) for c in cols})), 0
     return ray.data.from_arrow_refs(refs), rows
+
+
+def cents_col(t: "pa.Table", col: str = "value"):
+    """value*100 -> int64 cents: THE money-quantization rule every
+    engine-vs-oracle money aggregate and bench kernel shares. Integer
+    cents fold exactly in any partial order (a float64 sum is
+    order-dependent, and round(2) near a .xx5 boundary could flip the
+    last digit engine-vs-oracle). half_towards_infinity (= half away
+    from zero) matches SQL round(); Arrow's default half_to_even would
+    flip an exact .5-cent tie."""
+    import pyarrow.compute as pc
+
+    return pc.cast(
+        pc.round(pc.multiply(t[col], 100.0),
+                 round_mode="half_towards_infinity"),
+        pa.int64())

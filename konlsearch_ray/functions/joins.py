@@ -211,13 +211,19 @@ def filter_join(
 
     def prep_right(t: pa.Table) -> pa.Table:
         # Project to the key, drop nulls, per-block distinct BEFORE the
-        # exchange: the shuffle carries O(distinct keys per block). The
-        # cast is SAFE on purpose: a lossy key-type mismatch (float
-        # right keys, narrowing) must raise, not truncate into spurious
-        # matches.
-        keys = pc.unique(pc.drop_null(
-            pc.cast(t[right_key], ktyp)
-            if t[right_key].type != ktyp else t[right_key]))
+        # exchange: the shuffle carries O(distinct keys per block).
+        # Type mismatch rule (SQL EXISTS parity): a right key that is
+        # unrepresentable in the left key type (non-integral float,
+        # out-of-range int, NaN) can never equal any left key, so it is
+        # DROPPED — verified by a round-trip cast — rather than raising
+        # (data-dependent crash) or truncating (fabricated matches).
+        rk = t[right_key]
+        if rk.type != ktyp:
+            down = pc.cast(rk, ktyp, safe=False)
+            back = pc.cast(down, rk.type, safe=False)
+            exact = pc.fill_null(pc.equal(back, rk), False)
+            rk = down.filter(exact)
+        keys = pc.unique(pc.drop_null(rk))
         n = len(keys)
         cols: dict[str, object] = {}
         for name in lcols:

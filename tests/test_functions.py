@@ -1504,3 +1504,21 @@ def test_melt_unpivot_roundtrip(ray_session):
         melt(ray.data.from_arrow(t), ["id"], ["a"], var_name="id")
     with pytest.raises(ValueError, match="non-empty"):
         melt(ray.data.from_arrow(t), ["id"], [])
+
+
+def test_filter_join_unrepresentable_right_keys_drop_not_crash(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.joins import filter_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()), "p": ["a", "b", "c"]}))
+    # float right keys: 2.0 matches int 2; 2.7 and NaN are
+    # unrepresentable -> can never equal any left key -> dropped
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2.0, 2.7, float("nan")], pa.float64())}))
+    semi = filter_join(left, right, "k", "rk", mode="semi").to_pandas()
+    assert semi["p"].tolist() == ["b"]
+    anti = (filter_join(left, right, "k", "rk", mode="anti")
+            .to_pandas().sort_values("p"))
+    assert anti["p"].tolist() == ["a", "c"]
