@@ -1009,6 +1009,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["l_quantity", "l_extendedprice", "l_discount",
                      "l_tax"])
 
+    def minmax_norm(sf_dir):
+        # Per-type [0,1] min-max feature scaling — O(keys) bounds
+        # broadcast, single vectorized map pass, zero raw shuffles.
+        from konlsearch_ray.functions.stats import grouped_minmax_norm
+
+        ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
+        return grouped_minmax_norm(ev, "event_type", "v", "event_id")
+
+    def rollup_events(sf_dir):
+        # Per-type count + exact cents sum plus the ROLLUP grand-total
+        # row (null key = total, like SQL).
+        from konlsearch_ray.functions.aggregates import rollup_counts
+
+        ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
+        return rollup_counts(ev, "event_type", "v")
+
     def event_corr(sf_dir):
         # Per-type exact Pearson corr(value_cents, hour-of-day) from
         # integer sufficient statistics — bit-identical to the oracle's
@@ -1102,6 +1118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_customers": anti_customers,
         "semi_customers": semi_customers,
         "event_corr": event_corr,
+        "minmax_norm": minmax_norm,
+        "rollup_events": rollup_events,
         "value_ntile": value_ntile,
         "melt_lineitem": melt_lineitem,
     }
@@ -1726,6 +1744,22 @@ FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_totalprice > 420000)""",
+        # mirrors grouped_minmax_norm's one float expression
+        # double(v - mn) / double(mx - mn) operand-for-operand
+        "minmax_norm": """WITH b AS (
+  SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS v
+  FROM events WHERE event_type IS NOT NULL),
+mm AS (SELECT event_type, min(v) AS mn, max(v) AS mx
+       FROM b WHERE v IS NOT NULL GROUP BY event_type)
+SELECT b.event_type, event_id::BIGINT AS event_id, v::BIGINT AS v,
+  CASE WHEN v IS NULL OR mn IS NULL OR mx = mn THEN NULL
+       ELSE CAST(v - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) END AS norm
+FROM b LEFT JOIN mm USING (event_type)""",
+        "rollup_events": """SELECT event_type, count(*)::BIGINT AS n,
+       sum(v)::BIGINT AS total
+FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+      FROM events WHERE event_type IS NOT NULL)
+GROUP BY ROLLUP(event_type)""",
         "value_ntile": """SELECT event_type, event_id::BIGINT AS event_id,
        v::BIGINT AS v,
        ntile(4) OVER (PARTITION BY event_type ORDER BY v, event_id)::BIGINT

@@ -501,3 +501,82 @@ def melt(
         return pa.concat_tables(parts)
 
     return ds.map_batches(unpivot, batch_format="pyarrow")
+
+def rollup_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+) -> pa.Table:
+    """Per-key count + exact integer sum PLUS the grand-total row — SQL
+    ``GROUP BY ROLLUP(key)`` — the one-query per-source-and-overall
+    accounting shape.
+
+    ``value_col`` must be integer-typed (exact order-free folds — see
+    ``blocks.cents_col``). Map-side ``np.add.at`` partials collapse
+    each block to O(keys) rows; one keyed merge; the rollup (grand
+    total) row is folded on the DRIVER from the O(keys) result — the
+    raw stream is read once and never shuffled. Null keys are dropped
+    (they would be indistinguishable from the rollup row, which is
+    emitted with a null ``key_col`` exactly like SQL); null values
+    count into ``n`` but not ``total`` (SQL count(*) vs sum(v)).
+
+    Returns a driver-side ``pa.Table`` (O(keys) rows):
+    ``key_col`` (nullable — null = grand total), ``n``, ``total``.
+    """
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    if not pa.types.is_integer(sch.field(value_col).type):
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed "
+            f"(got {sch.field(value_col).type}); quantize upstream")
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], ktyp),
+                          "n": pa.array([], pa.int64()),
+                          "total": pa.array([], pa.int64())})
+        t = t.filter(pc.is_valid(t[key_col]))
+        if not t.num_rows:
+            return empty
+        t = t.combine_chunks()
+        codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        v = (pc.fill_null(t[value_col], 0).to_numpy(zero_copy_only=False)
+             .astype(np.int64))
+        k = len(uniq)
+        n = np.zeros(k, dtype=np.int64)
+        np.add.at(n, codes, 1)
+        tot = np.zeros(k, dtype=np.int64)
+        np.add.at(tot, codes, v)
+        return pa.table({key_col: pa.array(uniq, ktyp),
+                         "n": pa.array(n), "total": pa.array(tot)})
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({key_col: pa.array([], ktyp),
+                             "n": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        return pa.table({
+            key_col: pa.array([g[key_col].iloc[0]], ktyp),
+            "n": pa.array([int(g["n"].sum())], pa.int64()),
+            "total": pa.array([int(g["total"].sum())], pa.int64()),
+        })
+
+    per_key_ds = nonempty_blocks(
+        (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col).map_groups(merge, batch_format="pandas")),
+        (key_col, "n", "total"))
+    import ray as _ray
+
+    parts = [b for b in _ray.get(per_key_ds.to_arrow_refs()) if b.num_rows]
+    if not parts:
+        return pa.table({key_col: pa.array([], ktyp),
+                         "n": pa.array([], pa.int64()),
+                         "total": pa.array([], pa.int64())})
+    per_key = pa.concat_tables(parts).combine_chunks()
+    total_row = pa.table({
+        key_col: pa.nulls(1, ktyp),
+        "n": pa.array([pc.sum(per_key["n"]).as_py()], pa.int64()),
+        "total": pa.array([pc.sum(per_key["total"]).as_py() or 0],
+                          pa.int64()),
+    })
+    return pa.concat_tables([per_key, total_row]).combine_chunks()

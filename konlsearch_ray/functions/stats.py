@@ -453,3 +453,111 @@ def grouped_ntile(
              .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
     return nonempty_blocks(out, tuple(fallback.column_names),
                            fallback=fallback)
+
+def grouped_minmax_norm(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Per-key min-max normalization of an INTEGER column —
+    ``(v - min) / (max - min)`` per key — the [0,1] feature scaling
+    quality/reward columns get before mixing across sources.
+
+    Two bounded stages, zero raw-row shuffles: per-block (key, min,
+    max) partials collapse inside ``map_batches``, one tiny keyed merge
+    produces the O(keys) bounds table, which broadcasts via ``ray.put``;
+    the normalization itself is a single vectorized map pass over the
+    stream. The one float expression ``double(v - min) / double(max -
+    min)`` is evaluated from exact integers — mirror it
+    operand-for-operand in any oracle. A zero-range key (min == max)
+    yields null (SQL division by zero); null values pass through as
+    null; null keys are dropped (no partition).
+
+    Output: ``key_col``, ``id_col``, ``v`` (int64), ``norm`` (float64).
+    """
+    import ray as _ray
+
+    from konlsearch_ray.functions.temporal import _required_rows
+
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    if not pa.types.is_integer(sch.field(value_col).type):
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed "
+            f"(got {sch.field(value_col).type}); quantize upstream")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], ktyp),
+                          "mn": pa.array([], pa.int64()),
+                          "mx": pa.array([], pa.int64())})
+        t = _required_rows(t, (key_col, value_col))
+        if not t.num_rows:
+            return empty
+        t = t.combine_chunks()
+        codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(uniq)
+        mn = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, codes, v)
+        np.maximum.at(mx, codes, v)
+        return pa.table({key_col: pa.array(uniq, ktyp),
+                         "mn": pa.array(mn), "mx": pa.array(mx)})
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({key_col: pa.array([], ktyp),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table({
+            key_col: pa.array([g[key_col].iloc[0]], ktyp),
+            "mn": pa.array([int(g["mn"].min())], pa.int64()),
+            "mx": pa.array([int(g["mx"].max())], pa.int64()),
+        })
+
+    bounds_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                   .groupby(key_col).map_groups(merge, batch_format="pandas"))
+    bounds = nonempty_blocks(
+        bounds_ds, (key_col, "mn", "mx")).to_arrow_refs()
+    bt_parts = [b for b in _ray.get(bounds) if b.num_rows]
+    if not bt_parts:
+        def passthru(t: pa.Table) -> pa.Table:
+            t2 = _required_rows(t, (key_col,))
+            return pa.table({
+                key_col: t2[key_col],
+                id_col: t2[id_col],
+                "v": pc.cast(t2[value_col], pa.int64()),
+                "norm": pa.nulls(t2.num_rows, pa.float64()),
+            })
+
+        return ds.map_batches(passthru, batch_format="pyarrow")
+    bt = pa.concat_tables(bt_parts).combine_chunks()
+    ref = _ray.put(bt)
+
+    def norm(t: pa.Table) -> pa.Table:
+        b: pa.Table = _ray.get(ref)
+        t = _required_rows(t, (key_col,))
+        idx = pc.index_in(t[key_col], value_set=b[key_col])
+        mn = pc.take(b["mn"], idx).to_numpy(zero_copy_only=False)
+        mx = pc.take(b["mx"], idx).to_numpy(zero_copy_only=False)
+        vcol = pc.cast(t[value_col], pa.int64())
+        v = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
+        rng = mx - mn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # The one float expression — mirror in the oracle exactly.
+            out = (v - mn).astype(np.float64) / rng.astype(np.float64)
+        ok = pc.and_kleene(pc.is_valid(vcol),
+                           pa.array((rng != 0) & ~np.isnan(rng)))
+        ncol = pc.if_else(pc.fill_null(ok, False),
+                          pa.array(np.nan_to_num(out, nan=0.0, posinf=0.0,
+                                                 neginf=0.0)),
+                          pa.nulls(t.num_rows, pa.float64()))
+        return pa.table({
+            key_col: t[key_col],
+            id_col: t[id_col],
+            "v": vcol,
+            "norm": ncol,
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -1522,3 +1522,42 @@ def test_filter_join_unrepresentable_right_keys_drop_not_crash(ray_session):
     anti = (filter_join(left, right, "k", "rk", mode="anti")
             .to_pandas().sort_values("p"))
     assert anti["p"].tolist() == ["a", "c"]
+
+
+def test_grouped_minmax_norm_edges(ray_session):
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_minmax_norm
+
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b", "c", None],
+        "v": pa.array([10, 20, 40, 7, 7, None, 5], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    out = (grouped_minmax_norm(ray.data.from_arrow(t), "k", "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert len(out) == 6  # null key dropped, null value kept
+    a = out[out["k"] == "a"]["norm"].to_numpy()
+    assert np.allclose(a, [0.0, 1.0 / 3.0, 1.0], rtol=0, atol=0)
+    # zero-range key -> null; all-null-value key -> null
+    assert out[out["k"] == "b"]["norm"].isna().all()
+    assert out[out["k"] == "c"]["norm"].isna().all()
+
+
+def test_rollup_counts_total_row(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import rollup_counts
+
+    t = pa.table({
+        "k": ["a", "a", "b", None],
+        "v": pa.array([1, None, 5, 100], pa.int64()),
+    })
+    out = rollup_counts(ray.data.from_arrow(t), "k", "v").to_pandas()
+    out = out.sort_values("k", na_position="last").reset_index(drop=True)
+    # null value counts into n but not total; null key dropped entirely
+    assert out["k"].tolist()[:2] == ["a", "b"]
+    assert out["k"].isna().tolist() == [False, False, True]
+    assert out["n"].tolist() == [2, 1, 3]
+    assert out["total"].tolist() == [1, 5, 6]
