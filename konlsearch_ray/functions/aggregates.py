@@ -518,7 +518,9 @@ def rollup_counts(
     raw stream is read once and never shuffled. Null keys are dropped
     (they would be indistinguishable from the rollup row, which is
     emitted with a null ``key_col`` exactly like SQL); null values
-    count into ``n`` but not ``total`` (SQL count(*) vs sum(v)).
+    count into ``n`` but not ``total`` (SQL count(*) vs sum(v)), and a
+    key (or grand total) whose values are ALL null reports a null
+    ``total``, exactly like SQL ``sum``.
 
     Returns a driver-side ``pa.Table`` (O(keys) rows):
     ``key_col`` (nullable — null = grand total), ``n``, ``total``.
@@ -534,49 +536,65 @@ def rollup_counts(
     def partial(t: pa.Table) -> pa.Table:
         empty = pa.table({key_col: pa.array([], ktyp),
                           "n": pa.array([], pa.int64()),
+                          "nv": pa.array([], pa.int64()),
                           "total": pa.array([], pa.int64())})
         t = t.filter(pc.is_valid(t[key_col]))
         if not t.num_rows:
             return empty
         t = t.combine_chunks()
         codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
-        v = (pc.fill_null(t[value_col], 0).to_numpy(zero_copy_only=False)
+        vcol = t[value_col]
+        v = (pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
              .astype(np.int64))
+        nn = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
         k = len(uniq)
         n = np.zeros(k, dtype=np.int64)
         np.add.at(n, codes, 1)
+        nv = np.zeros(k, dtype=np.int64)  # non-null values (SQL sum basis)
+        np.add.at(nv, codes, nn.astype(np.int64))
         tot = np.zeros(k, dtype=np.int64)
         np.add.at(tot, codes, v)
         return pa.table({key_col: pa.array(uniq, ktyp),
-                         "n": pa.array(n), "total": pa.array(tot)})
+                         "n": pa.array(n), "nv": pa.array(nv),
+                         "total": pa.array(tot)})
 
     def merge(g: pd.DataFrame) -> pa.Table:
         if not len(g):
             return pa.table({key_col: pa.array([], ktyp),
                              "n": pa.array([], pa.int64()),
+                             "nv": pa.array([], pa.int64()),
                              "total": pa.array([], pa.int64())})
         return pa.table({
             key_col: pa.array([g[key_col].iloc[0]], ktyp),
             "n": pa.array([int(g["n"].sum())], pa.int64()),
+            "nv": pa.array([int(g["nv"].sum())], pa.int64()),
             "total": pa.array([int(g["total"].sum())], pa.int64()),
         })
 
     per_key_ds = nonempty_blocks(
         (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(key_col).map_groups(merge, batch_format="pandas")),
-        (key_col, "n", "total"))
+        (key_col, "n", "nv", "total"))
     import ray as _ray
 
-    parts = [b for b in _ray.get(per_key_ds.to_arrow_refs()) if b.num_rows]
-    if not parts:
+    from konlsearch_ray.functions.blocks import nonempty_refs
+
+    refs, rows = nonempty_refs(per_key_ds)
+    if not rows:
         return pa.table({key_col: pa.array([], ktyp),
                          "n": pa.array([], pa.int64()),
                          "total": pa.array([], pa.int64())})
-    per_key = pa.concat_tables(parts).combine_chunks()
+    per_key = pa.concat_tables(_ray.get(refs)).combine_chunks()
+    grand_nv = pc.sum(per_key["nv"]).as_py() or 0
+    # SQL sum(v): NULL when every value in the group is null.
+    tot_col = pc.if_else(pc.greater(per_key["nv"], 0), per_key["total"],
+                         pa.nulls(per_key.num_rows, pa.int64()))
     total_row = pa.table({
         key_col: pa.nulls(1, ktyp),
         "n": pa.array([pc.sum(per_key["n"]).as_py()], pa.int64()),
-        "total": pa.array([pc.sum(per_key["total"]).as_py() or 0],
-                          pa.int64()),
+        "total": (pa.array([pc.sum(per_key["total"]).as_py()], pa.int64())
+                  if grand_nv else pa.nulls(1, pa.int64())),
     })
+    per_key = pa.table({key_col: per_key[key_col], "n": per_key["n"],
+                        "total": tot_col})
     return pa.concat_tables([per_key, total_row]).combine_chunks()

@@ -516,12 +516,12 @@ def grouped_minmax_norm(
             "mx": pa.array([int(g["mx"].max())], pa.int64()),
         })
 
+    from konlsearch_ray.functions.blocks import nonempty_refs
+
     bounds_ds = (ds.map_batches(partial, batch_format="pyarrow")
                    .groupby(key_col).map_groups(merge, batch_format="pandas"))
-    bounds = nonempty_blocks(
-        bounds_ds, (key_col, "mn", "mx")).to_arrow_refs()
-    bt_parts = [b for b in _ray.get(bounds) if b.num_rows]
-    if not bt_parts:
+    refs, rows = nonempty_refs(bounds_ds)
+    if not rows:
         def passthru(t: pa.Table) -> pa.Table:
             t2 = _required_rows(t, (key_col,))
             return pa.table({
@@ -532,23 +532,37 @@ def grouped_minmax_norm(
             })
 
         return ds.map_batches(passthru, batch_format="pyarrow")
-    bt = pa.concat_tables(bt_parts).combine_chunks()
+    bt = pa.concat_tables(_ray.get(refs)).combine_chunks()
+    # int64 wrap guard: a key range that does not fit int64 would wrap
+    # silently in the numpy (mx - mn) below — the oracle's BIGINT
+    # arithmetic raises there, so raise here too (subtract_checked
+    # throws ArrowInvalid on overflow; O(keys) cost, once).
+    pc.subtract_checked(bt["mx"], bt["mn"])
     ref = _ray.put(bt)
 
     def norm(t: pa.Table) -> pa.Table:
         b: pa.Table = _ray.get(ref)
         t = _required_rows(t, (key_col,))
         idx = pc.index_in(t[key_col], value_set=b[key_col])
-        mn = pc.take(b["mn"], idx).to_numpy(zero_copy_only=False)
-        mx = pc.take(b["mx"], idx).to_numpy(zero_copy_only=False)
+        # STAY int64: a null idx (key with only null values) must not
+        # promote the whole batch's mn/mx to float64 — that would both
+        # degrade (v - mn) below 2^53-exactness and make results depend
+        # on batch composition. Track missing bounds as a mask instead.
+        has_bounds = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        mn = (pc.fill_null(pc.take(b["mn"], idx), 0)
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        mx = (pc.fill_null(pc.take(b["mx"], idx), 0)
+              .to_numpy(zero_copy_only=False).astype(np.int64))
         vcol = pc.cast(t[value_col], pa.int64())
         v = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
         rng = mx - mn
         with np.errstate(divide="ignore", invalid="ignore"):
             # The one float expression — mirror in the oracle exactly.
+            # v lies in [mn, mx] for its key, so v - mn cannot wrap when
+            # mx - mn did not (guarded at broadcast time).
             out = (v - mn).astype(np.float64) / rng.astype(np.float64)
         ok = pc.and_kleene(pc.is_valid(vcol),
-                           pa.array((rng != 0) & ~np.isnan(rng)))
+                           pa.array(has_bounds & (rng != 0)))
         ncol = pc.if_else(pc.fill_null(ok, False),
                           pa.array(np.nan_to_num(out, nan=0.0, posinf=0.0,
                                                  neginf=0.0)),

@@ -1535,7 +1535,10 @@ def test_grouped_minmax_norm_edges(ray_session):
         "v": pa.array([10, 20, 40, 7, 7, None, 5], pa.int64()),
         "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
     })
-    out = (grouped_minmax_norm(ray.data.from_arrow(t), "k", "v", "id")
+    # multi-block on purpose: bounds must merge across partials and the
+    # result must not depend on batch composition
+    out = (grouped_minmax_norm(ray.data.from_arrow(t).repartition(4),
+                               "k", "v", "id")
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert len(out) == 6  # null key dropped, null value kept
     a = out[out["k"] == "a"]["norm"].to_numpy()
@@ -1545,19 +1548,57 @@ def test_grouped_minmax_norm_edges(ray_session):
     assert out[out["k"] == "c"]["norm"].isna().all()
 
 
+def test_grouped_minmax_norm_exact_above_2_53_with_missing_bounds_key(
+        ray_session):
+    # A key with only null values shares the batch with huge-int rows:
+    # the bounds lookup must stay int64 (a float64 NaN promotion would
+    # corrupt double(v - mn) for values past 2^53).
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_minmax_norm
+
+    base = 2 ** 55 + 1
+    t = pa.table({
+        "k": ["a", "a", "a", "c"],
+        "v": pa.array([base, base + 3, base + 7, None], pa.int64()),
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = (grouped_minmax_norm(ray.data.from_arrow(t), "k", "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    a = out[out["k"] == "a"]["norm"].to_numpy()
+    assert np.array_equal(a, np.array([0.0, 3.0, 7.0]) / 7.0)
+    assert out[out["k"] == "c"]["norm"].isna().all()
+
+
 def test_rollup_counts_total_row(ray_session):
     import ray.data
 
     from konlsearch_ray.functions.aggregates import rollup_counts
 
     t = pa.table({
-        "k": ["a", "a", "b", None],
-        "v": pa.array([1, None, 5, 100], pa.int64()),
+        "k": ["a", "a", "b", None, "z", "z"],
+        "v": pa.array([1, None, 5, 100, None, None], pa.int64()),
     })
-    out = rollup_counts(ray.data.from_arrow(t), "k", "v").to_pandas()
+    # multi-block: per-key partials must merge across blocks
+    out = rollup_counts(ray.data.from_arrow(t).repartition(3),
+                        "k", "v").to_pandas()
     out = out.sort_values("k", na_position="last").reset_index(drop=True)
-    # null value counts into n but not total; null key dropped entirely
-    assert out["k"].tolist()[:2] == ["a", "b"]
-    assert out["k"].isna().tolist() == [False, False, True]
-    assert out["n"].tolist() == [2, 1, 3]
-    assert out["total"].tolist() == [1, 5, 6]
+    # null value counts into n but not total; null key dropped entirely;
+    # all-null-value group 'z' -> SQL sum NULL (not 0)
+    assert out["k"].tolist()[:3] == ["a", "b", "z"]
+    assert out["k"].isna().tolist() == [False, False, False, True]
+    assert out["n"].tolist() == [2, 1, 2, 5]
+    assert out["total"].astype("object").where(
+        out["total"].notna(), None).tolist() == [1, 5, None, 6]
+
+
+def test_rollup_counts_all_null_grand_total(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import rollup_counts
+
+    t = pa.table({"k": ["a", "b"],
+                  "v": pa.array([None, None], pa.int64())})
+    out = rollup_counts(ray.data.from_arrow(t), "k", "v").to_pandas()
+    assert out["total"].isna().all()  # SQL: sum of all-null is NULL
