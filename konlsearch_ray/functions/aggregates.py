@@ -571,19 +571,20 @@ def rollup_counts(
             "total": pa.array([int(g["total"].sum())], pa.int64()),
         })
 
-    per_key_ds = nonempty_blocks(
-        (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(key_col).map_groups(merge, batch_format="pandas")),
-        (key_col, "n", "nv", "total"))
+    per_key_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                    .groupby(key_col).map_groups(merge,
+                                                 batch_format="pandas"))
     import ray as _ray
 
     from konlsearch_ray.functions.blocks import nonempty_refs
 
     refs, rows = nonempty_refs(per_key_ds)
     if not rows:
-        return pa.table({key_col: pa.array([], ktyp),
-                         "n": pa.array([], pa.int64()),
-                         "total": pa.array([], pa.int64())})
+        # SQL GROUP BY ROLLUP over zero (or all-null-key) rows still
+        # emits the grand-total grouping-set row: n = 0, sum = NULL.
+        return pa.table({key_col: pa.nulls(1, ktyp),
+                         "n": pa.array([0], pa.int64()),
+                         "total": pa.nulls(1, pa.int64())})
     per_key = pa.concat_tables(_ray.get(refs)).combine_chunks()
     grand_nv = pc.sum(per_key["nv"]).as_py() or 0
     # SQL sum(v): NULL when every value in the group is null.

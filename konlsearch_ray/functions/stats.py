@@ -549,10 +549,10 @@ def grouped_minmax_norm(
         # degrade (v - mn) below 2^53-exactness and make results depend
         # on batch composition. Track missing bounds as a mask instead.
         has_bounds = pc.is_valid(idx).to_numpy(zero_copy_only=False)
-        mn = (pc.fill_null(pc.take(b["mn"], idx), 0)
-              .to_numpy(zero_copy_only=False).astype(np.int64))
-        mx = (pc.fill_null(pc.take(b["mx"], idx), 0)
-              .to_numpy(zero_copy_only=False).astype(np.int64))
+        mn = pc.fill_null(pc.take(b["mn"], idx), 0).to_numpy(
+            zero_copy_only=False)
+        mx = pc.fill_null(pc.take(b["mx"], idx), 0).to_numpy(
+            zero_copy_only=False)
         vcol = pc.cast(t[value_col], pa.int64())
         v = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
         rng = mx - mn
@@ -561,9 +561,10 @@ def grouped_minmax_norm(
             # v lies in [mn, mx] for its key, so v - mn cannot wrap when
             # mx - mn did not (guarded at broadcast time).
             out = (v - mn).astype(np.float64) / rng.astype(np.float64)
-        ok = pc.and_kleene(pc.is_valid(vcol),
-                           pa.array(has_bounds & (rng != 0)))
-        ncol = pc.if_else(pc.fill_null(ok, False),
+        # both operands are non-null boolean arrays: plain AND suffices
+        ok = pc.and_(pc.is_valid(vcol),
+                     pa.array(has_bounds & (rng != 0)))
+        ncol = pc.if_else(ok,
                           pa.array(np.nan_to_num(out, nan=0.0, posinf=0.0,
                                                  neginf=0.0)),
                           pa.nulls(t.num_rows, pa.float64()))

@@ -1602,3 +1602,11 @@ def test_rollup_counts_all_null_grand_total(ray_session):
                   "v": pa.array([None, None], pa.int64())})
     out = rollup_counts(ray.data.from_arrow(t), "k", "v").to_pandas()
     assert out["total"].isna().all()  # SQL: sum of all-null is NULL
+    # zero surviving rows (all keys null): SQL ROLLUP still emits the
+    # grand-total grouping-set row (n=0, total NULL)
+    t2 = pa.table({"k": pa.array([None, None], pa.string()),
+                   "v": pa.array([1, 2], pa.int64())})
+    out2 = rollup_counts(ray.data.from_arrow(t2), "k", "v").to_pandas()
+    assert len(out2) == 1
+    assert out2["k"].isna().all() and out2["n"].tolist() == [0]
+    assert out2["total"].isna().all()
