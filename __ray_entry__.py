@@ -1009,6 +1009,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["l_quantity", "l_extendedprice", "l_discount",
                      "l_tax"])
 
+    def user_mode(sf_dir):
+        # Each user's modal event type (ties -> smallest value, mirrored
+        # in the oracle's ORDER BY) — distinct-pair-bounded exchange.
+        from konlsearch_ray.functions.aggregates import grouped_mode
+
+        ev = _events(sf_dir).select_columns(["user_id", "event_type"])
+        return grouped_mode(ev, "user_id", "event_type")
+
     def minmax_norm(sf_dir):
         # Per-type [0,1] min-max feature scaling — O(keys) bounds
         # broadcast, single vectorized map pass, zero raw shuffles.
@@ -1118,6 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_customers": anti_customers,
         "semi_customers": semi_customers,
         "event_corr": event_corr,
+        "user_mode": user_mode,
         "minmax_norm": minmax_norm,
         "rollup_events": rollup_events,
         "value_ntile": value_ntile,
@@ -1744,6 +1753,15 @@ FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_totalprice > 420000)""",
+        "user_mode": """SELECT user_id::BIGINT AS user_id,
+       event_type AS mode_v, cnt
+FROM (SELECT user_id, event_type, count(*)::BIGINT AS cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id, event_type)
+WHERE rn = 1""",
         # mirrors grouped_minmax_norm's one float expression
         # double(v - mn) / double(mx - mn) operand-for-operand
         "minmax_norm": """WITH b AS (

@@ -599,3 +599,63 @@ def rollup_counts(
     per_key = pa.table({key_col: per_key[key_col], "n": per_key["n"],
                         "total": tot_col})
     return pa.concat_tables([per_key, total_row]).combine_chunks()
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+) -> ray.data.Dataset:
+    """Per-key mode — the most frequent value, ties broken by the
+    smallest value — the dominant-label reduction (a user's modal
+    event, a repo's modal language) behind per-entity profiling.
+
+    Same two-stage shape as :func:`distinct_count`: the map side
+    reduces each block to its distinct ``(key, value)`` pair COUNTS via
+    Arrow's C++ hash group-by (exchange volume is bounded by distinct
+    pairs per block, never rows), and the keyed merge sums pair counts
+    and takes the argmax. SQL parity: null values are not values (they
+    can never be the mode); null keys are dropped (no partition — and
+    Ray's sort-shuffle groupby cannot order them anyway). The
+    deterministic tie-break (min value) must be mirrored in the oracle
+    (``ORDER BY cnt DESC, v``).
+
+    Output: ``key_col``, ``mode_v`` (value_col's type), ``cnt``
+    (int64 — the winner's occurrence count).
+    """
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    vtyp = sch.field(value_col).type
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[value_col])))
+        out = (t.select([key_col, value_col])
+                .group_by([key_col, value_col])
+                .aggregate([([], "count_all")]))
+        return (out.rename_columns([key_col, value_col, "cnt"])
+                .replace_schema_metadata(None))
+
+    fallback = pa.table({key_col: pa.array([], ktyp),
+                         "mode_v": pa.array([], vtyp),
+                         "cnt": pa.array([], pa.int64())})
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        # sum per-block pair counts, then argmax (desc cnt, asc value)
+        summed = (g.group_by([value_col])
+                   .aggregate([("cnt", "sum")]))
+        idx = pc.sort_indices(summed, sort_keys=[
+            ("cnt_sum", "descending"), (value_col, "ascending")])[:1]
+        top = summed.take(idx)
+        return pa.table({
+            key_col: g[key_col][:1],
+            "mode_v": top[value_col],
+            "cnt": pc.cast(top["cnt_sum"], pa.int64()),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, (key_col, "mode_v", "cnt"),
+                           fallback=fallback)

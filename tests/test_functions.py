@@ -1610,3 +1610,22 @@ def test_rollup_counts_all_null_grand_total(ray_session):
     assert len(out2) == 1
     assert out2["k"].isna().all() and out2["n"].tolist() == [0]
     assert out2["total"].isna().all()
+
+
+def test_grouped_mode_tiebreak_and_nulls(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import grouped_mode
+
+    t = pa.table({
+        "k": ["a", "a", "a", "a", "b", "b", None, "c"],
+        "v": ["y", "x", "y", "x", "z", None, "q", None],
+    })
+    # multi-block: pair counts must merge across blocks
+    out = (grouped_mode(ray.data.from_arrow(t).repartition(3), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # a: x and y tie at 2 -> smallest value wins; null values are not
+    # values (b -> z); all-null-value key c and null key dropped
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["mode_v"].tolist() == ["x", "z"]
+    assert out["cnt"].tolist() == [2, 1]
