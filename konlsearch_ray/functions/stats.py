@@ -115,10 +115,10 @@ def winsorize(
     result), broadcast via ``ray.put``; the clip itself is a single
     vectorized map pass (the raw stream never shuffles for the clip).
     Null values pass through as null (SQL semantics: they are not
-    values, so they neither shift the quantiles nor get clipped).
-    ``key_col`` must be non-null (same contract as
-    ``grouped_quantiles`` — Ray's sort-shuffle groupby cannot range-
-    partition a null key). Output: ``id_col``, ``key_col``, ``v_clip``
+    values, so they neither shift the quantiles nor get clipped). A row
+    whose key has NO bounds row — a null key, or a key whose values are
+    all null — emits a null ``v_clip`` (SQL LEFT-JOIN-on-bounds
+    parity), never a NaN. Output: ``id_col``, ``key_col``, ``v_clip``
     (float64).
     """
     import ray as _ray
@@ -128,6 +128,12 @@ def winsorize(
     bounds = grouped_quantiles(
         ds, key_col, value_col,
         qs=(("lo", lo_bp), ("hi", hi_bp))).to_pandas()
+    # Ray's groupby can emit a null-key group; SQL NULL = NULL is false,
+    # so a null key must never find bounds (index_in WOULD match a null
+    # entry in the value_set) — drop it from the broadcast table. (A
+    # fully-empty result is a column-less frame — don't index it.)
+    if len(bounds.columns):
+        bounds = bounds[bounds[key_col].notna()]
     ktyp = _arrow_schema(ds).field(key_col).type
     if not len(bounds):
         # Every value is null (grouped_quantiles emits nothing): all
@@ -151,12 +157,20 @@ def winsorize(
     def clip(t: pa.Table) -> pa.Table:
         b: pa.Table = _ray.get(ref)
         idx = pc.index_in(t[key_col], value_set=b[key_col])
-        lo = pc.take(b["lo"], idx).to_numpy(zero_copy_only=False)
-        hi = pc.take(b["hi"], idx).to_numpy(zero_copy_only=False)
-        v = pc.cast(t[value_col], pa.float64()).to_numpy(
+        # A key with no bounds row (null key, or a key whose values are
+        # all null) must emit NULL — not the float NaN an unmasked null
+        # lo/hi would silently produce (SQL LEFT JOIN parity; same
+        # has_bounds mask as grouped_minmax_norm).
+        has_bounds = pc.is_valid(idx)
+        lo = pc.fill_null(pc.take(b["lo"], idx), 0.0).to_numpy(
+            zero_copy_only=False)
+        hi = pc.fill_null(pc.take(b["hi"], idx), 0.0).to_numpy(
+            zero_copy_only=False)
+        v = pc.fill_null(pc.cast(t[value_col], pa.float64()), 0.0).to_numpy(
             zero_copy_only=False)
         clipped = np.minimum(np.maximum(v, lo), hi)
-        vcol = pc.if_else(pc.is_valid(t[value_col]), pa.array(clipped),
+        ok = pc.and_(pc.is_valid(t[value_col]), has_bounds)
+        vcol = pc.if_else(ok, pa.array(clipped),
                           pa.nulls(t.num_rows, pa.float64()))
         return pa.table({
             id_col: t[id_col].cast(pa.int64()),
@@ -246,13 +260,13 @@ def grouped_corr(
         "corr": pa.array([], pa.float64()),
     })
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        if not len(g):
+    def merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
             return fallback
-        n = int(g["n"].sum())
-        sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
-        sxx, syy = int(g["sxx"].sum()), int(g["syy"].sum())
-        sxy = int(g["sxy"].sum())
+        n = pc.sum(g["n"]).as_py()
+        sx, sy = pc.sum(g["sx"]).as_py(), pc.sum(g["sy"]).as_py()
+        sxx, syy = pc.sum(g["sxx"]).as_py(), pc.sum(g["syy"]).as_py()
+        sxy = pc.sum(g["sxy"]).as_py()
         # The one float expression — mirror it EXACTLY in any oracle:
         # every operand cast to double first, same operation order.
         vx = float(n) * float(sxx) - float(sx) * float(sx)
@@ -264,13 +278,13 @@ def grouped_corr(
             corr_arr = pa.array(
                 [num / (np.sqrt(vx) * np.sqrt(vy))], pa.float64())
         return pa.table({
-            key_col: pa.array([g[key_col].iloc[0]], ktyp),
+            key_col: g[key_col][:1],
             "n": pa.array([n], pa.int64()),
             "corr": corr_arr,
         })
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby(key_col).map_groups(merge, batch_format="pandas"))
+             .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
     return nonempty_blocks(out, (key_col, "n", "corr"), fallback=fallback)
 
 def grouped_percent_rank(
@@ -505,21 +519,22 @@ def grouped_minmax_norm(
         return pa.table({key_col: pa.array(uniq, ktyp),
                          "mn": pa.array(mn), "mx": pa.array(mx)})
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        if not len(g):
+    def merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
             return pa.table({key_col: pa.array([], ktyp),
                              "mn": pa.array([], pa.int64()),
                              "mx": pa.array([], pa.int64())})
         return pa.table({
-            key_col: pa.array([g[key_col].iloc[0]], ktyp),
-            "mn": pa.array([int(g["mn"].min())], pa.int64()),
-            "mx": pa.array([int(g["mx"].max())], pa.int64()),
+            key_col: g[key_col][:1],
+            "mn": pa.array([pc.min(g["mn"]).as_py()], pa.int64()),
+            "mx": pa.array([pc.max(g["mx"]).as_py()], pa.int64()),
         })
 
     from konlsearch_ray.functions.blocks import nonempty_refs
 
     bounds_ds = (ds.map_batches(partial, batch_format="pyarrow")
-                   .groupby(key_col).map_groups(merge, batch_format="pandas"))
+                   .groupby(key_col).map_groups(merge,
+                                                batch_format="pyarrow"))
     refs, rows = nonempty_refs(bounds_ds)
     if not rows:
         def passthru(t: pa.Table) -> pa.Table:

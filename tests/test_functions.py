@@ -1136,6 +1136,30 @@ def test_heavy_hitters_exact_topk(ray_session):
     assert out2["n"].tolist() == [4, 4]
 
 
+def test_heavy_hitters_hierarchical_fold_invariant(ray_session):
+    """The value-hash bucketed fold (no single task ever sees the full
+    capacity x blocks summary stream) must give the same exact top-k at
+    any nbuckets — including nbuckets=1, the old single-fold shape."""
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([np.full(2000 // v, v) for v in range(1, 300)])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array(vals, pa.int64())})).repartition(8)
+    expect = None
+    for nb in (1, 3, 64):
+        out = heavy_hitters(ds, "v", k=8, capacity=128,
+                            nbuckets=nb).to_pandas()
+        got = list(zip(out["v"].tolist(), out["n"].tolist()))
+        if expect is None:
+            expect = got
+            assert got[0] == (1, 2000) and got[1] == (2, 1000)
+        assert got == expect
+
+
 def test_equi_join_empty_sides_keep_joined_schema(ray_session):
     """Empty/all-null-key sides must not reach the hash-shuffle join
     (0-row inputs crash it) and must keep the full joined schema with
@@ -1267,6 +1291,33 @@ def test_winsorize_all_null_values_pass_through(ray_session):
     out = winsorize(t, "k", "v", "id").to_pandas()
     assert len(out) == 2 and out["v_clip"].isna().all()
     assert sorted(out["k"]) == ["a", "b"]
+
+
+def test_winsorize_missing_bounds_key_emits_null_not_nan(ray_session):
+    """A row whose key has no bounds row (null key, or a key whose
+    values are ALL null) must emit NULL v_clip — SQL LEFT-JOIN parity —
+    not the valid float NaN an unmasked null lo/hi produces
+    (ADVICE r4, stats.py winsorize)."""
+    import ray.data
+
+    from konlsearch_ray.functions.stats import winsorize
+
+    t = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a", None, "z"]),
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 9.0, None], pa.float64()),
+    }))
+    out = (winsorize(t, "k", "v", "id", lo_bp=0, hi_bp=10_000)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert len(out) == 5
+    # key 'a' has real bounds -> clipped values come back unchanged here
+    assert out.loc[:2, "v_clip"].tolist() == [1.0, 2.0, 3.0]
+    # null key and all-null-value key: the ARROW column must be null,
+    # never a valid NaN payload
+    col = pa.concat_tables(
+        list(winsorize(t, "k", "v", "id", lo_bp=0, hi_bp=10_000)
+             .iter_batches(batch_format="pyarrow")))["v_clip"]
+    assert col.null_count == 2
 
 
 def test_rolling_agg_matches_window_sql(ray_session):
@@ -1610,6 +1661,42 @@ def test_rollup_counts_all_null_grand_total(ray_session):
     assert len(out2) == 1
     assert out2["k"].isna().all() and out2["n"].tolist() == [0]
     assert out2["total"].isna().all()
+
+
+def test_rollup_counts_dataset_matches_table_variant(ray_session):
+    """The Dataset-returning rollup (unbounded key domains — per-key
+    rows never land on the driver) must agree with the driver-table
+    variant row-for-row, including the null/empty edges."""
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import (rollup_counts,
+                                                     rollup_counts_dataset)
+
+    import pandas as pd
+
+    def canon(df):
+        df = df.sort_values("k", na_position="last").reset_index(drop=True)
+        return [(None if pd.isna(k) else k, n,
+                 None if pd.isna(tv) else int(tv))
+                for k, n, tv in zip(df["k"], df["n"], df["total"])]
+
+    cases = [
+        pa.table({"k": ["a", "a", "b", None, "z", "z"],
+                  "v": pa.array([1, None, 5, 100, None, None], pa.int64())}),
+        pa.table({"k": pa.array([None, None], pa.string()),
+                  "v": pa.array([1, 2], pa.int64())}),
+        pa.table({"k": pa.array([], pa.string()),
+                  "v": pa.array([], pa.int64())}),
+    ]
+    for t in cases:
+        # NB: repartitioning a 0-row dataset drops its schema in Ray —
+        # keep the empty case single-block.
+        ds = ray.data.from_arrow(t)
+        if t.num_rows:
+            ds = ds.repartition(3)
+        want = canon(rollup_counts(ds, "k", "v").to_pandas())
+        got = canon(rollup_counts_dataset(ds, "k", "v").to_pandas())
+        assert got == want
 
 
 def test_grouped_mode_tiebreak_and_nulls(ray_session):
