@@ -19,7 +19,14 @@ import pytest
 
 from konlsearch_ray.functions.aggregates import approx_distinct, distinct_count
 from konlsearch_ray.functions.dedup import _string_bucket_hash
-from konlsearch_ray.functions.temporal import asof_join, band_join
+import functools as _ft
+
+from konlsearch_ray.functions.temporal import asof_join as _asof_join
+from konlsearch_ray.functions.temporal import band_join as _band_join
+
+# Timestamps here are raw int64 microseconds — state the unit once.
+asof_join = _ft.partial(_asof_join, int_unit="us")
+band_join = _ft.partial(_band_join, int_unit="us")
 
 US = 1_000_000
 

@@ -1199,7 +1199,10 @@ def test_key_lag_deltas_null_ts_and_id_dropped(ray_session):
     import pandas as pd
     import ray.data
 
-    from konlsearch_ray.functions.temporal import key_lag_deltas
+    import functools as _f
+
+    from konlsearch_ray.functions.temporal import key_lag_deltas as _kld
+    key_lag_deltas = _f.partial(_kld, int_unit="us")
 
     US = 1_000_000
     ds = ray.data.from_arrow(pa.table({
@@ -1324,7 +1327,10 @@ def test_rolling_agg_matches_window_sql(ray_session):
     import duckdb
     import ray.data
 
-    from konlsearch_ray.functions.temporal import rolling_agg
+    import functools as _f
+
+    from konlsearch_ray.functions.temporal import rolling_agg as _ra
+    rolling_agg = _f.partial(_ra, int_unit="us")
 
     t = pa.table({
         "k": ["a", "a", "a", "b", "b", None, "a"],
@@ -1355,7 +1361,10 @@ def test_rolling_agg_window_one_and_validation(ray_session):
     import pytest
     import ray.data
 
-    from konlsearch_ray.functions.temporal import rolling_agg
+    import functools as _f
+
+    from konlsearch_ray.functions.temporal import rolling_agg as _ra
+    rolling_agg = _f.partial(_ra, int_unit="us")
 
     t = pa.table({"k": ["x", "x"], "ts": pa.array([1, 2], pa.int64()),
                   "id": pa.array([1, 2], pa.int64()),
@@ -1441,7 +1450,10 @@ def test_grouped_corr_exact_and_null_rules(ray_session):
 def test_rolling_agg_unbounded_is_running_sum(ray_session):
     import ray.data
 
-    from konlsearch_ray.functions.temporal import rolling_agg
+    import functools as _f
+
+    from konlsearch_ray.functions.temporal import rolling_agg as _ra
+    rolling_agg = _f.partial(_ra, int_unit="us")
 
     t = pa.table({"k": ["a"] * 4, "ts": pa.array([1, 2, 3, 4], pa.int64()),
                   "id": pa.array([1, 2, 3, 4], pa.int64()),
@@ -1476,7 +1488,10 @@ def test_grouped_percent_rank_tie_and_singleton(ray_session):
 def test_grouped_sequence_order_and_null_values(ray_session):
     import ray.data
 
-    from konlsearch_ray.functions.temporal import grouped_sequence
+    import functools as _f
+
+    from konlsearch_ray.functions.temporal import grouped_sequence as _gs
+    grouped_sequence = _f.partial(_gs, int_unit="us")
 
     t = pa.table({
         "k": pa.array([1, 1, 1, 2, 2], pa.int64()),

@@ -98,7 +98,12 @@ def test_sink_null_partition_distinct_from_none_string(ray_session, tmp_path):
 def test_temporal_join_output_collisions_raise(ray_session):
     import ray.data
 
-    from konlsearch_ray.functions.temporal import asof_join, band_join
+    import functools as _f
+
+    from konlsearch_ray.functions.temporal import (asof_join as _aj,
+                                                   band_join as _bj)
+    asof_join = _f.partial(_aj, int_unit="us")
+    band_join = _f.partial(_bj, int_unit="us")
 
     left = ray.data.from_arrow(pa.table({
         "k": pa.array([1], pa.int64()), "t": pa.array([10], pa.int64()),
@@ -123,7 +128,10 @@ def test_asof_join_empty_result_keeps_declared_types(ray_session):
     (string key/payload), not the generic int64 fallback."""
     import ray.data
 
-    from konlsearch_ray.functions.temporal import asof_join
+    import functools as _f
+
+    from konlsearch_ray.functions.temporal import asof_join as _aj
+    asof_join = _f.partial(_aj, int_unit="us")
 
     left = ray.data.from_arrow(pa.table({
         "k": pa.array(["a"], pa.string()),

@@ -13,14 +13,23 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from konlsearch_ray.functions.temporal import (
-    asof_join,
-    band_join,
-    sessionize,
-    tumbling_window,
+from konlsearch_ray.functions.temporal import (  # noqa: F401
+    asof_join as _asof_join,
+    band_join as _band_join,
+    sessionize as _sessionize,
+    tumbling_window as _tumbling_window,
 )
 
 US = 1_000_000
+
+# Timestamps in this file are raw int64 microseconds (module docstring):
+# state the unit once — bare-int ts columns now RAISE without it.
+import functools as _ft
+
+asof_join = _ft.partial(_asof_join, int_unit="us")
+band_join = _ft.partial(_band_join, int_unit="us")
+sessionize = _ft.partial(_sessionize, int_unit="us")
+tumbling_window = _ft.partial(_tumbling_window, int_unit="us")
 
 
 def _ds(tbl: dict):
@@ -159,7 +168,10 @@ def test_band_pairs_empty_result(ray_session):
 
 
 def test_sliding_window(events):
-    from konlsearch_ray.functions.temporal import sliding_window
+    from konlsearch_ray.functions.temporal import \
+        sliding_window as _sw
+    import functools as _f
+    sliding_window = _f.partial(_sw, int_unit="us")
 
     out = _sorted(sliding_window(events, "t", 120, 60, "v"),
                   ["win_start"])
@@ -238,7 +250,10 @@ def test_timestamp_column_input(ray_session):
 
 
 def test_key_lag_deltas(ray_session):
-    from konlsearch_ray.functions.temporal import key_lag_deltas
+    from konlsearch_ray.functions.temporal import \
+        key_lag_deltas as _kld
+    import functools as _f
+    key_lag_deltas = _f.partial(_kld, int_unit="us")
 
     ds = _ds({
         "k": pa.array([1, 1, 1, 2, None], pa.int64()),
@@ -255,7 +270,10 @@ def test_key_lag_deltas(ray_session):
 
 
 def test_key_lag_deltas_ties_break_by_id(ray_session):
-    from konlsearch_ray.functions.temporal import key_lag_deltas
+    from konlsearch_ray.functions.temporal import \
+        key_lag_deltas as _kld
+    import functools as _f
+    key_lag_deltas = _f.partial(_kld, int_unit="us")
 
     ds = _ds({
         "k": pa.array([7, 7, 7], pa.int64()),
@@ -267,3 +285,30 @@ def test_key_lag_deltas_ties_break_by_id(ray_session):
     # equal ts: order by id — id 1 first (null), id 2 delta 0, id 3 delta 1s
     d = dict(zip(out["i"], out["delta_us"]))
     assert pd.isna(d[1]) and d[2] == 0 and d[3] == US
+
+
+def test_bare_int_ts_requires_explicit_unit(ray_session):
+    """VERDICT r4 #5: an epoch-SECONDS integer ts column must raise (it
+    used to be silently read as microseconds, collapsing every window),
+    and the error must name the fix (int_unit). int_unit='s' scales
+    exactly; a unit that would overflow int64 raises instead of
+    wrapping."""
+    epoch_s = 1_700_000_000  # a normal epoch-seconds value
+    ds = _ds({"k": pa.array([1, 1], pa.int64()),
+              "t": pa.array([epoch_s, epoch_s + 120], pa.int64()),
+              "v": pa.array([1.0, 2.0], pa.float64())})
+    with pytest.raises(Exception, match="int_unit"):
+        _tumbling_window(ds, "t", 60, "v").to_pandas()
+    with pytest.raises(Exception, match="int_unit"):
+        _sessionize(ds, "t", "k", gap_s=60).to_pandas()
+    # stated unit: epoch-seconds scale exactly — two 60 s windows
+    out = _sorted(_tumbling_window(ds, "t", 60, "v", int_unit="s"),
+                  ["win_start"])
+    assert out["win_start"].tolist() == [
+        (epoch_s // 60) * 60, ((epoch_s + 120) // 60) * 60]
+    # ns-scale ints mislabeled 's' would overflow int64: loud, not wrapped
+    big = _ds({"k": pa.array([1], pa.int64()),
+               "t": pa.array([1 << 62], pa.int64()),
+               "v": pa.array([1.0], pa.float64())})
+    with pytest.raises(Exception, match="overflow|invalid"):
+        _tumbling_window(big, "t", 60, "v", int_unit="s").to_pandas()
