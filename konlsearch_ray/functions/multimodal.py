@@ -3,12 +3,13 @@
 Image/audio/video payloads are treated as opaque ``binary`` columns with
 typed metadata; decode / feature-extract run as actor-pool ``map_batches``
 stages sized for large rows (small batches). The actual codecs are NOT in
-this container: the REAL decode path is the import-guarded
-``PillowImageCodec`` adapter (same pattern as
-``analyzer.MecabMorphemeAnalyzer``) — on a cluster with Pillow installed
-it decodes unchanged; here it raises the documented error and the
-pipeline uses a deterministic fake decoder — the Ray-side plumbing
-(schema, batch size, actor signature, output layout) is real and tested.
+this container: the REAL decode paths are the import-guarded
+``PillowImageCodec`` and ``SoundfileAudioCodec`` adapters (same pattern
+as ``analyzer.MecabMorphemeAnalyzer``) — on a cluster with Pillow /
+soundfile (or PyAV) installed they decode unchanged; here they raise the
+documented error and the pipelines use deterministic fake decoders — the
+Ray-side plumbing (schema, batch size, actor signature, output layout)
+is real and tested.
 """
 
 from __future__ import annotations
@@ -76,11 +77,89 @@ def decode_image(payload: bytes) -> "np.ndarray":
     return _IMAGE_CODEC.decode(payload)
 
 
-def decode_audio(payload: bytes) -> "np.ndarray":
-    """Audio decode — no public audio codec library ships in this
-    sandbox (an adapter would mirror PillowImageCodec over soundfile /
-    pyav). Stub by spec; see module docstring."""
-    raise NotImplementedError("audio codecs unavailable in this environment")
+class SoundfileAudioCodec:
+    """Adapter for a REAL audio codec — the audio twin of
+    :class:`PillowImageCodec`, import-guarded the same way: requires the
+    public ``soundfile`` library (falling back to ``av``/PyAV), neither
+    of which ships in this sandbox, so tests cover the duck-typed
+    injection path and the ImportError fallback; on a cluster with
+    either installed ``AudioSampleStage(..., codec=SoundfileAudioCodec())``
+    works unchanged.
+
+    ``backend``: optional soundfile-like module exposing
+    ``read(file_obj, dtype="float32") -> (samples, sample_rate)``
+    (dependency injection for tests / custom codecs).
+    """
+
+    def __init__(self, backend=None):
+        if backend is None:
+            backend = self._load_backend()
+        self._sf = backend
+
+    @staticmethod
+    def _load_backend():
+        try:
+            import soundfile  # libsndfile wrapper
+
+            return soundfile
+        except ImportError:
+            pass
+        try:
+            import av  # PyAV — wrap its container API in the sf shape
+
+            class _AvShim:
+                @staticmethod
+                def read(fobj, dtype="float32"):
+                    with av.open(fobj) as container:
+                        stream = container.streams.audio[0]
+                        frames = [f.to_ndarray() for f in
+                                  container.decode(stream)]
+                    data = np.concatenate(frames, axis=-1).T.astype(dtype)
+                    return data, int(stream.rate)
+
+            return _AvShim
+        except ImportError:
+            raise ImportError(
+                "SoundfileAudioCodec needs soundfile or av (PyAV), "
+                "neither installed. Pass a backend exposing "
+                "read(file_obj, dtype) -> (samples, sample_rate), or "
+                "use fake_decode_audio.")
+
+    def decode(self, payload: bytes) -> tuple["np.ndarray", int]:
+        """payload bytes -> (mono float32 samples, sample_rate)."""
+        data, sr = self._sf.read(io.BytesIO(payload), dtype="float32")
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim == 2:  # (n, channels) -> mono mixdown
+            data = data.mean(axis=1, dtype=np.float32)
+        return data, int(sr)
+
+
+_AUDIO_CODEC: SoundfileAudioCodec | None = None
+
+
+def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
+    """Real audio decode via the import-guarded
+    :class:`SoundfileAudioCodec`. No audio codec library ships in this
+    sandbox, so this raises the documented ``NotImplementedError`` here;
+    with soundfile (or PyAV) installed it decodes."""
+    global _AUDIO_CODEC
+    if _AUDIO_CODEC is None:
+        try:
+            _AUDIO_CODEC = SoundfileAudioCodec()
+        except ImportError as e:
+            raise NotImplementedError(str(e)) from e
+    return _AUDIO_CODEC.decode(payload)
+
+
+def fake_decode_audio(payload: bytes, n: int = 256,
+                      sr: int = 16_000) -> tuple["np.ndarray", int]:
+    """Deterministic pseudo-decode: hash-seeded mono float32 samples in
+    the real output shape. Swap for ``decode_audio`` when codecs exist —
+    everything downstream (resample math, schema) is unchanged."""
+    seed = int.from_bytes(
+        hashlib.blake2b(payload, digest_size=8).digest(), "big")
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(-1.0, 1.0, size=n).astype(np.float32), sr)
 
 
 def _fake_features(payload: bytes) -> np.ndarray:
@@ -288,3 +367,60 @@ def sample_frames(
         batch_size=batch_size or 32,
         concurrency=concurrency,
     )
+
+
+def resample_nearest_1d(samples: np.ndarray, in_rate: int,
+                        out_rate: int) -> np.ndarray:
+    """Vectorized nearest-index resample to ``out_rate`` — the 1-D twin
+    of :func:`resize_nearest`; real math, codec-free."""
+    n_out = max(1, (len(samples) * out_rate) // in_rate)
+    idx = (np.arange(n_out) * in_rate) // out_rate
+    return samples[np.minimum(idx, len(samples) - 1)]
+
+
+class AudioSampleStage:
+    """Actor-pool audio decode→resample stage — the audio twin of
+    :class:`ImageResizeStage`.
+
+    Output schema: ``id, samples: list<float32>, sample_rate,
+    n_samples`` — the variable-length mono waveform layout a feature
+    extractor consumes. Real decode is stub-gated exactly like the
+    image path (``use_real_decode=True`` raises the documented
+    ``NotImplementedError`` here; with soundfile/PyAV installed, or a
+    ``codec`` injected, it decodes) — the resample itself is real
+    vectorized math. Size batches with ``media_batch_size``.
+    """
+
+    def __init__(self, payload_col: str, id_col: str,
+                 out_rate: int = 16_000, use_real_decode: bool = False,
+                 codec=None):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.out_rate = out_rate
+        # codec: anything exposing decode(bytes) -> (samples, rate) —
+        # e.g. SoundfileAudioCodec (loads once per ACTOR, ST1 pattern).
+        if codec is not None:
+            self.decode = codec.decode
+        else:
+            self.decode = decode_audio if use_real_decode else fake_decode_audio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payloads(batch, self.payload_col)
+        waves = []
+        for p in payloads:
+            samples, rate = self.decode(p)
+            waves.append(resample_nearest_1d(
+                np.asarray(samples, np.float32), int(rate), self.out_rate))
+        flat = pa.array(
+            np.concatenate(waves) if waves else np.zeros(0, np.float32),
+            pa.float32())
+        offsets = np.zeros(len(waves) + 1, dtype=np.int32)
+        if waves:
+            np.cumsum([len(w) for w in waves], out=offsets[1:])
+        return pa.table({
+            self.id_col: batch[self.id_col].cast(pa.int64()),
+            "samples": pa.ListArray.from_arrays(pa.array(offsets), flat),
+            "sample_rate": pa.array(
+                np.full(len(waves), self.out_rate, np.int32)),
+            "n_samples": pa.array(offsets[1:] - offsets[:-1], pa.int32()),
+        })

@@ -1036,6 +1036,71 @@ def test_pillow_codec_injection_and_fallback(ray_session):
         decode_image(b"x")
 
 
+def test_audio_codec_injection_and_fallback(ray_session):
+    """SoundfileAudioCodec is the audio twin of PillowImageCodec (same
+    adapter contract): duck-typed backend injection works end to end
+    through the actor-pool stage; without soundfile/PyAV installed the
+    default constructor raises ImportError and decode_audio raises the
+    documented NotImplementedError."""
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.multimodal import (
+        AudioSampleStage,
+        SoundfileAudioCodec,
+        decode_audio,
+        fake_decode_audio,
+        resample_nearest_1d,
+    )
+
+    class _FakeSoundfile:  # soundfile-like module: read(fp, dtype)
+        @staticmethod
+        def read(fp, dtype="float32"):
+            data = fp.read()
+            n = max(4, len(data) * 2)
+            # stereo on purpose: the codec must mix down to mono
+            wave = (np.frombuffer((data * (2 * n // len(data) + 1))
+                                  [:2 * n], np.uint8)
+                    .astype(dtype).reshape(n, 2) / 255.0)
+            return wave, 8000
+
+    codec = SoundfileAudioCodec(backend=_FakeSoundfile)
+    samples, sr = codec.decode(b"abcd")
+    assert samples.dtype == np.float32 and samples.ndim == 1
+    assert sr == 8000
+
+    # deterministic fake + real resample math
+    f1, r1 = fake_decode_audio(b"x")
+    f2, _ = fake_decode_audio(b"x")
+    assert (f1 == f2).all() and r1 == 16_000
+    up = resample_nearest_1d(np.arange(4, dtype=np.float32), 4, 8)
+    assert up.tolist() == [0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0]
+
+    # end-to-end through the actor-pool stage (codec loads once per
+    # actor via fn_constructor_kwargs — the ST1 pattern): 8 kHz fake
+    # input resampled to 4 kHz halves each waveform's length
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([b"aaaa", b"bbbbbb"], pa.binary()),
+    })
+    got = (ray.data.from_arrow(t).map_batches(
+        AudioSampleStage,
+        fn_constructor_kwargs={"payload_col": "payload", "id_col": "id",
+                               "out_rate": 4000, "codec": codec},
+        batch_format="pyarrow", batch_size=2, concurrency=1)
+        .to_pandas().sort_values("id"))
+    assert got["sample_rate"].tolist() == [4000, 4000]
+    assert got["n_samples"].tolist() == [4, 6]
+    assert [len(s) for s in got["samples"]] == [4, 6]
+
+    # no audio codec lib in this sandbox: guarded fallbacks
+    import pytest as _pt
+    with _pt.raises(ImportError, match="soundfile"):
+        SoundfileAudioCodec()
+    with _pt.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"x")
+
+
 def test_ivf_derived_centroid_default(ray_session, tmp_path):
     """n_centroids defaults to ~sqrt(N) (clamped [4, 4096]); the store
     records it, and full probing at the derived size stays exact."""
