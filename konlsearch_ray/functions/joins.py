@@ -85,10 +85,12 @@ def equi_join(
     Wraps Ray's hash-partitioned ``Dataset.join`` with the house guards
     that make it safe in real pipelines:
 
-    - SQL NULL semantics: null-key rows never match. They are filtered
-      from both inputs up front (on ``how="left"`` the left ones are
-      dropped too — pass them through a union upstream if outer
-      null-row retention matters);
+    - SQL NULL semantics: null-key rows never match. Right-side ones
+      are filtered up front (they can contribute nothing); on
+      ``how="inner"`` left ones are too. On ``how="left"`` null-key
+      left rows are KEPT and come back padded with null right columns —
+      exactly SQL LEFT JOIN (Ray's hash join already treats null keys
+      as never-equal; verified by test);
     - schema metadata stripped (unhashable pandas metadata trips the
       hash-shuffle aggregator's schema dedup);
     - empty-block/empty-side handling (0-row shuffle partitions with
@@ -107,10 +109,11 @@ def equi_join(
         raise ValueError(
             f"non-key columns collide: {sorted(overlap)} (rename upstream)")
 
-    def _clean(key: str):
+    def _clean(key: str | None):
         def fn(t: pa.Table) -> pa.Table:
-            return (t.filter(pc.is_valid(t[key]))
-                    .replace_schema_metadata(None))
+            if key is not None:
+                t = t.filter(pc.is_valid(t[key]))
+            return t.replace_schema_metadata(None)
         return fn
 
     lsch, rsch = left.schema(), right.schema()
@@ -130,10 +133,14 @@ def equi_join(
         return ray.data.from_arrow(pa.table(
             {n: cols[n] for n in keep}))
 
-    lds = left.map_batches(_clean(left_key), batch_format="pyarrow")
+    # how="left": null-key left rows stay in (SQL LEFT JOIN keeps them,
+    # padded — Ray's hash join treats null keys as never-equal, so they
+    # flow through with null right columns). Inner drops them up front.
+    lds = left.map_batches(_clean(left_key if how == "inner" else None),
+                           batch_format="pyarrow")
     rds = right.map_batches(_clean(right_key), batch_format="pyarrow")
     lds, l_rows = pinned_nonempty(lds, tuple(lcols))
-    if not l_rows:  # empty (or all-null-key) left side
+    if not l_rows:  # empty (inner: or all-null-key) left side
         return _empty_joined()
     rds, r_rows = pinned_nonempty(rds, tuple(rcols))
     if not r_rows:

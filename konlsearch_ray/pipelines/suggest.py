@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -250,16 +249,17 @@ def topk_per_jamo_prefix(
             "hits": pa.array(counts[rep], pa.int64()),
         })
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["hits", "term"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rk"] = pd.Series(range(1, len(g) + 1), dtype="int64")
-        return g[["prefix", "term", "hits", "rk"]]
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("hits", "descending"),
+                                            ("term", "ascending")])[:k]
+        g = g.take(idx).select(["prefix", "term", "hits"])
+        return g.append_column(
+            "rk", pa.array(np.arange(1, g.num_rows + 1), pa.int64()))
 
     from konlsearch_ray.functions.blocks import nonempty_blocks
 
     out = (frequency.map_batches(explode, batch_format="pyarrow")
-           .groupby("prefix").map_groups(topk, batch_format="pandas"))
+           .groupby("prefix").map_groups(topk, batch_format="pyarrow"))
     # Bypassed empty group partitions carry the rk-less upstream schema.
     return nonempty_blocks(out, ("prefix", "term", "hits", "rk"))
 
@@ -274,17 +274,18 @@ def topk_per_prefix(
     def add_prefix(t: pa.Table) -> pa.Table:
         return t.append_column("prefix", pc.utf8_slice_codeunits(t["term"], 0, 1))
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([count_col, "term"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rk"] = range(1, len(g) + 1)
-        return g[["prefix", "term", count_col, "rk"]]
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(count_col, "descending"),
+                                            ("term", "ascending")])[:k]
+        g = g.take(idx).select(["prefix", "term", count_col])
+        return g.append_column(
+            "rk", pa.array(np.arange(1, g.num_rows + 1), pa.int64()))
 
     from konlsearch_ray.functions.blocks import nonempty_blocks
 
     out = (
         dictionary.map_batches(add_prefix, batch_format="pyarrow")
         .groupby("prefix")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(topk, batch_format="pyarrow")
     )
     return nonempty_blocks(out, ("prefix", "term", count_col, "rk"))

@@ -1159,8 +1159,13 @@ def test_equi_join_inner_and_left(ray_session):
 
     lo = (equi_join(left, right, "k", "rk", how="left").to_pandas()
           .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
-    assert len(lo) == 5  # k=1 kept unmatched; null-key left row dropped
+    # SQL LEFT JOIN: k=1 kept unmatched; the null-key left row is KEPT
+    # too, padded with null right columns (ADVICE r4 — it used to be
+    # silently dropped)
+    assert len(lo) == 6
     assert lo[lo["k"] == 1]["rv"].isna().all()
+    nullrow = lo[lo["k"].isna()]
+    assert nullrow["lv"].tolist() == [40] and nullrow["rv"].isna().all()
 
     # empty right side short-circuits with the joined schema
     er = ray.data.from_arrow(pa.table({
@@ -1258,6 +1263,17 @@ def test_equi_join_empty_sides_keep_joined_schema(ray_session):
     assert eo.count() == 0
     sch = dict(zip(eo.schema().names, eo.schema().types))
     assert str(sch["lv"]) == "string" and str(sch["rv"]) == "string"
+
+    # all-null-key LEFT side: inner is empty; left keeps both rows
+    # padded (SQL LEFT JOIN)
+    null_left = ray.data.from_arrow(pa.table({
+        "k": pa.array([None, None], pa.int64()),
+        "lv": pa.array(["x", "y"], pa.string()),
+    }))
+    assert equi_join(null_left, right, "k", "rk").count() == 0
+    nlo = equi_join(null_left, right, "k", "rk", how="left").to_pandas()
+    assert len(nlo) == 2 and nlo["rv"].isna().all()
+    assert sorted(nlo["lv"]) == ["x", "y"]
 
 
 def test_key_lag_deltas_null_ts_and_id_dropped(ray_session):
