@@ -142,6 +142,31 @@ class DocStore:
         streaming path."""
         return self._read(None, None)
 
+    def get_all_status(self) -> pa.Table:
+        """Reference ``KonlIndex.get_all`` parity (reference
+        index.py:372-383): the reference walks the FULL assigned-ID
+        range and reports deleted/missing ids as FAILURE statuses
+        instead of silently dropping them. One row per id in
+        ``[1, max assigned id]`` — ``doc_id, status`` with status ∈
+        {FOUND, NOT_FOUND} — ascending. Payloads come from ``get_all``
+        / ``scan``; test/debug scale only, like ``get_all``."""
+        live = self.get_all()
+        ids = (live["doc_id"].to_numpy().astype(np.int64)
+               if live.num_rows else np.zeros(0, np.int64))
+        hi = int(ids.max()) if len(ids) else 0
+        if len(self._dead):  # a tombstoned max id is still "assigned"
+            hi = max(hi, int(np.max(self._dead)))
+        if not hi:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "status": pa.array([], pa.string())})
+        found = np.zeros(hi, dtype=bool)
+        found[ids - 1] = True
+        return pa.table({
+            "doc_id": pa.array(np.arange(1, hi + 1), pa.int64()),
+            "status": pa.array(
+                np.where(found, "FOUND", "NOT_FOUND")),
+        })
+
     def scan(self, columns: list[str] | None = None):
         """The docstore as a streaming ``ray.data.Dataset`` (column-pruned
         read over the shard partitions, tombstones filtered per batch) —

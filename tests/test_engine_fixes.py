@@ -291,3 +291,28 @@ def test_parallel_stable_argsort_matches_numpy():
     small = vocab[rng.integers(0, len(vocab), size=1000)]
     assert (_parallel_stable_argsort(small)
             == np.argsort(small, kind="stable")).all()
+
+
+def test_docstore_get_all_status_reports_misses(ray_session, tmp_path):
+    """Reference KonlIndex.get_all parity (reference index.py:372-383):
+    the full assigned-ID range comes back with per-id statuses — a
+    deleted id is NOT_FOUND, not silently dropped (get_all keeps
+    returning live rows only)."""
+    from konlsearch_ray.docstore import DocStore
+    from konlsearch_ray.tombstone import delete_docs
+
+    corpus = write_corpus(str(tmp_path / "c"), 30, seed=47)
+    idx = str(tmp_path / "i")
+    stats = build_index(corpus, idx, IndexConfig(shard_size=16))
+    n = stats["N"]
+    delete_docs(idx, [2, n])  # interior AND max-assigned id
+    store = DocStore(idx)
+    st = store.get_all_status()
+    assert st.num_rows == n  # deleting the max id must not shrink range
+    assert st["doc_id"].to_pylist() == list(range(1, n + 1))
+    by_id = dict(zip(st["doc_id"].to_pylist(), st["status"].to_pylist()))
+    assert by_id[2] == "NOT_FOUND" and by_id[n] == "NOT_FOUND"
+    assert by_id[1] == "FOUND"
+    assert sorted(st["status"].to_pylist()).count("NOT_FOUND") == 2
+    # live reads unchanged
+    assert store.get_all().num_rows == n - 2
