@@ -195,7 +195,11 @@ _PREVIOUSLY_VERIFIED = [
     "window_sliding", "split_assign", "sample_hash", "sessionize",
     "event_band_count", "event_band_pairs", "json_field",
 ]
-_REGISTRY_ORDER = _CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
+# Round-5 additions sit AFTER the 50-entry window on purpose: they are
+# locally gated this round and rotate into the window next time.
+_ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase"]
+_REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
+                   + _ROUND5_NEW)
 
 
 def _ordered(d: dict) -> dict:
@@ -1057,6 +1061,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["l_quantity", "l_extendedprice", "l_discount",
                      "l_tax"])
 
+    def fuzzy_terms(sf_dir):
+        # Edit-distance-1 string pairs (FastSS deletion-neighborhood
+        # blocking — vocabulary-sized exchange, no all-pairs; exact
+        # integer-codepoint verification). The documents vocabulary is
+        # a small fixed set with no ed-1 neighbors, so the entry runs
+        # over lowercased customer names (sequential Customer#NNN… —
+        # dense in genuine one-edit pairs), same derive-deterministic-
+        # input pattern as url_domains. ASCII only: DuckDB levenshtein
+        # is byte-based on non-ASCII.
+        from konlsearch_ray.functions.fuzzy import edit1_pairs
+
+        cust = _rp_clean(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+
+        def mk(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["c_custkey"], 200))
+            return pa.table({"term": pc.utf8_lower(t["c_name"])})
+
+        return _schema_stable(
+            edit1_pairs(cust.map_batches(mk, batch_format="pyarrow"),
+                        "term"))
+
+    def funnel_view_purchase(sf_dir):
+        # Two-step funnel conversion (view -> purchase within 1 h):
+        # EXISTS-within-window via one backward as-of join + a
+        # map-side-combined per-key count merge.
+        from konlsearch_ray.functions.temporal import funnel_counts
+
+        ev = _events(sf_dir).select_columns(["user_id", "ts", "event_type"])
+        return funnel_counts(ev, "user_id", "ts", "event_type",
+                             first="view", then="purchase", within_s=3600)
+
     def user_mode(sf_dir):
         # Each user's modal event type (ties -> smallest value, mirrored
         # in the oracle's ORDER BY) — distinct-pair-bounded exchange.
@@ -1179,6 +1215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events": rollup_events,
         "value_ntile": value_ntile,
         "melt_lineitem": melt_lineitem,
+        "fuzzy_terms": fuzzy_terms,
+        "funnel_view_purchase": funnel_view_purchase,
     })
 
 
@@ -1904,6 +1942,26 @@ SELECT prefix, term, hits, rk::BIGINT AS rk FROM (
          row_number() OVER (PARTITION BY prefix
                             ORDER BY hits DESC, term) AS rk
   FROM p) WHERE rk <= 5"""
+    out["fuzzy_terms"] = """WITH v AS (
+  SELECT DISTINCT lower(c_name) AS term FROM customer
+  WHERE c_custkey < 200)
+SELECT a.term AS a, b.term AS b
+FROM v a JOIN v b
+  ON a.term < b.term
+ AND abs(length(a.term) - length(b.term)) <= 1
+ AND levenshtein(a.term, b.term) = 1
+ORDER BY a, b"""
+    out["funnel_view_purchase"] = """WITH
+s AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_then,
+       sum(CASE WHEN EXISTS (
+           SELECT 1 FROM events f
+           WHERE f.event_type = 'view' AND f.user_id = s.user_id
+             AND epoch_us(f.ts) <= s.t
+             AND s.t - epoch_us(f.ts) <= 3600::BIGINT * 1000000
+       ) THEN 1 ELSE 0 END)::BIGINT AS n_converted
+FROM s GROUP BY user_id"""
     out["bm25_sharded"] = out["bm25_topk"]
     out["ann_ivf_store"] = out["ann_topk"]
     return _ordered(out)

@@ -1004,3 +1004,87 @@ def grouped_sequence(
              .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
     return nonempty_blocks(out, tuple(fallback.column_names),
                            fallback=fallback)
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    first: str,
+    then: str,
+    within_s: float,
+    nbuckets: int | None = None,
+    int_unit: str | None = None,
+) -> ray.data.Dataset:
+    """Per-key two-step funnel conversion — for each key, how many
+    ``then`` events were preceded by at least one ``first`` event
+    within ``within_s`` seconds (SQL: ``EXISTS (SELECT 1 FROM first f
+    WHERE f.key = t.key AND f.ts <= t.ts AND t.ts - f.ts <= W)`` per
+    ``then`` row) — the view→purchase / prompt→accept behavioral
+    conversion measure.
+
+    Composed from :func:`asof_join`: the LATEST preceding ``first``
+    event is within the window iff ANY is (an older event is only
+    further away), so a backward as-of join with ``tolerance_s`` gives
+    EXISTS exactly — one key-bucket exchange, in-bucket searchsorted,
+    then a map-side-combined per-key count merge (O(keys x blocks)
+    partial rows).
+
+    Output: ``key_col``, ``n_then`` (int64 — ``then`` events for the
+    key), ``n_converted`` (int64 — those with a qualifying ``first``).
+    Keys appear only if they have >= 1 ``then`` event (SQL GROUP BY
+    over the ``then`` side). Null keys / null timestamps are dropped
+    (``asof_join`` contract). ``ts_col`` unit rules as everywhere:
+    timestamp columns convert exactly; bare ints need ``int_unit``.
+    """
+    ktyp = _arrow_schema(ds).field(key_col).type
+
+    def side(val: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t[event_col], val))
+            return pa.table({key_col: t[key_col], ts_col: t[ts_col]})
+        return fn
+
+    thens = ds.map_batches(side(then), batch_format="pyarrow")
+    firsts = ds.map_batches(side(first), batch_format="pyarrow")
+    j = asof_join(thens, firsts, key_col, ts_col, how="left",
+                  tolerance_s=within_s, nbuckets=nbuckets,
+                  int_unit=int_unit)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], ktyp),
+                          "n_then": pa.array([], pa.int64()),
+                          "n_converted": pa.array([], pa.int64())})
+        if not t.num_rows:
+            return empty
+        t = t.combine_chunks()
+        codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        conv = (pc.is_valid(t["r_ts_us"]).to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+        k = len(uniq)
+        n = np.zeros(k, dtype=np.int64)
+        np.add.at(n, codes, 1)
+        c = np.zeros(k, dtype=np.int64)
+        np.add.at(c, codes, conv)
+        return pa.table({key_col: pa.array(uniq, ktyp),
+                         "n_then": pa.array(n),
+                         "n_converted": pa.array(c)})
+
+    fallback = pa.table({key_col: pa.array([], ktyp),
+                         "n_then": pa.array([], pa.int64()),
+                         "n_converted": pa.array([], pa.int64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        return pa.table({
+            key_col: g[key_col][:1],
+            "n_then": pa.array([pc.sum(g["n_then"]).as_py()], pa.int64()),
+            "n_converted": pa.array([pc.sum(g["n_converted"]).as_py()],
+                                    pa.int64()),
+        })
+
+    out = (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)
