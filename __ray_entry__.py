@@ -197,7 +197,7 @@ _PREVIOUSLY_VERIFIED = [
 ]
 # Round-5 additions sit AFTER the 50-entry window on purpose: they are
 # locally gated this round and rotate into the window next time.
-_ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase"]
+_ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1083,6 +1083,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edit1_pairs(cust.map_batches(mk, batch_format="pyarrow"),
                         "term"))
 
+    def sample_per_lang(sf_dir):
+        # Exactly-20-per-language deterministic draw (balanced eval
+        # set): md5 priority ranked within each group; byte-exact
+        # string comparisons, no float anywhere.
+        from konlsearch_ray.functions.sampling import \
+            exact_stratified_sample
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+        return exact_stratified_sample(docs, "doc_id", "lang", 20,
+                                       salt="s2")
+
     def funnel_view_purchase(sf_dir):
         # Two-step funnel conversion (view -> purchase within 1 h):
         # EXISTS-within-window via one backward as-of join + a
@@ -1217,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "melt_lineitem": melt_lineitem,
         "fuzzy_terms": fuzzy_terms,
         "funnel_view_purchase": funnel_view_purchase,
+        "sample_per_lang": sample_per_lang,
     })
 
 
@@ -1962,6 +1974,13 @@ SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_then,
              AND s.t - epoch_us(f.ts) <= 3600::BIGINT * 1000000
        ) THEN 1 ELSE 0 END)::BIGINT AS n_converted
 FROM s GROUP BY user_id"""
+    out["sample_per_lang"] = """SELECT doc_id::BIGINT AS doc_id, lang,
+       n_chars::BIGINT AS n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('s2' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= 20"""
     out["bm25_sharded"] = out["bm25_topk"]
     out["ann_ivf_store"] = out["ann_topk"]
     return _ordered(out)

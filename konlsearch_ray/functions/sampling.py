@@ -182,3 +182,47 @@ def exact_sample(
         [("__prio", "ascending"), (id_col, "ascending")], k)
     return out.map_batches(lambda t: t.select(orig),
                            batch_format="pyarrow")
+
+def exact_stratified_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Exactly-k-PER-GROUP deterministic sample — the balanced eval-set
+    draw (k examples per language/source/label, however skewed the
+    corpus): :func:`exact_sample`'s md5 priority ranked WITHIN each
+    group (groups smaller than k keep all their rows).
+
+    Same determinism contract as ``exact_sample`` (reproducible across
+    runs, engines — SQL: ``row_number() OVER (PARTITION BY g ORDER BY
+    md5(salt || CAST(id AS VARCHAR)), id) <= k`` — and partitionings;
+    string priority comparisons are byte-exact, no float anywhere).
+
+    Scale shape: per-block per-group top-k then a keyed merge of
+    <= k x blocks rows per group (:func:`~konlsearch_ray.functions.
+    aggregates.grouped_topk`) — the corpus never shuffles raw; null
+    group values form their own group (SQL PARTITION BY semantics).
+    Output: the sampled rows, original columns.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from konlsearch_ray.build import hash_hex_column
+    from konlsearch_ray.functions.aggregates import grouped_topk
+
+    def prio(t: pa.Table) -> pa.Table:
+        if "__prio" in t.schema.names:
+            raise ValueError(
+                "column __prio collides with exact_stratified_sample")
+        s = pc.cast(t[id_col], pa.string())
+        if salt:
+            s = pc.binary_join_element_wise(pa.scalar(salt), s, "")
+        return t.append_column("__prio", hash_hex_column(s, "md5"))
+
+    orig = list(ds.schema().names)
+    out = grouped_topk(
+        ds.map_batches(prio, batch_format="pyarrow"), group_col,
+        [("__prio", "ascending"), (id_col, "ascending")], k)
+    return out.map_batches(lambda t: t.select(orig),
+                           batch_format="pyarrow")

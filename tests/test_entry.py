@@ -26,12 +26,12 @@ def test_entry_smoke(ray_session):
 
 def test_registry_counts():
     """The ONE documented count (README/SURVEY/BASELINE all cite it):
-    84 queries() entries, 80 with oracles, 4 rows-only by design."""
+    85 queries() entries, 81 with oracles, 4 rows-only by design."""
     import __ray_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
-    assert len(q) == 84
-    assert len(o) == 80
+    assert len(q) == 85
+    assert len(o) == 81
     assert set(q) - set(o) == {
         "dedup_minhash", "curate_neardup", "approx_users", "embed_kmeans"}
 

@@ -92,3 +92,41 @@ def test_funnel_counts_matches_exists_sql(ray_session):
                        int_unit="us").to_pandas()
     assert o2["n_then"].tolist() == [1]
     assert o2["n_converted"].tolist() == [1]
+
+
+def test_exact_stratified_sample_partition_invariant(ray_session):
+    """Exactly k per group, identical row set at any partitioning, and
+    small groups keep everything."""
+    import ray.data
+
+    from konlsearch_ray.functions.sampling import exact_stratified_sample
+
+    rng = np.random.default_rng(5)
+    n = 500
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "g": pa.array(rng.choice(["en", "es", "de"], n, p=[.8, .15, .05])),
+        "x": pa.array(rng.integers(0, 9, n), pa.int64()),
+    })
+    # tiny group: only 2 rows of "zz"
+    t = pa.concat_tables([t, pa.table({
+        "id": pa.array([900, 901], pa.int64()),
+        "g": pa.array(["zz", "zz"]),
+        "x": pa.array([1, 2], pa.int64()),
+    })])
+    picks = []
+    for parts in (1, 3, 7):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = exact_stratified_sample(ds, "id", "g", 10,
+                                      salt="t").to_pandas()
+        counts = out.groupby("g").size().to_dict()
+        assert counts == {"en": 10, "es": 10, "de": 10, "zz": 2}
+        assert set(out.columns) == {"id", "g", "x"}
+        picks.append(sorted(out["id"].tolist()))
+    assert picks[0] == picks[1] == picks[2]
+    # salt redraw changes the selection
+    other = exact_stratified_sample(ray.data.from_arrow(t), "id", "g",
+                                    10, salt="u").to_pandas()
+    assert sorted(other["id"]) != picks[0]
