@@ -105,6 +105,33 @@ def test_jsonl_and_csv_corpus(ray_session, tmp_path):
     assert IndexReader(idx2).search(["csv", "beta"], "AND") == [2]
 
 
+def test_gzip_jsonl_corpus(ray_session, tmp_path):
+    """Compressed JSONL (the common web-scale interchange layout —
+    one .jsonl.gz per shard) reads through the same corpus path: Ray /
+    Arrow auto-detect gzip from the extension, so read_jsonl_corpus
+    needs no flag; indexing works end to end."""
+    import gzip
+    import json
+
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.query import IndexReader
+    from konlsearch_ray.sources import read_jsonl_corpus
+
+    gz = tmp_path / "docs.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        for i, w in enumerate(["alpha", "beta", "gamma"]):
+            json.dump({"id": i + 1, "body": f"gz doc number {w}"}, f)
+            f.write("\n")
+    ds = read_jsonl_corpus(str(gz), content_col="body", id_col="id")
+    assert set(ds.schema().names) == {"content", "doc_id"}
+    idx = str(tmp_path / "ig")
+    build_index(ds, idx, IndexConfig(
+        id_col="doc_id", dedup=False, sort_keys=[], shard_size=2))
+    r = IndexReader(idx)
+    assert r.search(["gz"], "OR") == [1, 2, 3]
+    assert r.search(["gamma"], "OR") == [3]
+
+
 def test_docstore_scan_streaming(ray_session, tmp_path):
     """DocStore.scan: the streaming (Dataset) whole-corpus path, tombstone
     filtered, column-pruned."""
