@@ -197,7 +197,8 @@ _PREVIOUSLY_VERIFIED = [
 ]
 # Round-5 additions sit AFTER the 50-entry window on purpose: they are
 # locally gated this round and rotate into the window next time.
-_ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang"]
+_ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
+               "quantiles_cents"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1094,6 +1095,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return exact_stratified_sample(docs, "doc_id", "lang", 20,
                                        salt="s2")
 
+    def quantiles_cents(sf_dir):
+        # Exact per-type quantiles over integer cents WITHOUT
+        # co-locating raw rows: the exchange moves per-block
+        # (key, value, count) partials — the hot-key scale path beside
+        # value_quantiles' keyed-shuffle exact operator; same
+        # integer-indexed spec, so both oracles share structure.
+        from konlsearch_ray.functions.stats import grouped_quantiles_int
+
+        ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
+        return grouped_quantiles_int(ev, "event_type", "v")
+
     def funnel_view_purchase(sf_dir):
         # Two-step funnel conversion (view -> purchase within 1 h):
         # EXISTS-within-window via one backward as-of join + a
@@ -1229,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_terms": fuzzy_terms,
         "funnel_view_purchase": funnel_view_purchase,
         "sample_per_lang": sample_per_lang,
+        "quantiles_cents": quantiles_cents,
     })
 
 
@@ -1974,6 +1987,18 @@ SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_then,
              AND s.t - epoch_us(f.ts) <= 3600::BIGINT * 1000000
        ) THEN 1 ELSE 0 END)::BIGINT AS n_converted
 FROM s GROUP BY user_id"""
+    out["quantiles_cents"] = """WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+v AS (SELECT event_type, v,
+        row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM c)
+SELECT event_type, max(n)::BIGINT AS n,
+       max(CASE WHEN rn = (n-1) * 5000 // 10000 THEN v END)::DOUBLE AS p50,
+       max(CASE WHEN rn = (n-1) * 9000 // 10000 THEN v END)::DOUBLE AS p90,
+       max(CASE WHEN rn = (n-1) * 9900 // 10000 THEN v END)::DOUBLE AS p99
+FROM v GROUP BY 1"""
     out["sample_per_lang"] = """SELECT doc_id::BIGINT AS doc_id, lang,
        n_chars::BIGINT AS n_chars FROM (
   SELECT doc_id, lang, n_chars,

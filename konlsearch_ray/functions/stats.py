@@ -591,3 +591,72 @@ def grouped_minmax_norm(
         })
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+def grouped_quantiles_int(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[tuple[str, int], ...] = DEFAULT_QS,
+) -> ray.data.Dataset:
+    """:func:`grouped_quantiles` for INTEGER columns WITHOUT co-locating
+    each key's raw rows — the hot-key scale path the exact operator's
+    docstring promises: identical integer-indexed quantile spec
+    (``sorted[(n-1) * q_bp // 10000]``), but the exchange moves per-block
+    ``(key, value, count)`` partials (bounded by distinct pairs per
+    block, never row count), and the quantile resolves from cumulative
+    counts over the merged value histogram. For a bounded value domain
+    (scores, cents, lengths) a key of ANY row count reduces to its
+    distinct values — exact, not a sketch.
+
+    Output matches :func:`grouped_quantiles`: ``key_col``, ``n``, one
+    float64 column per ``(label, q_bp)``. Null values are not values;
+    all-null (or empty) keys emit nothing; null keys are dropped (no
+    partition). ``value_col`` must be integer-typed.
+    """
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    if not pa.types.is_integer(sch.field(value_col).type):
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed "
+            f"(got {sch.field(value_col).type}); use grouped_quantiles "
+            f"or quantize upstream")
+    labels = [lb for lb, _ in qs]
+    bps = np.array([bp for _, bp in qs], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, value_col])
+        mask = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[value_col]))
+        t = t.filter(mask)
+        out = (t.group_by([key_col, value_col]).aggregate([([], "count_all")])
+               .rename_columns([key_col, value_col, "cnt"]))
+        return out.replace_schema_metadata(None)
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "n": pa.array([], pa.int64()),
+        **{lb: pa.array([], pa.float64()) for lb in labels},
+    })
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        summed = (g.group_by([value_col]).aggregate([("cnt", "sum")])
+                  .rename_columns([value_col, "cnt"]))
+        v = summed[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = summed["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        idx = (n - 1) * bps // 10_000  # the shared integer-indexed spec
+        picks = v[np.searchsorted(cum, idx, side="right")]
+        row = {key_col: g[key_col][:1], "n": pa.array([n], pa.int64())}
+        for lb, p in zip(labels, picks):
+            row[lb] = pa.array([float(p)], pa.float64())
+        return pa.table(row)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)

@@ -130,3 +130,46 @@ def test_exact_stratified_sample_partition_invariant(ray_session):
     other = exact_stratified_sample(ray.data.from_arrow(t), "id", "g",
                                     10, salt="u").to_pandas()
     assert sorted(other["id"]) != picks[0]
+
+
+def test_grouped_quantiles_int_matches_exact(ray_session):
+    """The distinct-pair-bounded integer quantile path must equal the
+    keyed-shuffle exact operator on the same data (same integer-indexed
+    spec), at any partitioning, with null keys/values dropped."""
+    import ray.data
+
+    from konlsearch_ray.functions.stats import (grouped_quantiles,
+                                                grouped_quantiles_int)
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "c"], n)),
+        "v": pa.array(rng.integers(-50, 50, n), pa.int64()),
+    })
+    t = pa.concat_tables([t, pa.table({
+        "k": pa.array([None, "z", "z"]),
+        "v": pa.array([7, None, None], pa.int64()),
+    })])
+
+    def canon(df):
+        # the exact operator lets Ray's null-key group through; the int
+        # variant documents dropping it (no partition) — compare on
+        # real keys
+        df = df[df["k"].notna()]
+        return (df.sort_values("k").reset_index(drop=True)
+                [["k", "n", "p50", "p90", "p99"]].to_dict("records"))
+
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        exact = canon(grouped_quantiles(ds, "k", "v").to_pandas())
+        fast = canon(grouped_quantiles_int(ds, "k", "v").to_pandas())
+        assert fast == exact
+        # null key dropped, all-null-value key emits nothing
+        assert [r["k"] for r in fast] == ["a", "b", "c"]
+
+    import pytest as _pt
+    tf = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"]), "v": pa.array([1.5], pa.float64())}))
+    with _pt.raises(ValueError, match="integer-typed"):
+        grouped_quantiles_int(tf, "k", "v")
