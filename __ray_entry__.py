@@ -198,7 +198,7 @@ _PREVIOUSLY_VERIFIED = [
 # Round-5 additions sit AFTER the 50-entry window on purpose: they are
 # locally gated this round and rotate into the window next time.
 _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
-               "quantiles_cents"]
+               "quantiles_cents", "user_type_totals_top"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1095,6 +1095,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return exact_stratified_sample(docs, "doc_id", "lang", 20,
                                        salt="s2")
 
+    def user_type_totals_top(sf_dir):
+        # Top-2 event types per user by EXACT aggregated cents — the
+        # top-k-over-aggregates shape (grouped_topk ranks raw rows; this
+        # ranks per-(user, type) sums): map-side Arrow group_by partials
+        # -> one keyed Sum merge -> per-user top-k of the O(users x
+        # types) summary. Ties break by type asc, mirrored in the
+        # oracle's ORDER BY.
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        from konlsearch_ray.functions.aggregates import grouped_topk
+        from konlsearch_ray.functions.blocks import nonempty_blocks
+
+        ev = _cents_events(sf_dir, ["event_id", "user_id", "event_type",
+                                    "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            mask = pc.and_(pc.is_valid(t["user_id"]),
+                           pc.and_(pc.is_valid(t["event_type"]),
+                                   pc.is_valid(t["v"])))
+            t = t.filter(mask).select(["user_id", "event_type", "v"])
+            out = (t.group_by(["user_id", "event_type"])
+                   .aggregate([("v", "sum")]))
+            return (out.rename_columns(["user_id", "event_type", "cents"])
+                    .replace_schema_metadata(None))
+
+        summed = (ev.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["user_id", "event_type"])
+                  .aggregate(Sum("cents", alias_name="cents")))
+
+        def typed(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "cents": pc.cast(t["cents"], pa.int64()),
+            })
+
+        summed = nonempty_blocks(
+            summed.map_batches(typed, batch_format="pyarrow"),
+            ("user_id", "event_type", "cents"))
+        return grouped_topk(summed, "user_id",
+                            [("cents", "descending"),
+                             ("event_type", "ascending")], 2)
+
     def quantiles_cents(sf_dir):
         # Exact per-type quantiles over integer cents WITHOUT
         # co-locating raw rows: the exchange moves per-block
@@ -1242,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_view_purchase": funnel_view_purchase,
         "sample_per_lang": sample_per_lang,
         "quantiles_cents": quantiles_cents,
+        "user_type_totals_top": user_type_totals_top,
     })
 
 
@@ -1987,6 +2032,18 @@ SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_then,
              AND s.t - epoch_us(f.ts) <= 3600::BIGINT * 1000000
        ) THEN 1 ELSE 0 END)::BIGINT AS n_converted
 FROM s GROUP BY user_id"""
+    out["user_type_totals_top"] = """WITH s AS (
+  SELECT user_id, event_type,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY cents DESC, event_type) AS rn
+      FROM s)
+SELECT user_id::BIGINT AS user_id, event_type, cents::BIGINT AS cents
+FROM r WHERE rn <= 2"""
     out["quantiles_cents"] = """WITH c AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
   FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
