@@ -2023,7 +2023,8 @@ FROM v a JOIN v b
 ORDER BY a, b"""
     out["funnel_view_purchase"] = """WITH
 s AS (SELECT user_id, epoch_us(ts) AS t FROM events
-      WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND ts IS NOT NULL)
 SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_then,
        sum(CASE WHEN EXISTS (
            SELECT 1 FROM events f

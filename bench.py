@@ -815,6 +815,16 @@ _PRUNE_PREFIXES = ("ivf_recall10_", "ivf_probe", "boolean_and_",
                    "bm25_exact_")
 
 
+# Never pruned from the final line — the headline metrics the round
+# grading reads (build throughput, serving latency, QPS).
+_PROTECTED_KEYS = frozenset({
+    "index_build_code", "index_build_docs_per_sec",
+    "index_build_titles_sec", "index_build_titles_docs_per_sec",
+    "bm25_p50_ms", "bm25_p99_ms",
+    "bm25_distributed_qps", "bm25_sharded_qps",
+})
+
+
 def _fit_line(out: dict) -> str:
     line = json.dumps(out)
     if len(line) <= _MAX_LINE or "queries" not in out:
@@ -826,6 +836,18 @@ def _fit_line(out: dict) -> str:
         line = json.dumps(out)
         if len(line) <= _MAX_LINE:
             break
+    # Hard guarantee, not best-effort: if the prefix list wasn't enough
+    # (the queries dict grows every round), shed the longest remaining
+    # non-headline keys until the line fits — a recorded-but-pruned key
+    # lives on in bench_attempts.json; an unparseable line loses ALL of
+    # them (exactly round 4's failure).
+    while len(line) > _MAX_LINE:
+        candidates = [k for k in out["queries"] if k not in _PROTECTED_KEYS]
+        if not candidates:
+            break
+        k = max(candidates, key=len)
+        pruned[k] = out["queries"].pop(k)
+        line = json.dumps(out)
     if pruned:
         _ATTEMPTS["pruned_from_final_line"] = [pruned]
         _dump_attempts()

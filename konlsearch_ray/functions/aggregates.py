@@ -437,25 +437,31 @@ def heavy_hitters(
         return (g[value_col].combine_chunks(),
                 g["n"].to_numpy(zero_copy_only=False).astype(np.int64))
 
+    def _top4k(vals: pa.Array, counts: np.ndarray) -> pa.Table:
+        order = np.lexsort((np.arange(len(counts)), -counts))[:4 * k]
+        return pa.table({value_col: vals.take(pa.array(order)),
+                         "n": pa.array(counts[order], pa.int64())})
+
     def bucket_merge(t: pa.Table) -> pa.Table:
         if not t.num_rows:
             return empty
         vals, counts = _sum_by_value(t)
         vals, counts = _mg_reduce(vals, counts, capacity)
-        order = np.lexsort((np.arange(len(counts)), -counts))[:4 * k]
-        return pa.table({value_col: vals.take(pa.array(order)),
-                         "n": pa.array(counts[order], pa.int64())})
+        return _top4k(vals, counts)
 
     def merge(t: pa.Table) -> pa.Table:
         if not t.num_rows:
             return empty
-        # buckets partition the value space: counts are already final —
-        # just rank the <= nbuckets x 4k survivors.
+        # Buckets partition the value space, so each value's summed
+        # count is COMPLETE across blocks — but it is still a Misra-
+        # Gries UNDERESTIMATE (per-block + per-bucket decrements), and
+        # the decrements differ per bucket. These counts only pick the
+        # 4k-candidate set (the 4x slack absorbs ranking jitter near the
+        # cut); the exact recount pass below is what repairs them —
+        # never emit them as answers.
         vals = t[value_col].combine_chunks()
         counts = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((np.arange(len(counts)), -counts))[:4 * k]
-        return pa.table({value_col: vals.take(pa.array(order)),
-                         "n": pa.array(counts[order], pa.int64())})
+        return _top4k(vals, counts)
 
     cand = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__hh_bucket")

@@ -53,7 +53,7 @@ def _codepoint_matrix(strs: np.ndarray, width: int) -> np.ndarray:
     return u.view(np.uint32).reshape(len(u), width)
 
 
-def _ed1_mask(a: list[str], b: list[str]) -> np.ndarray:
+def _ed1_mask(a, b) -> np.ndarray:
     """Exact vectorized ``levenshtein(a_i, b_i) == 1`` for paired
     DISTINCT strings: equal lengths → exactly one mismatching position;
     lengths differing by 1 → deleting the first-mismatch character of
@@ -161,7 +161,8 @@ def edit1_pairs(
         if not t.num_rows:
             return _PAIR_FALLBACK
         t = t.combine_chunks()
-        keep = _ed1_mask(t["a"].to_pylist(), t["b"].to_pylist())
+        keep = _ed1_mask(t["a"].to_numpy(zero_copy_only=False),
+                         t["b"].to_numpy(zero_copy_only=False))
         return t.filter(pa.array(keep)).select(["a", "b"])
 
     cand = (ds.map_batches(variants, batch_format="pyarrow")

@@ -112,8 +112,19 @@ class SoundfileAudioCodec:
                 def read(fobj, dtype="float32"):
                     with av.open(fobj) as container:
                         stream = container.streams.audio[0]
-                        frames = [f.to_ndarray() for f in
-                                  container.decode(stream)]
+                        frames = []
+                        for f in container.decode(stream):
+                            arr = f.to_ndarray()
+                            # packed (interleaved) formats come back as
+                            # (1, samples*channels) — de-interleave to
+                            # the planar (channels, samples) layout the
+                            # concat below assumes.
+                            ch = len(f.layout.channels)
+                            if not f.format.is_planar and ch > 1:
+                                arr = arr.reshape(-1, ch).T
+                            frames.append(arr)
+                    if not frames:
+                        return np.zeros((0, 1), dtype=dtype), int(stream.rate)
                     data = np.concatenate(frames, axis=-1).T.astype(dtype)
                     return data, int(stream.rate)
 
@@ -372,7 +383,11 @@ def sample_frames(
 def resample_nearest_1d(samples: np.ndarray, in_rate: int,
                         out_rate: int) -> np.ndarray:
     """Vectorized nearest-index resample to ``out_rate`` — the 1-D twin
-    of :func:`resize_nearest`; real math, codec-free."""
+    of :func:`resize_nearest`; real math, codec-free. A zero-length
+    waveform (empty-but-valid payload) stays zero-length rather than
+    indexing into nothing."""
+    if not len(samples):
+        return samples[:0]
     n_out = max(1, (len(samples) * out_rate) // in_rate)
     idx = (np.arange(n_out) * in_rate) // out_rate
     return samples[np.minimum(idx, len(samples) - 1)]

@@ -1075,6 +1075,8 @@ def test_audio_codec_injection_and_fallback(ray_session):
     assert (f1 == f2).all() and r1 == 16_000
     up = resample_nearest_1d(np.arange(4, dtype=np.float32), 4, 8)
     assert up.tolist() == [0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0]
+    # empty-but-valid waveform: stays empty, no IndexError
+    assert len(resample_nearest_1d(np.zeros(0, np.float32), 8000, 4000)) == 0
 
     # end-to-end through the actor-pool stage (codec loads once per
     # actor via fn_constructor_kwargs — the ST1 pattern): 8 kHz fake
