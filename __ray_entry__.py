@@ -38,6 +38,7 @@ BM25_K = 10
 # morphemes of compound surface tokens ("window" → win+dow, "table" →
 # ta+ble under the bundled lexicon's greedy segmentation).
 MORPH_TOKENS = ["win", "ble"]
+PREFIX_QUERY = "tab"
 NGRAM_TAU = 0.03
 NGRAM_MAXDOC = 150
 EMBED_TAU = 0.4
@@ -198,7 +199,8 @@ _PREVIOUSLY_VERIFIED = [
 # Round-5 additions sit AFTER the 50-entry window on purpose: they are
 # locally gated this round and rotate into the window next time.
 _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
-               "quantiles_cents", "user_type_totals_top"]
+               "quantiles_cents", "user_type_totals_top",
+               "search_prefix_docs"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -281,6 +283,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tree = (((["table"], "AND"), (["merge"], "AND"), "AND"),
                 ((["vector"], "AND"), (["spark"], "AND"), "AND"), "OR")
         return _ids_table(_reader(sf_dir).search_complex(tree))
+
+    def search_prefix_docs(sf_dir):
+        # Wildcard search: expand `tab*` over the global sorted term
+        # index (range locate, cost ∝ match range), then OR over the
+        # expansion. limit is set far above the sf0.01 match count so
+        # the explosion cap never binds and the LIKE oracle is exact.
+        return _ids_table(
+            _reader(sf_dir).search_prefix(PREFIX_QUERY, limit=100_000))
 
     def bm25_topk(sf_dir):
         top = _reader(sf_dir).bm25_topk(BM25_TOKENS, BM25_K)
@@ -1287,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": sample_per_lang,
         "quantiles_cents": quantiles_cents,
         "user_type_totals_top": user_type_totals_top,
+        "search_prefix_docs": search_prefix_docs,
     })
 
 
@@ -1427,6 +1438,9 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id FROM (
   SELECT doc_id FROM d WHERE term IN ('vector','spark')
   GROUP BY doc_id HAVING count(*) = 2
 ) ORDER BY doc_id""",
+        "search_prefix_docs": f"""WITH {_KEPT}, {_OCC}
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM occ
+WHERE term LIKE '{PREFIX_QUERY}%' ORDER BY doc_id""",
         "bm25_topk": f"""WITH {_KEPT}, {_OCC},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ
        WHERE term IN {bm25_terms} GROUP BY 1, 2),

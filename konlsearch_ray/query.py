@@ -77,6 +77,19 @@ def _string_col_to_S(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return out.ravel().view(f"S{width}")
 
 
+def _prefix_upper(pb: bytes) -> bytes | None:
+    """Smallest byte string greater than every string with prefix ``pb``
+    (big-endian increment with 0xFF carry); None when no upper bound
+    exists (all-0xFF prefix — every longer string matches)."""
+    b = bytearray(pb)
+    while b:
+        if b[-1] < 0xFF:
+            b[-1] += 1
+            return bytes(b)
+        b.pop()
+    return None
+
+
 class SearchMode(str, Enum):
     AND = "AND"
     OR = "OR"
@@ -469,6 +482,48 @@ class IndexReader:
             prev = cur
         return [int(x) for x in cand[ok]]
 
+    def expand_prefix(self, prefix: str, limit: int = 64) -> list[str]:
+        """Distinct stored terms starting with ``prefix``, bytewise
+        (= codepoint) lexicographic order, capped at ``limit``.
+
+        Wildcard/prefix term expansion (``pre*``) over the SAME global
+        sorted term index the posting lookup uses — one range locate
+        (two binary searches) + a slice, so cost is proportional to the
+        match range, never the vocabulary. The cap bounds worst-case
+        wildcard explosion (``a*`` over a 10^9-term vocab); when it
+        binds, the lexicographically smallest ``limit`` terms win
+        (deterministic). The prefix goes through the query normalizer,
+        so ``Tab`` expands the same terms as ``tab``.
+        """
+        if limit < 1:
+            raise ValueError(f"limit must be >= 1, got {limit}")
+        norm = normalize_query_tokens([prefix])
+        if not norm:
+            return []
+        pb = norm[0].encode("utf-8")
+        keys = self._vocab[0]
+        if not len(keys) or len(pb) > keys.dtype.itemsize:
+            return []
+        i0 = int(np.searchsorted(keys, pb, side="left"))
+        ub = _prefix_upper(pb)
+        i1 = (int(np.searchsorted(keys, ub, side="left"))
+              if ub is not None else len(keys))
+        if i0 >= i1:
+            return []
+        # The vocab repeats a term once per segment holding it; unique
+        # over the (already sorted) range dedups without re-sorting.
+        uniq = np.unique(keys[i0:i1])
+        return [t.decode("utf-8") for t in uniq[:limit].tolist()]
+
+    def search_prefix(self, prefix: str, limit: int = 64) -> list[int]:
+        """Docs containing ANY term that starts with ``prefix`` —
+        wildcard search as expansion + OR over the expanded terms.
+        Ascending doc ids, same contract as :meth:`search`."""
+        terms = self.expand_prefix(prefix, limit=limit)
+        if not terms:
+            return []
+        return self.search(terms, SearchMode.OR)
+
     def search_complex(self, tree) -> list[int]:
         """tree = (left, right, 'AND'|'OR'); leaves are (tokens, mode)."""
         return [int(x) for x in np.sort(self._eval(tree))]
@@ -821,6 +876,9 @@ class ShardQueryActor:
     def search_complex(self, tree):
         return self.reader.search_complex(tree)
 
+    def search_prefix(self, prefix, limit):
+        return self.reader.search_prefix(prefix, limit=limit)
+
     def bm25_topk(self, tokens, k):
         return self.reader.bm25_topk(tokens, k)
 
@@ -872,6 +930,20 @@ class ShardedQueryEngine:
         import ray as _ray
 
         parts = _ray.get([a.search_complex.remote(tree) for a in self._actors])
+        out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
+                                      for p in parts]))
+        return [int(x) for x in out]
+
+    def search_prefix(self, prefix, limit=64):
+        """Scatter-gather prefix search. Each actor expands over its OWN
+        shard subset's vocabulary, so when ``limit`` binds the union can
+        differ from the single-reader expansion (which caps globally);
+        with expansions under the cap — the operational case — results
+        are identical. Doc subsets are disjoint, so concat+sort merges."""
+        import ray as _ray
+
+        parts = _ray.get(
+            [a.search_prefix.remote(prefix, limit) for a in self._actors])
         out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
                                       for p in parts]))
         return [int(x) for x in out]

@@ -148,3 +148,46 @@ def test_dedup_first_wins(built):
     n_unique = len(set(src["content"].to_pylist()))
     assert stats["N"] == n_unique
     assert src.num_rows > n_unique  # corpus really contains duplicates
+
+
+def test_prefix_upper_carry():
+    from konlsearch_ray.query import _prefix_upper
+
+    assert _prefix_upper(b"tab") == b"tac"
+    assert _prefix_upper(b"a\xff") == b"b"          # carry drops the 0xFF
+    assert _prefix_upper(b"\xff\xff") is None       # no upper bound exists
+    assert _prefix_upper(b"\xfe\xff") == b"\xff"
+
+
+def test_prefix_search_matches_oracle(built):
+    _, reader, oracle, _, _ = built
+    for prefix in ["def", "re", "마", "건담", "cl", "zzznope"]:
+        vocab_match = sorted(t for t in oracle.postings if t.startswith(prefix))
+        assert reader.expand_prefix(prefix, limit=10_000) == vocab_match, prefix
+        expect = sorted({d for t in vocab_match for d in oracle.postings[t]})
+        assert reader.search_prefix(prefix, limit=10_000) == expect, prefix
+    # Query normalization applies to the prefix too.
+    assert reader.search_prefix("DEF", limit=10_000) == \
+        reader.search_prefix("def", limit=10_000)
+
+
+def test_prefix_expansion_cap_is_lexicographic(built):
+    _, reader, oracle, _, _ = built
+    full = reader.expand_prefix("특", limit=10_000)
+    assert len(full) >= 2  # the fixture vocab holds 특급 and 특별
+    assert reader.expand_prefix("특", limit=1) == full[:1]
+    docs_first = sorted(oracle.postings[full[0]])
+    assert reader.search_prefix("특", limit=1) == docs_first
+
+
+def test_prefix_search_sharded(built, ray_session):
+    from konlsearch_ray.query import ShardedQueryEngine
+
+    _, reader, _, index_dir, _ = built
+    eng = ShardedQueryEngine(index_dir, num_actors=3)
+    try:
+        for prefix in ["def", "마", "zzznope"]:
+            assert eng.search_prefix(prefix, limit=10_000) == \
+                reader.search_prefix(prefix, limit=10_000), prefix
+    finally:
+        eng.shutdown()
