@@ -39,6 +39,8 @@ BM25_K = 10
 # ta+ble under the bundled lexicon's greedy segmentation).
 MORPH_TOKENS = ["win", "ble"]
 PREFIX_QUERY = "tab"
+CONTAINS_QUERY = "ow"
+REGEX_QUERY = "(ery|dow|eam)$"
 NGRAM_TAU = 0.03
 NGRAM_MAXDOC = 150
 EMBED_TAU = 0.4
@@ -200,7 +202,8 @@ _PREVIOUSLY_VERIFIED = [
 # locally gated this round and rotate into the window next time.
 _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
-               "search_prefix_docs"]
+               "search_prefix_docs", "search_contains_docs",
+               "search_regex_docs"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -291,6 +294,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the explosion cap never binds and the LIKE oracle is exact.
         return _ids_table(
             _reader(sf_dir).search_prefix(PREFIX_QUERY, limit=100_000))
+
+    def search_contains_docs(sf_dir):
+        # Infix wildcard (`*ow*`): vectorized RE2 scan of the segment
+        # term columns (cost ∝ vocabulary, never corpus), then OR over
+        # the expansion. Limit far above the match count so the cap
+        # never binds and the LIKE oracle is exact.
+        return _ids_table(
+            _reader(sf_dir).search_contains(CONTAINS_QUERY, limit=100_000))
+
+    def search_regex_docs(sf_dir):
+        # Regex term search — pyarrow and DuckDB both dispatch to RE2
+        # with partial-match semantics, so parity is engine-level.
+        return _ids_table(
+            _reader(sf_dir).search_regex(REGEX_QUERY, limit=100_000))
 
     def bm25_topk(sf_dir):
         top = _reader(sf_dir).bm25_topk(BM25_TOKENS, BM25_K)
@@ -1298,6 +1315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cents": quantiles_cents,
         "user_type_totals_top": user_type_totals_top,
         "search_prefix_docs": search_prefix_docs,
+        "search_contains_docs": search_contains_docs,
+        "search_regex_docs": search_regex_docs,
     })
 
 
@@ -1441,6 +1460,12 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id FROM (
         "search_prefix_docs": f"""WITH {_KEPT}, {_OCC}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM occ
 WHERE term LIKE '{PREFIX_QUERY}%' ORDER BY doc_id""",
+        "search_contains_docs": f"""WITH {_KEPT}, {_OCC}
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM occ
+WHERE term LIKE '%{CONTAINS_QUERY}%' ORDER BY doc_id""",
+        "search_regex_docs": f"""WITH {_KEPT}, {_OCC}
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM occ
+WHERE regexp_matches(term, '{REGEX_QUERY}') ORDER BY doc_id""",
         "bm25_topk": f"""WITH {_KEPT}, {_OCC},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ
        WHERE term IN {bm25_terms} GROUP BY 1, 2),

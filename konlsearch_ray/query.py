@@ -524,6 +524,64 @@ class IndexReader:
             return []
         return self.search(terms, SearchMode.OR)
 
+    def expand_match(self, pattern: str, *, regex: bool = False,
+                     limit: int = 64) -> list[str]:
+        """Distinct stored terms containing substring ``pattern`` (or,
+        with ``regex=True``, matching the RE2 pattern anywhere — anchor
+        with ``^``/``$`` for full-term match), sorted, capped.
+
+        Infix/regex wildcards can't use the sorted-range trick prefix
+        expansion uses, so this is the Lucene-style fallback: a full
+        vocabulary scan — but vectorized, not per-term Python. Each
+        segment's ``term`` column is already an Arrow string column, so
+        the scan is one zero-copy :func:`pyarrow.compute` RE2 kernel per
+        segment; cost is proportional to VOCABULARY size (terms × avg
+        term bytes), never corpus size, and in the sharded engine each
+        actor scans only its own shards, so wall-time divides by the
+        actor count. Substrings go through the query normalizer (terms
+        are stored sanitized/lowercased); regex patterns are used as
+        given against the lowercase term strings.
+        """
+        if limit < 1:
+            raise ValueError(f"limit must be >= 1, got {limit}")
+        import pyarrow.compute as pc
+
+        if regex:
+            pat = pattern
+        else:
+            norm = normalize_query_tokens([pattern])
+            if not norm:
+                return []
+            pat = norm[0]
+        matched: set[str] = set()
+        for (t,) in self._segments:
+            col = t["term"]
+            if not len(col):
+                continue
+            mask = (pc.match_substring_regex(col, pat) if regex
+                    else pc.match_substring(col, pat))
+            hits = pc.unique(col.filter(mask))
+            if len(hits):
+                matched.update(hits.to_pylist())
+        return sorted(matched)[:limit]
+
+    def search_contains(self, substring: str, limit: int = 64) -> list[int]:
+        """Docs containing ANY term with ``substring`` anywhere in it
+        (``*sub*`` wildcard) — vocabulary scan + OR. Ascending doc ids."""
+        terms = self.expand_match(substring, regex=False, limit=limit)
+        if not terms:
+            return []
+        return self.search(terms, SearchMode.OR)
+
+    def search_regex(self, pattern: str, limit: int = 64) -> list[int]:
+        """Docs containing ANY term matching the RE2 ``pattern``
+        (unanchored, same partial-match semantics as DuckDB's
+        ``regexp_matches``) — vocabulary scan + OR. Ascending doc ids."""
+        terms = self.expand_match(pattern, regex=True, limit=limit)
+        if not terms:
+            return []
+        return self.search(terms, SearchMode.OR)
+
     def search_complex(self, tree) -> list[int]:
         """tree = (left, right, 'AND'|'OR'); leaves are (tokens, mode)."""
         return [int(x) for x in np.sort(self._eval(tree))]
@@ -879,6 +937,12 @@ class ShardQueryActor:
     def search_prefix(self, prefix, limit):
         return self.reader.search_prefix(prefix, limit=limit)
 
+    def search_contains(self, substring, limit):
+        return self.reader.search_contains(substring, limit=limit)
+
+    def search_regex(self, pattern, limit):
+        return self.reader.search_regex(pattern, limit=limit)
+
     def bm25_topk(self, tokens, k):
         return self.reader.bm25_topk(tokens, k)
 
@@ -944,6 +1008,28 @@ class ShardedQueryEngine:
 
         parts = _ray.get(
             [a.search_prefix.remote(prefix, limit) for a in self._actors])
+        out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
+                                      for p in parts]))
+        return [int(x) for x in out]
+
+    def search_contains(self, substring, limit=64):
+        """Scatter-gather ``*sub*`` wildcard search — each actor scans
+        only its own shards' vocabulary (the scan parallelizes across
+        the pool). Same per-shard cap caveat as :meth:`search_prefix`."""
+        import ray as _ray
+
+        parts = _ray.get([a.search_contains.remote(substring, limit)
+                          for a in self._actors])
+        out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
+                                      for p in parts]))
+        return [int(x) for x in out]
+
+    def search_regex(self, pattern, limit=64):
+        """Scatter-gather regex term search; see :meth:`search_contains`."""
+        import ray as _ray
+
+        parts = _ray.get([a.search_regex.remote(pattern, limit)
+                          for a in self._actors])
         out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
                                       for p in parts]))
         return [int(x) for x in out]

@@ -191,3 +191,43 @@ def test_prefix_search_sharded(built, ray_session):
                 reader.search_prefix(prefix, limit=10_000), prefix
     finally:
         eng.shutdown()
+
+
+def test_contains_search_matches_oracle(built):
+    _, reader, oracle, _, _ = built
+    for sub in ["ef", "법", "turn", "zzznope"]:
+        vocab_match = sorted(t for t in oracle.postings if sub in t)
+        assert reader.expand_match(sub, limit=10_000) == vocab_match, sub
+        expect = sorted({d for t in vocab_match for d in oracle.postings[t]})
+        assert reader.search_contains(sub, limit=10_000) == expect, sub
+    # Normalizer applies to the substring (terms are stored lowercase).
+    assert reader.search_contains("EF", limit=10_000) == \
+        reader.search_contains("ef", limit=10_000)
+
+
+def test_regex_search_matches_oracle(built):
+    import re
+
+    _, reader, oracle, _, _ = built
+    for pat in [r"^cl(ass|ean)", r"turn$", r"^건담$", r"^zzz"]:
+        rx = re.compile(pat)
+        vocab_match = sorted(t for t in oracle.postings if rx.search(t))
+        assert reader.expand_match(pat, regex=True, limit=10_000) == \
+            vocab_match, pat
+        expect = sorted({d for t in vocab_match for d in oracle.postings[t]})
+        assert reader.search_regex(pat, limit=10_000) == expect, pat
+
+
+def test_contains_search_sharded(built, ray_session):
+    from konlsearch_ray.query import ShardedQueryEngine
+
+    _, reader, _, index_dir, _ = built
+    eng = ShardedQueryEngine(index_dir, num_actors=3)
+    try:
+        for sub in ["ef", "법", "zzznope"]:
+            assert eng.search_contains(sub, limit=10_000) == \
+                reader.search_contains(sub, limit=10_000), sub
+        assert eng.search_regex(r"turn$", limit=10_000) == \
+            reader.search_regex(r"turn$", limit=10_000)
+    finally:
+        eng.shutdown()
