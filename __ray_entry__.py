@@ -203,7 +203,7 @@ _PREVIOUSLY_VERIFIED = [
 _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
                "search_prefix_docs", "search_contains_docs",
-               "search_regex_docs"]
+               "search_regex_docs", "join_full_custorders"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -929,6 +929,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          columns=["c_custkey", "c_name", "c_mktsegment"])
         return equi_join(orders, cust, "o_custkey", "c_custkey")
 
+    def join_full_custorders(sf_dir):
+        # FULL OUTER join — customers without orders survive from the
+        # right side under the coalesced key (TPC-H guarantees some);
+        # every order matches a customer, so the left-outer half is
+        # exercised by the oracle shape, not the data.
+        from konlsearch_ray.functions.joins import equi_join
+
+        orders = _rp_clean(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey"])
+        cust = _rp_clean(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+        return equi_join(orders, cust, "o_custkey", "c_custkey",
+                         how="full")
+
     def top_tokens(sf_dir):
         # Heavy hitters over the (Zipfian) token stream: per-block
         # Misra-Gries summaries -> one bounded merge -> exact recount of
@@ -1317,6 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prefix_docs": search_prefix_docs,
         "search_contains_docs": search_contains_docs,
         "search_regex_docs": search_regex_docs,
+        "join_full_custorders": join_full_custorders,
     })
 
 
@@ -1863,6 +1878,10 @@ GROUP BY user_id""",
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
        c.c_name, c.c_mktsegment
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "join_full_custorders": """SELECT
+       coalesce(o.o_custkey, c.c_custkey)::BIGINT AS o_custkey,
+       o.o_orderkey::BIGINT AS o_orderkey, c.c_name
+FROM orders o FULL JOIN customer c ON o.o_custkey = c.c_custkey""",
         "event_lag": """SELECT user_id::BIGINT AS user_id,
        event_id::BIGINT AS event_id,
        epoch_us(ts)::BIGINT AS ts_us,

@@ -85,12 +85,15 @@ def equi_join(
     Wraps Ray's hash-partitioned ``Dataset.join`` with the house guards
     that make it safe in real pipelines:
 
-    - SQL NULL semantics: null-key rows never match. Right-side ones
-      are filtered up front (they can contribute nothing); on
-      ``how="inner"`` left ones are too. On ``how="left"`` null-key
-      left rows are KEPT and come back padded with null right columns —
-      exactly SQL LEFT JOIN (Ray's hash join already treats null keys
-      as never-equal; verified by test);
+    - all four SQL join types: ``inner`` / ``left`` / ``right`` /
+      ``full``. The surviving key column is named ``left_key`` except
+      on ``right`` (``right_key``); ``full`` emits one key column
+      coalesced across both sides (SQL USING semantics);
+    - SQL NULL semantics: null-key rows never match. Inner-ish sides
+      have them filtered up front (they can contribute nothing); on an
+      outer side they are KEPT and come back padded with null columns
+      from the other side — exactly SQL OUTER JOIN (Ray's hash join
+      already treats null keys as never-equal; verified by test);
     - schema metadata stripped (unhashable pandas metadata trips the
       hash-shuffle aggregator's schema dedup);
     - empty-block/empty-side handling (0-row shuffle partitions with
@@ -100,8 +103,9 @@ def equi_join(
     Both sides move exactly once (one hash exchange each). Key columns
     must share a comparable type; non-key column names must not collide.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"how must be 'inner'/'left'/'right'/'full', got {how!r}")
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     overlap = (set(lcols) - {left_key}) & (set(rcols) - {right_key})
@@ -118,45 +122,71 @@ def equi_join(
 
     lsch, rsch = left.schema(), right.schema()
     ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    l_extra = [(n, ltypes[n]) for n in lcols if n != left_key]
     r_extra = [(n, t) for n, t in zip(rsch.names, rsch.types)
                if n != right_key]
-    keep = ([left_key] + [c for c in lcols if c != left_key]
-            + [n for n, _ in r_extra])
+    # Output layout. Ray's join names the surviving key column after the
+    # side that owns it: inner/left_outer emit ``left_key``; right_outer
+    # emits ``right_key`` (left key dropped); full_outer emits ONE
+    # ``left_key`` column already coalesced across both sides —
+    # SQL USING / COALESCE(l.k, r.k) semantics (verified by test).
+    key_name = right_key if how == "right" else left_key
+    key_type = rtypes[right_key] if how == "right" else ltypes[left_key]
+    keep = ([key_name] + [n for n, _ in l_extra] + [n for n, _ in r_extra])
 
     def _empty_joined() -> ray.data.Dataset:
         # 0-row result WITH the exact joined schema — never the generic
         # all-int64 fallback (a wrong empty schema breaks downstream
         # unions/selects).
-        cols = {n: pa.array([], ltypes[n]) for n in lcols}
-        for n, t in r_extra:
-            cols[n] = pa.array([], t)
-        return ray.data.from_arrow(pa.table(
-            {n: cols[n] for n in keep}))
+        cols = {key_name: pa.array([], key_type)}
+        cols.update({n: pa.array([], t) for n, t in l_extra})
+        cols.update({n: pa.array([], t) for n, t in r_extra})
+        return ray.data.from_arrow(pa.table({n: cols[n] for n in keep}))
 
-    # how="left": null-key left rows stay in (SQL LEFT JOIN keeps them,
-    # padded — Ray's hash join treats null keys as never-equal, so they
-    # flow through with null right columns). Inner drops them up front.
-    lds = left.map_batches(_clean(left_key if how == "inner" else None),
-                           batch_format="pyarrow")
-    rds = right.map_batches(_clean(right_key), batch_format="pyarrow")
+    def _pad_left_rows(t: pa.Table) -> pa.Table:
+        # Every left row survives with null right columns (left/full
+        # against an empty right side).
+        for n, typ in r_extra:
+            t = t.append_column(n, pa.nulls(t.num_rows, typ))
+        return t.select(keep)
+
+    def _pad_right_rows(t: pa.Table) -> pa.Table:
+        # Every right row survives with null left columns (right/full
+        # against an empty left side); full names the key after the
+        # left side (the coalesce collapses to the right values here).
+        if key_name != right_key:
+            t = t.rename_columns(
+                [key_name if c == right_key else c for c in t.schema.names])
+        for n, typ in l_extra:
+            t = t.append_column(n, pa.nulls(t.num_rows, typ))
+        return t.select(keep)
+
+    # SQL NULL semantics: null keys never match, so null-key rows on an
+    # inner-ish side are dropped up front; on an outer side they are
+    # KEPT and come back padded (Ray's hash join treats null keys as
+    # never-equal, so they flow through).
+    l_filter = left_key if how in ("inner", "right") else None
+    r_filter = right_key if how in ("inner", "left") else None
+    lds = left.map_batches(_clean(l_filter), batch_format="pyarrow")
+    rds = right.map_batches(_clean(r_filter), batch_format="pyarrow")
     lds, l_rows = pinned_nonempty(lds, tuple(lcols))
-    if not l_rows:  # empty (inner: or all-null-key) left side
-        return _empty_joined()
+    if not l_rows:  # empty (or all-null-key on an inner-ish side) left
+        if how in ("inner", "left"):
+            return _empty_joined()
+        rds, r_rows = pinned_nonempty(rds, tuple(rcols))
+        if not r_rows:
+            return _empty_joined()
+        return rds.map_batches(_pad_right_rows, batch_format="pyarrow")
     rds, r_rows = pinned_nonempty(rds, tuple(rcols))
     if not r_rows:
-        # Empty (or all-null-key) right side: a 0-row join input crashes
-        # the hash-shuffle aggregator — short-circuit. Inner join is
-        # empty; left join keeps every left row with null right columns.
-        if how == "inner":
+        # A 0-row join input crashes the hash-shuffle aggregator —
+        # short-circuit instead.
+        if how in ("inner", "right"):
             return _empty_joined()
-
-        def pad(t: pa.Table) -> pa.Table:
-            for n, typ in r_extra:
-                t = t.append_column(n, pa.nulls(t.num_rows, typ))
-            return t.select(keep)
-
-        return lds.map_batches(pad, batch_format="pyarrow")
-    jt = "inner" if how == "inner" else "left_outer"
+        return lds.map_batches(_pad_left_rows, batch_format="pyarrow")
+    jt = {"inner": "inner", "left": "left_outer",
+          "right": "right_outer", "full": "full_outer"}[how]
     out = lds.join(rds, jt,
                    num_partitions=num_partitions or default_join_partitions(),
                    on=(left_key,), right_on=(right_key,))

@@ -1814,3 +1814,59 @@ def test_grouped_mode_tiebreak_and_nulls(ray_session):
     assert out["k"].tolist() == ["a", "b"]
     assert out["mode_v"].tolist() == ["x", "z"]
     assert out["cnt"].tolist() == [2, 1]
+
+
+def test_equi_join_right_and_full(ray_session):
+    import duckdb
+    import ray.data
+
+    from konlsearch_ray.functions.joins import equi_join
+
+    lt = pa.table({
+        "k": pa.array([1, 2, 3, None, 2], pa.int64()),
+        "lv": pa.array([10, 20, 30, 40, 21], pa.int64()),
+    })
+    rt = pa.table({
+        "rk": pa.array([2, 3, 3, None, 7], pa.int64()),
+        "rv": pa.array(["b", "c1", "c2", "z", "q"]),
+    })
+    left = ray.data.from_arrow(lt).repartition(2)
+    right = ray.data.from_arrow(rt).repartition(2)
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+
+    ro = (equi_join(left, right, "k", "rk", how="right").to_pandas()
+          .sort_values(["rk", "rv", "lv"]).reset_index(drop=True))
+    exp = con.execute("""SELECT rk, lv, rv FROM l RIGHT JOIN r ON k = rk
+                         ORDER BY rk, rv, lv""").df()
+    assert ro[["rk", "lv", "rv"]].astype("object").where(ro.notna(), None) \
+        .values.tolist() == \
+        exp.astype("object").where(exp.notna(), None).values.tolist()
+
+    fo = (equi_join(left, right, "k", "rk", how="full").to_pandas()
+          .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    # full coalesces the key under the LEFT name (USING semantics)
+    exp = con.execute("""SELECT coalesce(k, rk) AS k, lv, rv
+                         FROM l FULL JOIN r ON k = rk
+                         ORDER BY k, lv, rv""").df()
+    assert fo[["k", "lv", "rv"]].astype("object").where(fo.notna(), None) \
+        .values.tolist() == \
+        exp.astype("object").where(exp.notna(), None).values.tolist()
+
+    # empty-side short circuits keep every surviving row, padded
+    er = ray.data.from_arrow(pa.table({
+        "rk": pa.array([], pa.int64()), "rv": pa.array([], pa.string())}))
+    assert equi_join(left, er, "k", "rk", how="right").count() == 0
+    fe = equi_join(left, er, "k", "rk", how="full").to_pandas()
+    assert len(fe) == 5 and fe["rv"].isna().all()
+    el = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "lv": pa.array([], pa.int64())}))
+    re_ = (equi_join(el, right, "k", "rk", how="right").to_pandas()
+           .sort_values(["rk", "rv"]).reset_index(drop=True))
+    assert len(re_) == 5 and re_["lv"].isna().all()
+    ff = equi_join(el, right, "k", "rk", how="full").to_pandas()
+    assert len(ff) == 5 and set(ff.columns) == {"k", "lv", "rv"}
+    # the coalesced key carries the right-side values
+    assert sorted(x for x in ff["k"].tolist() if x == x) == [2, 3, 3, 7]
+
