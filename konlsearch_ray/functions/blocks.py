@@ -105,3 +105,14 @@ def cents_col(t: "pa.Table", col: str = "value"):
         pc.round(pc.multiply(t[col], 100.0),
                  round_mode="half_towards_infinity"),
         pa.int64())
+
+
+def cents_np(values) -> "np.ndarray":
+    """Numpy-level twin of :func:`cents_col` for kernels that already
+    hold a float64 column (the window partials): same
+    half_towards_infinity rule, values must be non-null (callers drop
+    null rows first — a NaN would poison the int64 cast)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64)
+    return (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)

@@ -35,6 +35,7 @@ import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
 from konlsearch_ray.functions.blocks import (arrow_schema as _arrow_schema,
+                                             cents_np,
                                              default_nbuckets as
                                              _default_nbuckets,
                                              nonempty_blocks)
@@ -159,11 +160,15 @@ def tumbling_window(
     keys = [key_col] if key_col else []
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        # Null ts/value/key rows are dropped (documented deviation from
+        # SQL's NULL group — an unguarded NaN would INT64_MIN-poison
+        # sum_cents; pandas' groupby silently drops NaN keys anyway).
+        t = _required_rows(t, (ts_col, value_col, *keys))
         tus = _ts_us(t[ts_col], int_unit).to_numpy(zero_copy_only=False)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         df = pd.DataFrame({
             "win": tus // width_us,
-            "cents": np.round(v * 100.0).astype(np.int64),
+            "cents": cents_np(v),
             "v": v,
         })
         for k in keys:
@@ -207,6 +212,8 @@ def sliding_window(
     keys = [key_col] if key_col else []
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        # Same null contract as tumbling_window: drop, don't poison.
+        t = _required_rows(t, (ts_col, value_col, *keys))
         tus = _ts_us(t[ts_col], int_unit).to_numpy(zero_copy_only=False)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         # windows containing t: k in [(t-width)//slide + 1, t//slide]
@@ -218,7 +225,7 @@ def sliding_window(
         offs = np.arange(len(idx)) - np.repeat(np.cumsum(nrep) - nrep, nrep)
         df = pd.DataFrame({
             "win": k_lo[idx] + offs,
-            "cents": np.round(v * 100.0).astype(np.int64)[idx],
+            "cents": cents_np(v)[idx],
             "v": v[idx],
         })
         for k in keys:

@@ -312,3 +312,24 @@ def test_bare_int_ts_requires_explicit_unit(ray_session):
                "v": pa.array([1.0], pa.float64())})
     with pytest.raises(Exception, match="overflow|invalid"):
         _tumbling_window(big, "t", 60, "v", int_unit="s").to_pandas()
+
+
+def test_window_null_rows_dropped_and_half_away_cents(ray_session):
+    """Null ts/value/key rows are DROPPED (not INT64_MIN-poisoned), and
+    cents quantize half-away-from-zero like the shared cents_col rule
+    (np.round's half-to-even would give 2 for 0.025*100)."""
+    from konlsearch_ray.functions.temporal import sliding_window
+
+    ds = _ds({
+        "k": pa.array([1, 1, None, 1], pa.int64()),
+        "t": pa.array([0, None, 5 * US, 10 * US], pa.int64()),
+        "v": pa.array([0.025, 1.0, 1.0, None], pa.float64()),
+    })
+    out = _sorted(tumbling_window(ds, "t", 60, "v", key_col="k"),
+                  ["win_start", "k"])
+    assert out["n"].tolist() == [1]          # 3 of 4 rows dropped
+    assert out["sum_cents"].tolist() == [3]  # 0.025 -> 3, not 2
+    out = _sorted(
+        sliding_window(ds, "t", 120, 60, "v", key_col="k", int_unit="us"),
+        ["win_start", "k"])
+    assert out["sum_cents"].tolist() == [3, 3]  # two hops, same row
