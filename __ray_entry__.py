@@ -203,7 +203,7 @@ _PREVIOUSLY_VERIFIED = [
 _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
                "search_prefix_docs", "search_contains_docs",
-               "search_regex_docs", "join_full_custorders"]
+               "search_regex_docs", "join_full_custorders", "value_zscore"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1217,6 +1217,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
         return grouped_minmax_norm(ev, "event_type", "v", "event_id")
 
+    def value_zscore(sf_dir):
+        # Per-type standardization — exact integer sufficient stats
+        # (n, Σv, Σv²) folded in Python ints (= the oracle's HUGEINT),
+        # O(keys) broadcast, one vectorized map pass, zero raw shuffles.
+        from konlsearch_ray.functions.stats import grouped_zscore
+
+        ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
+        return grouped_zscore(ev, "event_type", "v", "event_id")
+
     def rollup_events(sf_dir):
         # Per-type count + exact cents sum plus the ROLLUP grand-total
         # row (null key = total, like SQL).
@@ -1332,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_contains_docs": search_contains_docs,
         "search_regex_docs": search_regex_docs,
         "join_full_custorders": join_full_custorders,
+        "value_zscore": value_zscore,
     })
 
 
@@ -1878,6 +1888,18 @@ GROUP BY user_id""",
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
        c.c_name, c.c_mktsegment
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "value_zscore": """WITH c AS (
+  SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS v
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+s AS (SELECT event_type, count(*) AS n, sum(v) AS s, sum(v*v) AS ssq
+      FROM c GROUP BY 1)
+SELECT c.event_type, c.event_id::BIGINT AS event_id, c.v::BIGINT AS v,
+  CASE WHEN (s.n*s.ssq - s.s*s.s) > 0 THEN
+    (CAST(c.v AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+    / sqrt(CAST(s.n*s.ssq - s.s*s.s AS DOUBLE)
+           / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)))
+  ELSE NULL END AS z
+FROM c JOIN s USING (event_type)""",
         "join_full_custorders": """SELECT
        coalesce(o.o_custkey, c.c_custkey)::BIGINT AS o_custkey,
        o.o_orderkey::BIGINT AS o_orderkey, c.c_name

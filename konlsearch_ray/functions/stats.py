@@ -592,6 +592,136 @@ def grouped_minmax_norm(
 
     return ds.map_batches(norm, batch_format="pyarrow")
 
+
+def grouped_zscore(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Per-key z-score normalization of an INTEGER column —
+    ``(v - mean) / stddev_pop`` per key — the standardization features
+    get before cross-source mixing (complements
+    :func:`grouped_minmax_norm`'s [0,1] scaling).
+
+    Same two-bounded-stage shape as minmax: per-block ``(key, n, sum,
+    sumsq)`` partials collapse inside ``map_batches``, one tiny keyed
+    merge folds them in arbitrary-precision Python ints (exact — the
+    SQL oracle's HUGEINT does the same), and the O(keys) stats table
+    broadcasts via ``ray.put`` for a single vectorized map pass. No raw
+    row ever shuffles.
+
+    Exactness contract: the float result is derived from exact integer
+    sufficient statistics through ONE fixed expression —
+    ``(v::double - s::double/n::double) /
+    sqrt((n*ssq - s*s)::double / (n::double * n::double))`` —
+    mirror it operand-for-operand in any oracle. Blocks whose worst-case
+    ``sum(v*v)`` could exceed int64 are processed in sub-slices sized to
+    the block's max |v| (multiple partial rows per key are fine; the
+    merge is exact), so the partials never wrap silently.
+
+    A zero-variance key yields null ``z`` (SQL CASE, division by zero);
+    rows with a null key or value are dropped (no partition / no rank
+    signal). Output: ``key_col``, ``id_col``, ``v`` (int64), ``z``
+    (float64).
+    """
+    import ray as _ray
+
+    from konlsearch_ray.functions.blocks import nonempty_refs
+    from konlsearch_ray.functions.temporal import _required_rows
+
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    if not pa.types.is_integer(sch.field(value_col).type):
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed "
+            f"(got {sch.field(value_col).type}); quantize upstream")
+    p_empty = pa.table({key_col: pa.array([], ktyp),
+                        "n": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.int64()),
+                        "ssq": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _required_rows(t, (key_col, value_col))
+        if not t.num_rows:
+            return p_empty
+        t = t.combine_chunks()
+        keys_all = t[key_col].to_pandas()
+        v_all = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # Sub-slice so even an all-max-|v| slice's sumsq fits int64.
+        vmax = float(np.abs(v_all).max()) if len(v_all) else 0.0
+        safe = max(1, int(2.0**62 / max(1.0, vmax * vmax)))
+        outs = []
+        for lo in range(0, len(v_all), safe):
+            v = v_all[lo:lo + safe]
+            codes, uniq = pd.factorize(keys_all.iloc[lo:lo + safe],
+                                       sort=False)
+            k = len(uniq)
+            n = np.bincount(codes, minlength=k).astype(np.int64)
+            s = np.zeros(k, dtype=np.int64)
+            np.add.at(s, codes, v)
+            ssq = np.zeros(k, dtype=np.int64)
+            np.add.at(ssq, codes, v * v)
+            outs.append(pa.table({key_col: pa.array(uniq, ktyp),
+                                  "n": pa.array(n), "s": pa.array(s),
+                                  "ssq": pa.array(ssq)}))
+        return pa.concat_tables(outs)
+
+    def merge(g: pa.Table) -> pa.Table:
+        stats_empty = pa.table({key_col: pa.array([], ktyp),
+                                "n": pa.array([], pa.int64()),
+                                "s_d": pa.array([], pa.float64()),
+                                "var_d": pa.array([], pa.float64())})
+        if not g.num_rows:
+            return stats_empty
+        n = sum(g["n"].to_pylist())          # exact: Python ints
+        s = sum(g["s"].to_pylist())
+        ssq = sum(g["ssq"].to_pylist())
+        num = n * ssq - s * s                # >= 0 (Cauchy-Schwarz)
+        var_d = (float(num) / (float(n) * float(n))
+                 if num > 0 else None)
+        return pa.table({
+            key_col: g[key_col][:1],
+            "n": pa.array([n], pa.int64()),
+            "s_d": pa.array([float(s)], pa.float64()),
+            "var_d": pa.array([var_d], pa.float64()),
+        })
+
+    stats_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(key_col).map_groups(merge,
+                                               batch_format="pyarrow"))
+    refs, rows = nonempty_refs(stats_ds)
+    out_schema = pa.schema([(key_col, ktyp), (id_col, pa.int64()),
+                            ("v", pa.int64()), ("z", pa.float64())])
+    if not rows:
+        return ray.data.from_arrow(out_schema.empty_table())
+    bt = pa.concat_tables(_ray.get(refs)).combine_chunks()
+    ref = _ray.put(bt)
+
+    def zmap(t: pa.Table) -> pa.Table:
+        b: pa.Table = _ray.get(ref)
+        t = _required_rows(t, (key_col, value_col))
+        idx = pc.index_in(t[key_col], value_set=b[key_col])
+        # every surviving (non-null-key, non-null-value) row HAS a
+        # stats row by construction; a missing one would be a bug.
+        n_d = pc.take(b["n"], idx).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        s_d = pc.take(b["s_d"], idx).to_numpy(zero_copy_only=False)
+        var = pc.take(b["var_d"], idx)
+        has_var = pc.is_valid(var).to_numpy(zero_copy_only=False)
+        var_d = pc.fill_null(var, 1.0).to_numpy(zero_copy_only=False)
+        v = pc.cast(t[value_col], pa.int64())
+        vf = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        # THE expression (see docstring) — keep operand order.
+        z = (vf - s_d / n_d) / np.sqrt(var_d)
+        zcol = pc.if_else(pa.array(has_var), pa.array(z),
+                          pa.nulls(t.num_rows, pa.float64()))
+        return pa.table({key_col: t[key_col], id_col: t[id_col],
+                         "v": v, "z": zcol})
+
+    return ds.map_batches(zmap, batch_format="pyarrow")
+
+
 def grouped_quantiles_int(
     ds: ray.data.Dataset,
     key_col: str,

@@ -63,7 +63,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     return problems
 
 
-def run(sf_dir: str, only: list[str] | None = None) -> int:
+def run(sf_dir: str, only: list[str] | None = None,
+        record: dict | None = None) -> int:
+    """Run the gate; if ``record`` is given, also fill it with one
+    driver-CORRECTNESS-style row per entry (rows/schema/hash booleans,
+    row counts, err) so the run can be persisted as an artifact."""
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entry_mod
 
@@ -83,15 +87,32 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
         except Exception as e:
             print(f"FAIL {name}: ray side raised {type(e).__name__}: {e}")
             failures += 1
+            if record is not None:
+                record[name] = {
+                    "rows_match": False, "schema_match": None,
+                    "hash_match": None, "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": f"{type(e).__name__}: {e}"[:300]}
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(ray_df)} rows, cols={list(ray_df.columns)}")
+            if record is not None:
+                record[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": len(ray_df),
+                    "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             sql_df = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: SQL raised {type(e).__name__}: {e}")
             failures += 1
+            if record is not None:
+                record[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": len(ray_df),
+                    "oracle_rows": None,
+                    "err": f"SQL {type(e).__name__}: {e}"[:300]}
             continue
         problems = compare(name, ray_df, sql_df)
         if problems:
@@ -99,6 +120,15 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"OK   {name}: {len(ray_df)} rows")
+        if record is not None:
+            schema_ok = not any(p.startswith("schema") for p in problems)
+            rows_ok = schema_ok and not any(
+                p.startswith("rows") for p in problems)
+            record[name] = {
+                "rows_match": rows_ok, "schema_match": schema_ok,
+                "hash_match": not problems,
+                "spark_rows": len(ray_df), "oracle_rows": len(sql_df),
+                "err": "; ".join(problems)[:300] or None}
     return failures
 
 
@@ -112,6 +142,14 @@ if __name__ == "__main__":
     DataContext.get_current().enable_progress_bars = False
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    rc = run(sf, only)
+    out_json = os.environ.get("GATE_RECORD_JSON")
+    results: dict | None = {} if out_json else None
+    rc = run(sf, only, record=results)
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"recorded {len(results)} entries -> {out_json}")
     ray.shutdown()
     sys.exit(1 if rc else 0)

@@ -1870,3 +1870,64 @@ def test_equi_join_right_and_full(ray_session):
     # the coalesced key carries the right-side values
     assert sorted(x for x in ff["k"].tolist() if x == x) == [2, 3, 3, 7]
 
+
+
+def test_grouped_zscore(ray_session):
+    import duckdb
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_zscore
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", None, "c"], pa.string()),
+        "v": pa.array([100, 200, 300, 7, 7, 5, None], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (grouped_zscore(ds, "k", "v", "id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # null key (id 6) and null value (id 7) rows drop; zero-variance
+    # key "b" emits null z
+    assert out["id"].tolist() == [1, 2, 3, 4, 5]
+    assert out.loc[3:4, "z"].isna().all()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""WITH c AS (SELECT k, id, v FROM t
+                            WHERE k IS NOT NULL AND v IS NOT NULL),
+        s AS (SELECT k, count(*) AS n, sum(v) AS s, sum(v*v) AS ssq
+              FROM c GROUP BY 1)
+        SELECT id, CASE WHEN (s.n*s.ssq - s.s*s.s) > 0 THEN
+            (CAST(c.v AS DOUBLE) - CAST(s.s AS DOUBLE)/CAST(s.n AS DOUBLE))
+            / sqrt(CAST(s.n*s.ssq - s.s*s.s AS DOUBLE)
+                   / (CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE)))
+        ELSE NULL END AS z FROM c JOIN s USING (k) ORDER BY id""").df()
+    import numpy as np
+    assert np.allclose(out["z"].to_numpy()[:3], exp["z"].to_numpy()[:3],
+                       rtol=0, atol=0)  # bit-identical on the real key
+
+    # sub-slice path: values near 2^31 force tiny safe-slice sizes
+    big = pa.table({
+        "k": pa.array(["x"] * 40, pa.string()),
+        "v": pa.array([2**31 + i for i in range(40)], pa.int64()),
+        "id": pa.array(list(range(40)), pa.int64()),
+    })
+    bo = (grouped_zscore(ray.data.from_arrow(big), "k", "v", "id")
+          .to_pandas().sort_values("id"))
+    con.register("b", big)
+    bexp = con.execute("""WITH s AS (SELECT count(*) AS n, sum(v) AS s,
+              sum(v*v) AS ssq FROM b)
+        SELECT id, (CAST(v AS DOUBLE) - CAST(s.s AS DOUBLE)/CAST(s.n AS DOUBLE))
+          / sqrt(CAST(s.n*s.ssq - s.s*s.s AS DOUBLE)
+                 / (CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE))) AS z
+        FROM b, s ORDER BY id""").df()
+    assert np.allclose(bo["z"].to_numpy(), bexp["z"].to_numpy(),
+                       rtol=0, atol=0)
+
+    # empty / all-dropped input keeps the typed schema
+    empty = grouped_zscore(
+        ray.data.from_arrow(pa.table({
+            "k": pa.array([None], pa.string()),
+            "v": pa.array([1], pa.int64()),
+            "id": pa.array([1], pa.int64())})), "k", "v", "id")
+    df = empty.to_pandas()
+    assert len(df) == 0
