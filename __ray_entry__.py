@@ -203,7 +203,8 @@ _PREVIOUSLY_VERIFIED = [
 _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
                "search_prefix_docs", "search_contains_docs",
-               "search_regex_docs", "join_full_custorders", "value_zscore"]
+               "search_regex_docs", "join_full_custorders", "value_zscore",
+               "cube_lineitem"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1217,6 +1218,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
         return grouped_minmax_norm(ev, "event_type", "v", "event_id")
 
+    def cube_lineitem(sf_dir):
+        # TPC-H-Q1-shaped GROUP BY CUBE(returnflag, linestatus) — pair
+        # partials collapse map-side, marginals derive from the bounded
+        # pairs dataset; raw rows never shuffle.
+        from konlsearch_ray.functions.aggregates import cube_counts
+        from konlsearch_ray.functions.blocks import cents_col
+
+        li = _rp_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                       columns=["l_returnflag", "l_linestatus",
+                                "l_extendedprice"])
+        li = li.map_batches(
+            lambda t: t.append_column(
+                "cents", cents_col(t, "l_extendedprice"))
+            .drop_columns(["l_extendedprice"]),
+            batch_format="pyarrow")
+        return cube_counts(li, "l_returnflag", "l_linestatus", "cents")
+
     def value_zscore(sf_dir):
         # Per-type standardization — exact integer sufficient stats
         # (n, Σv, Σv²) folded in Python ints (= the oracle's HUGEINT),
@@ -1342,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_regex_docs": search_regex_docs,
         "join_full_custorders": join_full_custorders,
         "value_zscore": value_zscore,
+        "cube_lineitem": cube_lineitem,
     })
 
 
@@ -1888,6 +1907,10 @@ GROUP BY user_id""",
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
        c.c_name, c.c_mktsegment
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "cube_lineitem": """SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS total
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
         "value_zscore": """WITH c AS (
   SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS v
   FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),

@@ -722,6 +722,151 @@ def rollup_counts_dataset(
     return keyed.union(gt)
 
 
+def cube_counts(
+    ds: ray.data.Dataset,
+    key_a: str,
+    key_b: str,
+    value_col: str,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE(a, b)`` counts + exact integer sums: all
+    four grouping sets — ``(a, b)``, ``(a, ·)``, ``(·, b)`` and the
+    grand total — with null marking the rolled-up position (SQL CUBE
+    output shape).
+
+    Scale shape: each block collapses map-side to its distinct
+    ``(a, b)`` pair partials (exchange volume bounded by pairs per
+    block, never rows); ONE keyed exchange on ``a`` merges them; every
+    marginal then derives from the bounded PAIRS dataset — two more
+    tiny groupbys and an O(blocks) grand fold — so raw rows move zero
+    times and nothing O(rows) ever concentrates.
+
+    SQL parity: rows with a null ``a`` or ``b`` are dropped (a null key
+    group would be indistinguishable from its subtotal row — same rule
+    as rollup); null values count into ``n`` only; an all-null-value
+    group sums to null. ``value_col`` must be integer-typed.
+
+    Output: ``key_a``, ``key_b``, ``n`` (int64), ``total`` (int64).
+    """
+    import pandas as pd
+
+    from konlsearch_ray.functions.blocks import pinned_nonempty
+
+    sch = _arrow_schema(ds)
+    atyp, btyp = sch.field(key_a).type, sch.field(key_b).type
+    if not pa.types.is_integer(sch.field(value_col).type):
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed "
+            f"(got {sch.field(value_col).type}); quantize upstream")
+    p_empty = pa.table({key_a: pa.array([], atyp),
+                        key_b: pa.array([], btyp),
+                        "n": pa.array([], pa.int64()),
+                        "nv": pa.array([], pa.int64()),
+                        "total": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_a]), pc.is_valid(t[key_b])))
+        if not t.num_rows:
+            return p_empty
+        t = t.combine_chunks()
+        vcol = t[value_col]
+        df = pd.DataFrame({
+            "a": t[key_a].to_pandas(), "b": t[key_b].to_pandas(),
+            "v": (pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
+                  .astype(np.int64)),
+            "nn": (pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+                   .astype(np.int64)),
+        })
+        g = df.groupby(["a", "b"], sort=False).agg(
+            n=("v", "size"), nv=("nn", "sum"), total=("v", "sum"))
+        g = g.reset_index()
+        return pa.table({key_a: pa.array(g["a"], atyp),
+                         key_b: pa.array(g["b"], btyp),
+                         "n": pa.array(g["n"], pa.int64()),
+                         "nv": pa.array(g["nv"], pa.int64()),
+                         "total": pa.array(g["total"], pa.int64())})
+
+    def merge_by_b(g: pa.Table) -> pa.Table:
+        # One key_a group: collapse its partials per key_b.
+        if not g.num_rows:
+            return p_empty
+        df = g.to_pandas().groupby(key_b, sort=False).agg(
+            n=("n", "sum"), nv=("nv", "sum"),
+            total=("total", "sum")).reset_index()
+        return pa.table({key_a: pa.array([g[key_a][0].as_py()] * len(df),
+                                         atyp),
+                         key_b: pa.array(df[key_b], btyp),
+                         "n": pa.array(df["n"], pa.int64()),
+                         "nv": pa.array(df["nv"], pa.int64()),
+                         "total": pa.array(df["total"], pa.int64())})
+
+    pairs_raw = (ds.map_batches(partial, batch_format="pyarrow")
+                   .groupby(key_a).map_groups(merge_by_b,
+                                              batch_format="pyarrow"))
+    grand_only = pa.table({key_a: pa.nulls(1, atyp),
+                           key_b: pa.nulls(1, btyp),
+                           "n": pa.array([0], pa.int64()),
+                           "total": pa.nulls(1, pa.int64())})
+    pairs, rows = pinned_nonempty(pairs_raw,
+                                  (key_a, key_b, "n", "nv", "total"))
+    if not rows:
+        # CUBE over zero rows still emits the grand-total grouping set.
+        return ray.data.from_arrow(grand_only)
+
+    def _tot(nv, total, length):
+        return pc.if_else(pc.greater(nv, 0), total,
+                          pa.nulls(length, pa.int64()))
+
+    def finish_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({key_a: t[key_a], key_b: t[key_b], "n": t["n"],
+                         "total": _tot(t["nv"], t["total"], t.num_rows)})
+
+    def _marginal(keep_col: str, keep_typ, null_col: str, null_typ):
+        def m(g: pa.Table) -> pa.Table:
+            if not g.num_rows:
+                return pa.table({key_a: pa.array([], atyp),
+                                 key_b: pa.array([], btyp),
+                                 "n": pa.array([], pa.int64()),
+                                 "total": pa.array([], pa.int64())})
+            n = pa.array([pc.sum(g["n"]).as_py()], pa.int64())
+            nv = pa.array([pc.sum(g["nv"]).as_py()], pa.int64())
+            tot = pa.array([pc.sum(g["total"]).as_py()], pa.int64())
+            cols = {keep_col: g[keep_col][:1],
+                    null_col: pa.nulls(1, null_typ),
+                    "n": n, "total": _tot(nv, tot, 1)}
+            return pa.table({key_a: cols[key_a], key_b: cols[key_b],
+                             "n": cols["n"], "total": cols["total"]})
+        return m
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+            "nv": pa.array([pc.sum(t["nv"]).as_py() or 0], pa.int64()),
+            "total": pa.array([pc.sum(t["total"]).as_py() or 0],
+                              pa.int64())})
+
+    def grand_row(t: pa.Table) -> pa.Table:
+        nv = pc.sum(t["nv"]).as_py() or 0
+        return pa.table({
+            key_a: pa.nulls(1, atyp), key_b: pa.nulls(1, btyp),
+            "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+            "total": (pa.array([pc.sum(t["total"]).as_py()], pa.int64())
+                      if nv else pa.nulls(1, pa.int64()))})
+
+    full = pairs.map_batches(finish_pairs, batch_format="pyarrow")
+    a_marg = (pairs.groupby(key_a)
+              .map_groups(_marginal(key_a, atyp, key_b, btyp),
+                          batch_format="pyarrow"))
+    b_marg = (pairs.groupby(key_b)
+              .map_groups(_marginal(key_b, btyp, key_a, atyp),
+                          batch_format="pyarrow"))
+    gt = (pairs.map_batches(block_sum, batch_format="pyarrow",
+                            batch_size=None)
+               .repartition(1)
+               .map_batches(grand_row, batch_format="pyarrow",
+                            batch_size=None))
+    return full.union(a_marg).union(b_marg).union(gt)
+
+
 def grouped_mode(
     ds: ray.data.Dataset,
     key_col: str,

@@ -1931,3 +1931,38 @@ def test_grouped_zscore(ray_session):
             "id": pa.array([1], pa.int64())})), "k", "v", "id")
     df = empty.to_pandas()
     assert len(df) == 0
+
+
+def test_cube_counts(ray_session):
+    import duckdb
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import cube_counts
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", "y", None, "x"], pa.string()),
+        "b": pa.array([1, 2, 1, 1, 1, None], pa.int64()),
+        "v": pa.array([10, 20, 30, None, 50, 60], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (cube_counts(ds, "a", "b", "v").to_pandas()
+           .sort_values(["a", "b"], na_position="last")
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = (con.execute("""SELECT a, b, count(*)::BIGINT AS n,
+                                 sum(v)::BIGINT AS total
+                          FROM t WHERE a IS NOT NULL AND b IS NOT NULL
+                          GROUP BY CUBE(a, b)
+                          ORDER BY a NULLS LAST, b NULLS LAST""").df())
+    assert (out.astype("object").where(out.notna(), None).values.tolist()
+            == exp.astype("object").where(exp.notna(), None)
+                  .values.tolist())
+
+    # all-null-value group sums to null; grand set survives empty input
+    e = cube_counts(ray.data.from_arrow(pa.table({
+        "a": pa.array([None], pa.string()),
+        "b": pa.array([1], pa.int64()),
+        "v": pa.array([1], pa.int64())})), "a", "b", "v").to_pandas()
+    assert len(e) == 1 and e["n"].tolist() == [0]
+    assert e["a"].isna().all() and e["total"].isna().all()
