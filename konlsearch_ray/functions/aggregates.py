@@ -776,7 +776,7 @@ def cube_counts(
             "nn": (pc.is_valid(vcol).to_numpy(zero_copy_only=False)
                    .astype(np.int64)),
         })
-        g = df.groupby(["a", "b"], sort=False).agg(
+        g = df.groupby(["a", "b"], sort=False, observed=True).agg(
             n=("v", "size"), nv=("nn", "sum"), total=("v", "sum"))
         g = g.reset_index()
         return pa.table({key_a: pa.array(g["a"], atyp),
@@ -789,7 +789,8 @@ def cube_counts(
         # One key_a group: collapse its partials per key_b.
         if not g.num_rows:
             return p_empty
-        df = g.to_pandas().groupby(key_b, sort=False).agg(
+        df = g.to_pandas().groupby(key_b, sort=False,
+                                   observed=True).agg(
             n=("n", "sum"), nv=("nv", "sum"),
             total=("total", "sum")).reset_index()
         return pa.table({key_a: pa.array([g[key_a][0].as_py()] * len(df),

@@ -173,7 +173,7 @@ def tumbling_window(
         })
         for k in keys:
             df[k] = t[k].to_numpy(zero_copy_only=False)
-        g = df.groupby(["win"] + keys, sort=False)
+        g = df.groupby(["win"] + keys, sort=False, observed=True)
         out = g.agg(n=("v", "size"), sum_cents=("cents", "sum"),
                     min_value=("v", "min"), max_value=("v", "max"))
         return out.reset_index()
@@ -230,7 +230,7 @@ def sliding_window(
         })
         for k in keys:
             df[k] = t[k].to_numpy(zero_copy_only=False)[idx]
-        g = df.groupby(["win"] + keys, sort=False)
+        g = df.groupby(["win"] + keys, sort=False, observed=True)
         out = g.agg(n=("v", "size"), sum_cents=("cents", "sum"),
                     min_value=("v", "min"), max_value=("v", "max"))
         return out.reset_index()
