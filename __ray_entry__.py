@@ -1720,8 +1720,11 @@ FROM tot t LEFT JOIN hit h USING (doc_id)""",
   count(*)::BIGINT AS n,
   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
   min(value) AS min_value, max(value) AS max_value
-FROM events GROUP BY 1, 2""",
-        "window_sliding": """WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2""",
+        "window_sliding": """WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
 x AS (SELECT event_type, value,
         unnest(generate_series((t - 172800000000) // 86400000000 + 1,
                                t // 86400000000)) AS win FROM e)

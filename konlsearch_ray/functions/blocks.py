@@ -109,10 +109,16 @@ def cents_col(t: "pa.Table", col: str = "value"):
 
 def cents_np(values) -> "np.ndarray":
     """Numpy-level twin of :func:`cents_col` for kernels that already
-    hold a float64 column (the window partials): same
-    half_towards_infinity rule, values must be non-null (callers drop
-    null rows first — a NaN would poison the int64 cast)."""
+    hold a float64 column (the window partials): the SAME Arrow kernel,
+    so quantization is bit-equal by construction (a hand-rolled
+    floor(x+0.5) differs at doubles like 0.49999999999999994). Callers
+    drop null rows first; a non-null NaN raises here (ArrowInvalid on
+    the int64 cast) — loud, exactly like the oracle's CAST."""
     import numpy as np
+    import pyarrow.compute as pc
 
-    v = np.asarray(values, dtype=np.float64)
-    return (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+    arr = pa.array(np.asarray(values, dtype=np.float64))
+    return pc.cast(
+        pc.round(pc.multiply(arr, 100.0),
+                 round_mode="half_towards_infinity"),
+        pa.int64()).to_numpy()

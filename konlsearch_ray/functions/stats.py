@@ -615,10 +615,13 @@ def grouped_zscore(
     sufficient statistics through ONE fixed expression —
     ``(v::double - s::double/n::double) /
     sqrt((n*ssq - s*s)::double / (n::double * n::double))`` —
-    mirror it operand-for-operand in any oracle. Blocks whose worst-case
-    ``sum(v*v)`` could exceed int64 are processed in sub-slices sized to
-    the block's max |v| (multiple partial rows per key are fine; the
-    merge is exact), so the partials never wrap silently.
+    mirror it operand-for-operand in any oracle. ``sum(v*v)`` is
+    accumulated wrap-free at any block size via a two-limb split
+    (``v² = a²·2³² + 2ab·2¹⁶ + b²`` with ``a = |v|>>16``,
+    ``b = |v|&0xffff`` — each limb sum fits int64 for any block below
+    2³¹ rows) and recombined in Python ints at merge. ``|v| ≥ 2³¹``
+    raises (the oracle's BIGINT ``v*v`` errors there too — loud on both
+    sides, never silently wrong); rescale upstream.
 
     A zero-variance key yields null ``z`` (SQL CASE, division by zero);
     rows with a null key or value are dropped (no partition / no rank
@@ -639,33 +642,40 @@ def grouped_zscore(
     p_empty = pa.table({key_col: pa.array([], ktyp),
                         "n": pa.array([], pa.int64()),
                         "s": pa.array([], pa.int64()),
-                        "ssq": pa.array([], pa.int64())})
+                        "saa": pa.array([], pa.int64()),
+                        "sab": pa.array([], pa.int64()),
+                        "sbb": pa.array([], pa.int64())})
 
     def partial(t: pa.Table) -> pa.Table:
         t = _required_rows(t, (key_col, value_col))
         if not t.num_rows:
             return p_empty
         t = t.combine_chunks()
-        keys_all = t[key_col].to_pandas()
-        v_all = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        # Sub-slice so even an all-max-|v| slice's sumsq fits int64.
-        vmax = float(np.abs(v_all).max()) if len(v_all) else 0.0
-        safe = max(1, int(2.0**62 / max(1.0, vmax * vmax)))
-        outs = []
-        for lo in range(0, len(v_all), safe):
-            v = v_all[lo:lo + safe]
-            codes, uniq = pd.factorize(keys_all.iloc[lo:lo + safe],
-                                       sort=False)
-            k = len(uniq)
-            n = np.bincount(codes, minlength=k).astype(np.int64)
-            s = np.zeros(k, dtype=np.int64)
-            np.add.at(s, codes, v)
-            ssq = np.zeros(k, dtype=np.int64)
-            np.add.at(ssq, codes, v * v)
-            outs.append(pa.table({key_col: pa.array(uniq, ktyp),
-                                  "n": pa.array(n), "s": pa.array(s),
-                                  "ssq": pa.array(ssq)}))
-        return pa.concat_tables(outs)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        av = np.abs(v)
+        if len(av) and int(av.max()) >= 2**31:
+            raise ValueError(
+                "grouped_zscore: |value| >= 2**31 would overflow the "
+                "exact v*v accumulation (the SQL oracle's BIGINT v*v "
+                "errors there too); rescale the column upstream")
+        codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        k = len(uniq)
+        # two-limb v² = a²·2³² + 2ab·2¹⁶ + b²: every limb sum fits
+        # int64 for any realistic block (see docstring).
+        a, b = av >> 16, av & 0xFFFF
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        s = np.zeros(k, dtype=np.int64)
+        np.add.at(s, codes, v)
+        saa = np.zeros(k, dtype=np.int64)
+        np.add.at(saa, codes, a * a)
+        sab = np.zeros(k, dtype=np.int64)
+        np.add.at(sab, codes, a * b)
+        sbb = np.zeros(k, dtype=np.int64)
+        np.add.at(sbb, codes, b * b)
+        return pa.table({key_col: pa.array(uniq, ktyp),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "saa": pa.array(saa), "sab": pa.array(sab),
+                         "sbb": pa.array(sbb)})
 
     def merge(g: pa.Table) -> pa.Table:
         stats_empty = pa.table({key_col: pa.array([], ktyp),
@@ -676,7 +686,9 @@ def grouped_zscore(
             return stats_empty
         n = sum(g["n"].to_pylist())          # exact: Python ints
         s = sum(g["s"].to_pylist())
-        ssq = sum(g["ssq"].to_pylist())
+        ssq = (sum(g["saa"].to_pylist()) * (1 << 32)
+               + 2 * sum(g["sab"].to_pylist()) * (1 << 16)
+               + sum(g["sbb"].to_pylist()))
         num = n * ssq - s * s                # >= 0 (Cauchy-Schwarz)
         var_d = (float(num) / (float(n) * float(n))
                  if num > 0 else None)

@@ -161,8 +161,9 @@ def tumbling_window(
 
     def partial(t: pa.Table) -> pd.DataFrame:
         # Null ts/value/key rows are dropped (documented deviation from
-        # SQL's NULL group — an unguarded NaN would INT64_MIN-poison
-        # sum_cents; pandas' groupby silently drops NaN keys anyway).
+        # SQL's NULL group; the oracles carry the matching WHERE). A
+        # NON-null NaN value raises in cents_np — loud, like the
+        # oracle's CAST; pandas' groupby drops NaN keys anyway.
         t = _required_rows(t, (ts_col, value_col, *keys))
         tus = _ts_us(t[ts_col], int_unit).to_numpy(zero_copy_only=False)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -1905,10 +1905,11 @@ def test_grouped_zscore(ray_session):
     assert np.allclose(out["z"].to_numpy()[:3], exp["z"].to_numpy()[:3],
                        rtol=0, atol=0)  # bit-identical on the real key
 
-    # sub-slice path: values near 2^31 force tiny safe-slice sizes
+    # near-cap magnitudes: the two-limb ssq stays exact where a naive
+    # int64 v*v would be within 4x of wrapping
     big = pa.table({
         "k": pa.array(["x"] * 40, pa.string()),
-        "v": pa.array([2**31 + i for i in range(40)], pa.int64()),
+        "v": pa.array([2**30 + i for i in range(40)], pa.int64()),
         "id": pa.array(list(range(40)), pa.int64()),
     })
     bo = (grouped_zscore(ray.data.from_arrow(big), "k", "v", "id")
@@ -1966,3 +1967,59 @@ def test_cube_counts(ray_session):
         "v": pa.array([1], pa.int64())})), "a", "b", "v").to_pandas()
     assert len(e) == 1 and e["n"].tolist() == [0]
     assert e["a"].isna().all() and e["total"].isna().all()
+
+
+def test_grouped_zscore_large_values(ray_session):
+    """Review findings: (a) v*v must not wrap int64 silently — values
+    near 2^31 raise (loud, like the oracle's BIGINT overflow) instead
+    of reporting a bogus zero-variance null z; (b) the two-limb ssq
+    accumulation is exact right up to the cap."""
+    import duckdb
+    import numpy as np
+    import pytest as _pytest
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_zscore
+
+    over = pa.table({"k": pa.array(["x"] * 3, pa.string()),
+                     "v": pa.array([2**32, 2**32 + 100, 2**32 + 200],
+                                   pa.int64()),
+                     "id": pa.array([1, 2, 3], pa.int64())})
+    with _pytest.raises(Exception, match="2\\*\\*31"):
+        grouped_zscore(ray.data.from_arrow(over), "k", "v", "id") \
+            .to_pandas()
+
+    cap = 2**31 - 1  # largest allowed |v|
+    t = pa.table({"k": pa.array(["x"] * 4, pa.string()),
+                  "v": pa.array([cap, cap - 7, -cap, 12345], pa.int64()),
+                  "id": pa.array([1, 2, 3, 4], pa.int64())})
+    out = (grouped_zscore(ray.data.from_arrow(t).repartition(2),
+                          "k", "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""WITH s AS (SELECT count(*) AS n, sum(v) AS s,
+             sum(v*v) AS ssq FROM t)
+        SELECT id, (CAST(v AS DOUBLE) - CAST(s.s AS DOUBLE)/CAST(s.n AS DOUBLE))
+          / sqrt(CAST(s.n*s.ssq - s.s*s.s AS DOUBLE)
+                 / (CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE))) AS z
+        FROM t, s ORDER BY id""").df()
+    assert np.allclose(out["z"].to_numpy(), exp["z"].to_numpy(),
+                       rtol=0, atol=0)
+
+
+def test_cents_np_matches_cents_col_and_rejects_nan():
+    """Review findings: cents_np must be bit-equal to cents_col (it IS
+    the same Arrow kernel now) and must raise on a non-null NaN instead
+    of emitting INT64_MIN garbage."""
+    import numpy as np
+    import pytest as _pytest
+
+    from konlsearch_ray.functions.blocks import cents_col, cents_np
+
+    vals = [0.0049999999999999994, 0.125, -0.125, 2.675, -2.675,
+            1e13 + 0.005, 0.025]
+    via_col = cents_col(pa.table({"value": pa.array(vals, pa.float64())}))
+    assert cents_np(np.array(vals)).tolist() == via_col.to_pylist()
+    with _pytest.raises(Exception):
+        cents_np(np.array([1.0, float("nan")]))
