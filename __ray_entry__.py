@@ -204,7 +204,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
                "search_prefix_docs", "search_contains_docs",
                "search_regex_docs", "join_full_custorders", "value_zscore",
-               "cube_lineitem"]
+               "cube_lineitem", "intersect_userpairs", "except_userpairs"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1218,6 +1218,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
         return grouped_minmax_norm(ev, "event_type", "v", "event_id")
 
+    def _event_pair_half(sf_dir, parity: int):
+        # (event_id // 2, event_type) from the even/odd event_id half:
+        # the set ops then compare each consecutive event pair's types —
+        # deterministic, sf-independent, and both results are non-empty
+        # at every sf (types repeat ~1/5 of the time).
+        import pyarrow.compute as pc
+
+        def f(t):
+            m = pc.equal(pc.bit_wise_and(t["event_id"], 1), parity)
+            t = t.filter(m)
+            pair = pc.divide(t["event_id"], 2)
+            return pa.table({"pair_id": pc.cast(pair, pa.int64()),
+                             "event_type": t["event_type"]})
+
+        return (_events(sf_dir)
+                .select_columns(["event_id", "event_type"])
+                .map_batches(f, batch_format="pyarrow"))
+
+    def intersect_userpairs(sf_dir):
+        # SQL INTERSECT: consecutive event pairs sharing a type —
+        # serialized-row exact keys through the existence-filter join,
+        # no hash identity.
+        from konlsearch_ray.functions.setops import intersect_distinct
+
+        return intersect_distinct(_event_pair_half(sf_dir, 0),
+                                  _event_pair_half(sf_dir, 1))
+
+    def except_userpairs(sf_dir):
+        # SQL EXCEPT: even-half (pair_id, type) rows whose odd twin
+        # differs (or is absent).
+        from konlsearch_ray.functions.setops import except_distinct
+
+        return except_distinct(_event_pair_half(sf_dir, 0),
+                               _event_pair_half(sf_dir, 1))
+
     def cube_lineitem(sf_dir):
         # TPC-H-Q1-shaped GROUP BY CUBE(returnflag, linestatus) — pair
         # partials collapse map-side, marginals derive from the bounded
@@ -1361,6 +1396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_full_custorders": join_full_custorders,
         "value_zscore": value_zscore,
         "cube_lineitem": cube_lineitem,
+        "intersect_userpairs": intersect_userpairs,
+        "except_userpairs": except_userpairs,
     })
 
 
@@ -1910,6 +1947,16 @@ GROUP BY user_id""",
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
        c.c_name, c.c_mktsegment
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "intersect_userpairs": """SELECT (event_id // 2)::BIGINT AS pair_id,
+       event_type FROM events WHERE event_id % 2 = 0
+INTERSECT
+SELECT (event_id // 2)::BIGINT, event_type FROM events
+WHERE event_id % 2 = 1""",
+        "except_userpairs": """SELECT (event_id // 2)::BIGINT AS pair_id,
+       event_type FROM events WHERE event_id % 2 = 0
+EXCEPT
+SELECT (event_id // 2)::BIGINT, event_type FROM events
+WHERE event_id % 2 = 1""",
         "cube_lineitem": """SELECT l_returnflag, l_linestatus,
        count(*)::BIGINT AS n,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS total

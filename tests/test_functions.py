@@ -2023,3 +2023,70 @@ def test_cents_np_matches_cents_col_and_rejects_nan():
     assert cents_np(np.array(vals)).tolist() == via_col.to_pylist()
     with _pytest.raises(Exception):
         cents_np(np.array([1.0, float("nan")]))
+
+
+def test_setops_intersect_except(ray_session):
+    import duckdb
+    import ray.data
+
+    from konlsearch_ray.functions.setops import (except_distinct,
+                                                 intersect_distinct)
+
+    lt = pa.table({
+        "k": pa.array(["a", "a", "b", None, "c", "c"], pa.string()),
+        "v": pa.array([1, 1, 2, None, 3, 4], pa.int64()),
+    })
+    rt = pa.table({
+        "x": pa.array(["a", "b", None, "z"], pa.string()),
+        "y": pa.array([1, 99, None, 9], pa.int64()),
+    })
+    left = ray.data.from_arrow(lt).repartition(3)
+    right = ray.data.from_arrow(rt).repartition(2)
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+
+    def norm(df):
+        return sorted(map(tuple, df.astype("object")
+                          .where(df.notna(), None).values.tolist()),
+                      key=repr)
+
+    io = intersect_distinct(left, right).to_pandas()
+    # (a,1) matches; (None,None) matches (SQL set ops: NULLs equal)
+    exp = con.execute("SELECT k, v FROM l INTERSECT SELECT x, y FROM r").df()
+    assert norm(io) == norm(exp)
+    assert len(io) == 2
+
+    eo = except_distinct(left, right).to_pandas()
+    exp = con.execute("SELECT k, v FROM l EXCEPT SELECT x, y FROM r").df()
+    assert norm(eo) == norm(exp)
+    # duplicates collapse: (a,1) twice in l appears zero times (matched),
+    # (c,3)/(c,4) distinct rows both survive
+    assert len(eo) == 3
+
+    # separator-spoofing guard: values containing the field separator
+    # must not collide across column boundaries
+    st = pa.table({"a": pa.array(["x\x1fy", "x"], pa.string()),
+                   "b": pa.array(["z", "y\x1fz"], pa.string())})
+    sd = ray.data.from_arrow(st)
+    assert intersect_distinct(sd, sd).count() == 2
+
+    # positional type mismatch raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="type mismatch"):
+        except_distinct(left, ray.data.from_arrow(
+            pa.table({"x": pa.array(["a"]), "y": pa.array([1.0])})))
+
+
+def test_setops_empty_result_keeps_schema(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.setops import except_distinct
+
+    t = pa.table({"k": pa.array(["a", "b"], pa.string()),
+                  "v": pa.array([1, 2], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    out = except_distinct(ds, ds)  # X EXCEPT X = empty
+    assert out.count() == 0
+    sch = out.schema()
+    assert sch is not None and sch.names == ["k", "v"]
