@@ -204,7 +204,8 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
                "search_prefix_docs", "search_contains_docs",
                "search_regex_docs", "join_full_custorders", "value_zscore",
-               "cube_lineitem", "intersect_userpairs", "except_userpairs"]
+               "cube_lineitem", "intersect_userpairs", "except_userpairs",
+               "union_userpairs"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1253,6 +1254,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return except_distinct(_event_pair_half(sf_dir, 0),
                                _event_pair_half(sf_dir, 1))
 
+    def union_userpairs(sf_dir):
+        # SQL UNION: distinct (pair_id, type) rows across both halves —
+        # one map-side pre-distinct + one keyed exchange, no join.
+        from konlsearch_ray.functions.setops import union_distinct
+
+        return union_distinct(_event_pair_half(sf_dir, 0),
+                              _event_pair_half(sf_dir, 1))
+
     def cube_lineitem(sf_dir):
         # TPC-H-Q1-shaped GROUP BY CUBE(returnflag, linestatus) — pair
         # partials collapse map-side, marginals derive from the bounded
@@ -1398,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_lineitem": cube_lineitem,
         "intersect_userpairs": intersect_userpairs,
         "except_userpairs": except_userpairs,
+        "union_userpairs": union_userpairs,
     })
 
 
@@ -1955,6 +1965,11 @@ WHERE event_id % 2 = 1""",
         "except_userpairs": """SELECT (event_id // 2)::BIGINT AS pair_id,
        event_type FROM events WHERE event_id % 2 = 0
 EXCEPT
+SELECT (event_id // 2)::BIGINT, event_type FROM events
+WHERE event_id % 2 = 1""",
+        "union_userpairs": """SELECT (event_id // 2)::BIGINT AS pair_id,
+       event_type FROM events WHERE event_id % 2 = 0
+UNION
 SELECT (event_id // 2)::BIGINT, event_type FROM events
 WHERE event_id % 2 = 1""",
         "cube_lineitem": """SELECT l_returnflag, l_linestatus,

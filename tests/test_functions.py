@@ -2090,3 +2090,23 @@ def test_setops_empty_result_keeps_schema(ray_session):
     assert out.count() == 0
     sch = out.schema()
     assert sch is not None and sch.names == ["k", "v"]
+
+
+def test_union_distinct(ray_session):
+    import duckdb
+    import ray.data
+
+    from konlsearch_ray.functions.setops import union_distinct
+
+    lt = pa.table({"k": pa.array(["a", "a", None], pa.string()),
+                   "v": pa.array([1, 1, None], pa.int64())})
+    rt = pa.table({"x": pa.array(["a", "b", None], pa.string()),
+                   "y": pa.array([1, 2, None], pa.int64())})
+    out = union_distinct(ray.data.from_arrow(lt).repartition(2),
+                         ray.data.from_arrow(rt)).to_pandas()
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    exp = con.execute("SELECT k, v FROM l UNION SELECT x, y FROM r").df()
+    assert len(out) == len(exp) == 3  # (a,1), (b,2), (None,None) once
+    assert sorted(out.columns) == ["k", "v"]
