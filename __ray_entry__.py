@@ -205,7 +205,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "search_prefix_docs", "search_contains_docs",
                "search_regex_docs", "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
-               "union_userpairs"]
+               "union_userpairs", "event_regr"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1254,6 +1254,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return except_distinct(_event_pair_half(sf_dir, 0),
                                _event_pair_half(sf_dir, 1))
 
+    def event_regr(sf_dir):
+        # Per-type OLS of cents value on hour-of-day — exact integer
+        # sufficient statistics, bit-identical to the oracle's mirrored
+        # slope/intercept expressions.
+        from konlsearch_ray.functions.stats import grouped_regression
+
+        def xy(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hour = pc.cast(pc.hour(t["ts"]), pa.int64())
+            return pa.table({"event_type": t["event_type"],
+                             "x": hour, "y": _cents_col(t)})
+
+        ev = (_events(sf_dir)
+              .select_columns(["event_type", "ts", "value"])
+              .map_batches(xy, batch_format="pyarrow"))
+        return grouped_regression(ev, "event_type", "x", "y")
+
     def union_userpairs(sf_dir):
         # SQL UNION: distinct (pair_id, type) rows across both halves —
         # one map-side pre-distinct + one keyed exchange, no join.
@@ -1408,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_userpairs": intersect_userpairs,
         "except_userpairs": except_userpairs,
         "union_userpairs": union_userpairs,
+        "event_regr": event_regr,
     })
 
 
@@ -1967,6 +1986,28 @@ WHERE event_id % 2 = 1""",
 EXCEPT
 SELECT (event_id // 2)::BIGINT, event_type FROM events
 WHERE event_id % 2 = 1""",
+        "event_regr": """WITH b AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+         CAST(round(value*100) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+s AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+             sum(x*y)::BIGINT AS sxy
+      FROM b GROUP BY event_type)
+SELECT event_type, n,
+  CASE WHEN (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) <= 0 THEN NULL
+       ELSE (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+            / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+  END AS slope,
+  CASE WHEN (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) <= 0 THEN NULL
+       ELSE (CAST(sy AS DOUBLE)
+             - ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx))
+               * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE)
+  END AS intercept
+FROM s""",
         "union_userpairs": """SELECT (event_id // 2)::BIGINT AS pair_id,
        event_type FROM events WHERE event_id % 2 = 0
 UNION

@@ -287,6 +287,105 @@ def grouped_corr(
              .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
     return nonempty_blocks(out, (key_col, "n", "corr"), fallback=fallback)
 
+
+def grouped_regression(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> ray.data.Dataset:
+    """Per-key ordinary least squares of ``y`` on ``x`` — SQL
+    ``regr_slope`` / ``regr_intercept`` — from the SAME exact integer
+    sufficient statistics as :func:`grouped_corr` (both columns must be
+    integer-typed; quantize upstream). Unlike a streaming float
+    covariance, the sums fold exactly in any partial order, and the two
+    float expressions
+
+        slope     = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)
+        intercept = (Sy − slope·Sx) / n
+
+    (every operand cast to double first, same operation order) are
+    bit-reproducible by any oracle that mirrors them. Zero x-variance
+    keys emit null slope/intercept (SQL regr_slope does too, via
+    NULL-on-zero-denominator). Same scale shape, NULL semantics and
+    overflow contract as grouped_corr.
+
+    Output: ``key_col``, ``n`` (int64), ``slope``, ``intercept``
+    (float64).
+    """
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    for c in (x_col, y_col):
+        if not pa.types.is_integer(sch.field(c).type):
+            raise ValueError(
+                f"{c!r} must be integer-typed for exact regression "
+                f"partials (got {sch.field(c).type}); quantize upstream")
+
+    part_cols = ("n", "sx", "sy", "sxx", "sxy")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {key_col: pa.array([], ktyp),
+             **{c: pa.array([], pa.int64()) for c in part_cols}})
+        if not t.num_rows:
+            return empty
+        ok = pc.and_kleene(
+            pc.is_valid(t[key_col]),
+            pc.and_kleene(pc.is_valid(t[x_col]), pc.is_valid(t[y_col])))
+        t = t.filter(ok)
+        if not t.num_rows:
+            return empty
+        t = t.combine_chunks()
+        codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(uniq)
+        out = {key_col: pa.array(uniq, ktyp)}
+        for name, vec in (("n", np.ones(len(x), dtype=np.int64)),
+                          ("sx", x), ("sy", y), ("sxx", x * x),
+                          ("sxy", x * y)):
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, codes, vec)
+            out[name] = pa.array(acc)
+        return pa.table(out)
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "n": pa.array([], pa.int64()),
+        "slope": pa.array([], pa.float64()),
+        "intercept": pa.array([], pa.float64()),
+    })
+
+    def merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        n = pc.sum(g["n"]).as_py()
+        sx, sy = pc.sum(g["sx"]).as_py(), pc.sum(g["sy"]).as_py()
+        sxx, sxy = pc.sum(g["sxx"]).as_py(), pc.sum(g["sxy"]).as_py()
+        # The two float expressions — mirror EXACTLY in any oracle.
+        den = float(n) * float(sxx) - float(sx) * float(sx)
+        if den <= 0.0:
+            slope_arr = pa.nulls(1, pa.float64())
+            icept_arr = pa.nulls(1, pa.float64())
+        else:
+            slope = (float(n) * float(sxy)
+                     - float(sx) * float(sy)) / den
+            slope_arr = pa.array([slope], pa.float64())
+            icept_arr = pa.array(
+                [(float(sy) - slope * float(sx)) / float(n)], pa.float64())
+        return pa.table({
+            key_col: g[key_col][:1],
+            "n": pa.array([n], pa.int64()),
+            "slope": slope_arr,
+            "intercept": icept_arr,
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
+    return nonempty_blocks(out, (key_col, "n", "slope", "intercept"),
+                           fallback=fallback)
+
+
 def grouped_percent_rank(
     ds: ray.data.Dataset,
     key_col: str,

@@ -26,12 +26,12 @@ def test_entry_smoke(ray_session):
 
 def test_registry_counts():
     """The ONE documented count (README/SURVEY/BASELINE all cite it):
-    96 queries() entries, 92 with oracles, 4 rows-only by design."""
+    97 queries() entries, 93 with oracles, 4 rows-only by design."""
     import __ray_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
-    assert len(q) == 96
-    assert len(o) == 92
+    assert len(q) == 97
+    assert len(o) == 93
     assert set(q) - set(o) == {
         "dedup_minhash", "curate_neardup", "approx_users", "embed_kmeans"}
 

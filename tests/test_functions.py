@@ -2110,3 +2110,41 @@ def test_union_distinct(ray_session):
     exp = con.execute("SELECT k, v FROM l UNION SELECT x, y FROM r").df()
     assert len(out) == len(exp) == 3  # (a,1), (b,2), (None,None) once
     assert sorted(out.columns) == ["k", "v"]
+
+
+def test_grouped_regression(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_regression
+
+    t = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"] * 3 + ["c"] * 2 + [None],
+                      pa.string()),
+        "x": pa.array([1, 2, 3, 4, 10, 20, 30, 5, 5, 1], pa.int64()),
+        "y": pa.array([3, 5, 7, 9, 1, 2, None, 8, 9, 1], pa.int64()),
+    })
+    out = (grouped_regression(ray.data.from_arrow(t).repartition(3),
+                              "k", "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # key a: y = 2x + 1 exactly; key c: zero x-variance -> nulls;
+    # null key dropped; b's null-y row skipped (n=2)
+    assert out["k"].tolist() == ["a", "b", "c"]
+    assert out["n"].tolist() == [4, 2, 2]
+    assert out.loc[0, "slope"] == 2.0 and out.loc[0, "intercept"] == 1.0
+    assert out.loc[2, ["slope", "intercept"]].isna().all()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""WITH b AS (SELECT k, x, y FROM t
+            WHERE k IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL),
+        s AS (SELECT k, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                     sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+                     sum(x*y)::BIGINT AS sxy FROM b GROUP BY k)
+        SELECT k,
+          (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+          / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) AS slope
+        FROM s WHERE (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) > 0
+        ORDER BY k""").df()
+    got = out[out["slope"].notna()]["slope"].to_numpy()
+    assert np.allclose(got, exp["slope"].to_numpy(), rtol=0, atol=0)
