@@ -205,7 +205,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "search_prefix_docs", "search_contains_docs",
                "search_regex_docs", "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
-               "union_userpairs", "event_regr"]
+               "union_userpairs", "event_regr", "quantiles_cont_cents"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1254,6 +1254,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return except_distinct(_event_pair_half(sf_dir, 0),
                                _event_pair_half(sf_dir, 1))
 
+    def quantiles_cont_cents(sf_dir):
+        # Interpolated (percentile_cont) per-type quantiles — same
+        # distinct-pair-bounded exchange as quantiles_cents, explicit
+        # interpolation expression mirrored by the oracle.
+        from konlsearch_ray.functions.stats import grouped_quantiles_cont
+
+        ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
+        return grouped_quantiles_cont(ev, "event_type", "v")
+
     def event_regr(sf_dir):
         # Per-type OLS of cents value on hour-of-day — exact integer
         # sufficient statistics, bit-identical to the oracle's mirrored
@@ -1427,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_userpairs": except_userpairs,
         "union_userpairs": union_userpairs,
         "event_regr": event_regr,
+        "quantiles_cont_cents": quantiles_cont_cents,
     })
 
 
@@ -2265,6 +2275,29 @@ SELECT event_type, max(n)::BIGINT AS n,
        max(CASE WHEN rn = (n-1) * 5000 // 10000 THEN v END)::DOUBLE AS p50,
        max(CASE WHEN rn = (n-1) * 9000 // 10000 THEN v END)::DOUBLE AS p90,
        max(CASE WHEN rn = (n-1) * 9900 // 10000 THEN v END)::DOUBLE AS p99
+FROM v GROUP BY 1"""
+    def _qcont(label: str, bp: int) -> str:
+        # n is constant per group: per-row n inside the aggregated CASE,
+        # max(n) in the frac term outside it (no nested aggregates).
+        lo = f"max(CASE WHEN rn = (n-1) * {bp} // 10000 THEN v END)"
+        hi = (f"max(CASE WHEN rn = (n-1) * {bp} // 10000 + "
+              f"CASE WHEN (n-1) * {bp} % 10000 > 0 THEN 1 ELSE 0 END "
+              f"THEN v END)")
+        fr = f"(((max(n)-1) * {bp} % 10000)::DOUBLE / 10000.0)"
+        return (f"({lo}::DOUBLE + {fr} * ({hi}::DOUBLE - {lo}::DOUBLE)) "
+                f"AS {label}")
+
+    out["quantiles_cont_cents"] = f"""WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+v AS (SELECT event_type, v,
+        row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM c)
+SELECT event_type, max(n)::BIGINT AS n,
+       {_qcont("p50", 5000)},
+       {_qcont("p90", 9000)},
+       {_qcont("p99", 9900)}
 FROM v GROUP BY 1"""
     out["sample_per_lang"] = """SELECT doc_id::BIGINT AS doc_id, lang,
        n_chars::BIGINT AS n_chars FROM (

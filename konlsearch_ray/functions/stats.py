@@ -901,3 +901,81 @@ def grouped_quantiles_int(
              .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
     return nonempty_blocks(out, tuple(fallback.column_names),
                            fallback=fallback)
+
+
+def grouped_quantiles_cont(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[tuple[str, int], ...] = DEFAULT_QS,
+) -> ray.data.Dataset:
+    """Linearly INTERPOLATED per-key quantiles (SQL ``percentile_cont``
+    / DuckDB ``quantile_cont`` semantics) over an INTEGER column, with
+    the same distinct-pair-bounded exchange as
+    :func:`grouped_quantiles_int` — no key ever co-locates its raw
+    rows.
+
+    Interpolation is pinned to ONE explicit expression so any oracle
+    can mirror it operand-for-operand instead of trusting an engine
+    built-in's private float order: with ``pos = (n-1)·q_bp``,
+    ``lo = pos // 10000``, ``fr = pos % 10000`` (exact ints) and
+    ``v_hi`` the next order statistic when ``fr > 0`` (else ``v_lo``):
+
+        double(v_lo) + (double(fr) / 10000.0) · (double(v_hi) − double(v_lo))
+
+    Null/empty-key semantics and output shape match
+    grouped_quantiles_int (float64 quantile columns).
+    """
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    if not pa.types.is_integer(sch.field(value_col).type):
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed "
+            f"(got {sch.field(value_col).type}); quantize upstream")
+    labels = [lb for lb, _ in qs]
+    bps = np.array([bp for _, bp in qs], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, value_col])
+        mask = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[value_col]))
+        t = t.filter(mask)
+        out = (t.group_by([key_col, value_col]).aggregate([([], "count_all")])
+               .rename_columns([key_col, value_col, "cnt"]))
+        return out.replace_schema_metadata(None)
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "n": pa.array([], pa.int64()),
+        **{lb: pa.array([], pa.float64()) for lb in labels},
+    })
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        summed = (g.group_by([value_col]).aggregate([("cnt", "sum")])
+                  .rename_columns([value_col, "cnt"]))
+        v = summed[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = summed["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        pos = (n - 1) * bps
+        lo_idx, fr = pos // 10_000, pos % 10_000
+        hi_idx = lo_idx + (fr > 0)
+        v_lo = v[np.searchsorted(cum, lo_idx, side="right")]
+        v_hi = v[np.searchsorted(cum, hi_idx, side="right")]
+        # THE interpolation expression (see docstring) — keep the order.
+        out_q = (v_lo.astype(np.float64)
+                 + (fr.astype(np.float64) / 10000.0)
+                 * (v_hi.astype(np.float64) - v_lo.astype(np.float64)))
+        row = {key_col: g[key_col][:1], "n": pa.array([n], pa.int64())}
+        for lb, val in zip(labels, out_q):
+            row[lb] = pa.array([float(val)], pa.float64())
+        return pa.table(row)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)

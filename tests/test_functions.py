@@ -2148,3 +2148,30 @@ def test_grouped_regression(ray_session):
         ORDER BY k""").df()
     got = out[out["slope"].notna()]["slope"].to_numpy()
     assert np.allclose(got, exp["slope"].to_numpy(), rtol=0, atol=0)
+
+
+def test_grouped_quantiles_cont(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_quantiles_cont
+
+    # key a: 4 values -> p50 position 1.5 (interpolates), p90 pos 2.7;
+    # key b: single value -> all quantiles = value, frac 0
+    t = pa.table({"k": pa.array(["a"] * 4 + ["b"], pa.string()),
+                  "v": pa.array([10, 20, 40, 80, 7], pa.int64())})
+    out = (grouped_quantiles_cont(ray.data.from_arrow(t).repartition(2),
+                                  "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["n"].tolist() == [4, 1]
+    assert out.loc[0, "p50"] == 30.0          # 20 + 0.5*(40-20)
+    assert out.loc[0, "p90"] == 40.0 + 0.7 * 40.0  # pos 2.7
+    assert out.loc[1, ["p50", "p90", "p99"]].tolist() == [7.0, 7.0, 7.0]
+    # parity with DuckDB's own quantile_cont on this data (values are
+    # small ints, so the interpolation agrees bit-for-bit here)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""SELECT k, quantile_cont(v, 0.5) AS p50
+                         FROM t GROUP BY k ORDER BY k""").df()
+    assert np.allclose(out["p50"].to_numpy(), exp["p50"].to_numpy())
