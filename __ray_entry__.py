@@ -205,7 +205,8 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "search_prefix_docs", "search_contains_docs",
                "search_regex_docs", "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
-               "union_userpairs", "event_regr", "quantiles_cont_cents"]
+               "union_userpairs", "event_regr", "quantiles_cont_cents",
+               "latest_event"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1254,6 +1255,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return except_distinct(_event_pair_half(sf_dir, 0),
                                _event_pair_half(sf_dir, 1))
 
+    def latest_event(sf_dir):
+        # CDC-compaction shape: newest event per user (ties -> max
+        # event_id) — per-block winners only cross the one exchange.
+        from konlsearch_ray.functions.temporal import latest_by_key
+
+        ev = _rp_clean(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id", "event_id", "ts", "event_type"])
+        return latest_by_key(ev, "user_id", "ts", "event_id")
+
     def quantiles_cont_cents(sf_dir):
         # Interpolated (percentile_cont) per-type quantiles — same
         # distinct-pair-bounded exchange as quantiles_cents, explicit
@@ -1437,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_userpairs": union_userpairs,
         "event_regr": event_regr,
         "quantiles_cont_cents": quantiles_cont_cents,
+        "latest_event": latest_event,
     })
 
 
@@ -2299,6 +2310,14 @@ SELECT event_type, max(n)::BIGINT AS n,
        {_qcont("p90", 9000)},
        {_qcont("p99", 9900)}
 FROM v GROUP BY 1"""
+    out["latest_event"] = """SELECT user_id::BIGINT AS user_id,
+       event_id::BIGINT AS event_id, ts, event_type
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL)
+WHERE rn = 1"""
     out["sample_per_lang"] = """SELECT doc_id::BIGINT AS doc_id, lang,
        n_chars::BIGINT AS n_chars FROM (
   SELECT doc_id, lang, n_chars,

@@ -1096,3 +1096,55 @@ def funnel_counts(
             .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
     return nonempty_blocks(out, tuple(fallback.column_names),
                            fallback=fallback)
+
+
+# --------------------------------------------------------------------------
+# Latest row per key (CDC / snapshot compaction)
+# --------------------------------------------------------------------------
+
+def latest_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    int_unit: str | None = None,
+) -> ray.data.Dataset:
+    """Keep ONE row per key: the newest by ``ts_col``, ties broken by
+    the largest ``id_col`` — SQL ``row_number() OVER (PARTITION BY key
+    ORDER BY ts DESC, id DESC) = 1``. This is the CDC-compaction /
+    latest-snapshot-per-entity reduction (fold an update log down to
+    current state).
+
+    Scale shape: ONE shared vectorized kernel (lexsort + key-run last)
+    runs twice — per block inside ``map_batches`` (so the exchange
+    moves at most one candidate row per key per block, never the log)
+    and once per key group to resolve across blocks. The full payload
+    travels only for the per-block winners.
+
+    Rows with a null key, ts or id are dropped (no partition / no
+    order); ``ts_col`` follows the ``_ts_us`` unit contract for bare
+    integers. All input columns pass through unchanged.
+    """
+
+    def best(t: pa.Table) -> pa.Table:
+        t = _required_rows(t, (key_col, ts_col, id_col))
+        if not t.num_rows:
+            return t
+        t = t.combine_chunks()
+        tus = _ts_us(t[ts_col], int_unit).to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = pd.factorize(t[key_col].to_pandas(),
+                             sort=False)[0].astype(np.int64)
+        order = np.lexsort((ids, tus, codes))
+        ks = codes[order]
+        last = np.ones(len(ks), dtype=bool)
+        last[:-1] = ks[1:] != ks[:-1]
+        return t.take(pa.array(order[last], pa.int64()))
+
+    sch = _arrow_schema(ds)
+    out = (ds.map_batches(best, batch_format="pyarrow")
+             .groupby(key_col).map_groups(best, batch_format="pyarrow"))
+    # an all-dropped input must keep the input schema (schema-less
+    # 0-row Datasets break downstream unions and the oracle gate).
+    fb = pa.table({n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
+    return nonempty_blocks(out, tuple(sch.names), fallback=fb)

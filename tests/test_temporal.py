@@ -333,3 +333,34 @@ def test_window_null_rows_dropped_and_half_away_cents(ray_session):
         sliding_window(ds, "t", 120, 60, "v", key_col="k", int_unit="us"),
         ["win_start", "k"])
     assert out["sum_cents"].tolist() == [3, 3]  # two hops, same row
+
+
+def test_latest_by_key(ray_session):
+    """CDC compaction: newest row per key, ties -> max id; null
+    key/ts/id rows drop; empty result keeps the input schema."""
+    import ray.data
+
+    from konlsearch_ray.functions.temporal import latest_by_key
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, None, 3], pa.int64()),
+        "t": pa.array([10, 30, 30, 5, 5, 9, None], pa.int64()),
+        "id": pa.array([100, 101, 102, 200, 201, 300, 400], pa.int64()),
+        "payload": pa.array(list("abcdefg")),
+    })
+    out = (latest_by_key(ray.data.from_arrow(t).repartition(3),
+                         "k", "t", "id", int_unit="us")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # k=1: ts tie at 30 -> id 102 wins; k=2: ts tie at 5 -> id 201;
+    # null key and null ts rows drop entirely
+    assert out["k"].tolist() == [1, 2]
+    assert out["id"].tolist() == [102, 201]
+    assert out["payload"].tolist() == ["c", "e"]
+
+    empty = latest_by_key(ray.data.from_arrow(pa.table({
+        "k": pa.array([None], pa.int64()),
+        "t": pa.array([1], pa.int64()),
+        "id": pa.array([1], pa.int64()),
+        "payload": pa.array(["x"])})), "k", "t", "id", int_unit="us")
+    assert empty.count() == 0
+    assert empty.schema() is not None and "payload" in empty.schema().names
