@@ -206,7 +206,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "search_regex_docs", "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
-               "latest_event"]
+               "latest_event", "first_event"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1264,6 +1264,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["user_id", "event_id", "ts", "event_type"])
         return latest_by_key(ev, "user_id", "ts", "event_id")
 
+    def first_event(sf_dir):
+        # First-touch twin of latest_event: oldest event per user,
+        # ties -> smallest event_id.
+        from konlsearch_ray.functions.temporal import latest_by_key
+
+        ev = _rp_clean(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id", "event_id", "ts", "event_type"])
+        return latest_by_key(ev, "user_id", "ts", "event_id",
+                             newest=False)
+
     def quantiles_cont_cents(sf_dir):
         # Interpolated (percentile_cont) per-type quantiles — same
         # distinct-pair-bounded exchange as quantiles_cents, explicit
@@ -1448,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_regr": event_regr,
         "quantiles_cont_cents": quantiles_cont_cents,
         "latest_event": latest_event,
+        "first_event": first_event,
     })
 
 
@@ -2314,6 +2325,14 @@ FROM v GROUP BY 1"""
        event_id::BIGINT AS event_id, ts, event_type
 FROM (SELECT *, row_number() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL)
+WHERE rn = 1"""
+    out["first_event"] = """SELECT user_id::BIGINT AS user_id,
+       event_id::BIGINT AS event_id, ts, event_type
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND event_id IS NOT NULL)

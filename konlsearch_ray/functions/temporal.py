@@ -1108,12 +1108,14 @@ def latest_by_key(
     ts_col: str,
     id_col: str,
     int_unit: str | None = None,
+    newest: bool = True,
 ) -> ray.data.Dataset:
     """Keep ONE row per key: the newest by ``ts_col``, ties broken by
     the largest ``id_col`` — SQL ``row_number() OVER (PARTITION BY key
     ORDER BY ts DESC, id DESC) = 1``. This is the CDC-compaction /
     latest-snapshot-per-entity reduction (fold an update log down to
-    current state).
+    current state). ``newest=False`` flips both orderings (oldest ts,
+    smallest id) — the first-touch / acquisition-event shape.
 
     Scale shape: ONE shared vectorized kernel (lexsort + key-run last)
     runs twice — per block inside ``map_batches`` (so the exchange
@@ -1133,6 +1135,8 @@ def latest_by_key(
         t = t.combine_chunks()
         tus = _ts_us(t[ts_col], int_unit).to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not newest:  # oldest ts / smallest id wins instead
+            tus, ids = -tus, -ids
         codes = pd.factorize(t[key_col].to_pandas(),
                              sort=False)[0].astype(np.int64)
         order = np.lexsort((ids, tus, codes))

@@ -26,12 +26,12 @@ def test_entry_smoke(ray_session):
 
 def test_registry_counts():
     """The ONE documented count (README/SURVEY/BASELINE all cite it):
-    99 queries() entries, 95 with oracles, 4 rows-only by design."""
+    100 queries() entries, 96 with oracles, 4 rows-only by design."""
     import __ray_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
-    assert len(q) == 99
-    assert len(o) == 95
+    assert len(q) == 100
+    assert len(o) == 96
     assert set(q) - set(o) == {
         "dedup_minhash", "curate_neardup", "approx_users", "embed_kmeans"}
 

@@ -364,3 +364,20 @@ def test_latest_by_key(ray_session):
         "payload": pa.array(["x"])})), "k", "t", "id", int_unit="us")
     assert empty.count() == 0
     assert empty.schema() is not None and "payload" in empty.schema().names
+
+
+def test_latest_by_key_earliest(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.temporal import latest_by_key
+
+    t = pa.table({
+        "k": pa.array([1, 1, 2, 2], pa.int64()),
+        "t": pa.array([10, 10, 5, 3], pa.int64()),
+        "id": pa.array([101, 100, 200, 201], pa.int64()),
+    })
+    out = (latest_by_key(ray.data.from_arrow(t).repartition(2),
+                         "k", "t", "id", int_unit="us", newest=False)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # k=1: ts tie -> SMALLEST id (100); k=2: oldest ts 3 -> id 201
+    assert out["id"].tolist() == [100, 201]
