@@ -85,6 +85,19 @@ def _setop(left: ray.data.Dataset, right: ray.data.Dataset,
            mode: str) -> ray.data.Dataset:
     from konlsearch_ray.functions.joins import filter_join
 
+    lsch, lcols, rcols = _validate_operands(left, right)
+    ld = _global_distinct(_keyed(left, lcols))
+    # right side: keys only — filter_join pre-distincts per block, so a
+    # full global distinct would be a second exchange for nothing.
+    rd = _keyed(right, rcols, rename_to=lcols).select_columns([_KEY])
+    out = filter_join(ld, rd, _KEY, _KEY, mode=mode).drop_columns([_KEY])
+    return _pin_left_schema(out, lsch, lcols)
+
+
+def _validate_operands(left: ray.data.Dataset, right: ray.data.Dataset):
+    """Shared set-operand contract: same column count, positionally
+    matching types, no ``_KEY`` collision. Returns the left schema and
+    both column-name lists."""
     lsch, rsch = _arrow_schema(left), _arrow_schema(right)
     lcols, rcols = list(lsch.names), list(rsch.names)
     if len(lcols) != len(rcols):
@@ -99,13 +112,12 @@ def _setop(left: ray.data.Dataset, right: ray.data.Dataset,
                 f"{ln}: {lt} vs {rn}: {rt}")
     if _KEY in lcols:
         raise ValueError(f"left columns collide with {_KEY!r}")
-    ld = _global_distinct(_keyed(left, lcols))
-    # right side: keys only — filter_join pre-distincts per block, so a
-    # full global distinct would be a second exchange for nothing.
-    rd = _keyed(right, rcols, rename_to=lcols).select_columns([_KEY])
-    out = filter_join(ld, rd, _KEY, _KEY, mode=mode).drop_columns([_KEY])
-    # an all-filtered result must keep the LEFT schema (a schema-less
-    # 0-row Dataset breaks downstream unions and the oracle gate).
+    return lsch, lcols, rcols
+
+
+def _pin_left_schema(out: ray.data.Dataset, lsch, lcols) -> ray.data.Dataset:
+    """An all-filtered result must keep the LEFT schema (a schema-less
+    0-row Dataset breaks downstream unions and the oracle gate)."""
     from konlsearch_ray.functions.blocks import nonempty_blocks
 
     fb = pa.table({n: pa.array([], lsch.field(n).type) for n in lcols})
@@ -132,19 +144,7 @@ def union_distinct(left: ray.data.Dataset,
     (positional column match, NULLs compare equal). One map-side
     pre-distinct per block + one keyed exchange — the same cost as a
     single global distinct, with no join at all."""
-    lsch, rsch = _arrow_schema(left), _arrow_schema(right)
-    lcols, rcols = list(lsch.names), list(rsch.names)
-    if len(lcols) != len(rcols):
-        raise ValueError(
-            f"set operands need the same column count (positional match, "
-            f"like SQL): left has {len(lcols)}, right has {len(rcols)}")
-    for i, (ln, rn) in enumerate(zip(lcols, rcols)):
-        lt, rt = lsch.field(ln).type, rsch.field(rn).type
-        if lt != rt:
-            raise ValueError(
-                f"set operand column {i} type mismatch: "
-                f"{ln}: {lt} vs {rn}: {rt}")
-    if _KEY in lcols:
-        raise ValueError(f"left columns collide with {_KEY!r}")
+    lsch, lcols, rcols = _validate_operands(left, right)
     both = _keyed(left, lcols).union(_keyed(right, rcols, rename_to=lcols))
-    return _global_distinct(both).drop_columns([_KEY])
+    out = _global_distinct(both).drop_columns([_KEY])
+    return _pin_left_schema(out, lsch, lcols)

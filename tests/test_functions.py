@@ -2111,6 +2111,20 @@ def test_union_distinct(ray_session):
     assert len(out) == len(exp) == 3  # (a,1), (b,2), (None,None) once
     assert sorted(out.columns) == ["k", "v"]
 
+    def norm(df):
+        return sorted(map(tuple, df.astype("object")
+                          .where(df.notna(), None).values.tolist()),
+                      key=repr)
+
+    assert norm(out[["k", "v"]]) == norm(exp)
+
+    # empty union keeps the left schema (same contract as intersect)
+    e = pa.table({"k": pa.array([], pa.string()),
+                  "v": pa.array([], pa.int64())})
+    eu = union_distinct(ray.data.from_arrow(e), ray.data.from_arrow(e))
+    assert eu.count() == 0
+    assert eu.schema() is not None and eu.schema().names == ["k", "v"]
+
 
 def test_grouped_regression(ray_session):
     import duckdb
