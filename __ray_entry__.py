@@ -206,7 +206,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "search_regex_docs", "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
-               "latest_event", "first_event"]
+               "latest_event", "first_event", "value_mad"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1264,6 +1264,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["user_id", "event_id", "ts", "event_type"])
         return latest_by_key(ev, "user_id", "ts", "event_id")
 
+    def value_mad(sf_dir):
+        # Robust spread per type: median absolute deviation from two
+        # bounded histogram exchanges + one O(keys) median broadcast.
+        from konlsearch_ray.functions.stats import grouped_mad
+
+        ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
+        return grouped_mad(ev, "event_type", "v")
+
     def first_event(sf_dir):
         # First-touch twin of latest_event: oldest event per user,
         # ties -> smallest event_id.
@@ -1459,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont_cents": quantiles_cont_cents,
         "latest_event": latest_event,
         "first_event": first_event,
+        "value_mad": value_mad,
     })
 
 
@@ -2329,6 +2338,20 @@ FROM (SELECT *, row_number() OVER (
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND event_id IS NOT NULL)
 WHERE rn = 1"""
+    out["value_mad"] = """WITH c AS (
+  SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+r AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) - 1 AS rn,
+             count(*) OVER (PARTITION BY k) AS n FROM c),
+m AS (SELECT k, max(CASE WHEN rn = (n-1) * 5000 // 10000 THEN v END) AS med
+      FROM r GROUP BY k),
+d AS (SELECT c.k, abs(c.v - m.med) AS dv FROM c JOIN m ON c.k = m.k),
+r2 AS (SELECT k, dv,
+         row_number() OVER (PARTITION BY k ORDER BY dv) - 1 AS rn,
+         count(*) OVER (PARTITION BY k) AS n FROM d)
+SELECT k AS event_type, max(n)::BIGINT AS n,
+       max(CASE WHEN rn = (n-1) * 5000 // 10000 THEN dv END)::DOUBLE AS mad
+FROM r2 GROUP BY k"""
     out["first_event"] = """SELECT user_id::BIGINT AS user_id,
        event_id::BIGINT AS event_id, ts, event_type
 FROM (SELECT *, row_number() OVER (

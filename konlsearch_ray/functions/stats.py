@@ -1233,3 +1233,67 @@ def grouped_quantiles_cont(
              .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
     return nonempty_blocks(out, tuple(fallback.column_names),
                            fallback=fallback)
+
+
+def grouped_mad(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+) -> ray.data.Dataset:
+    """Per-key median absolute deviation — ``median(|v - median(v)|)``
+    with the shared integer-indexed discrete-median spec — the robust
+    spread statistic quality-score pipelines prefer over stddev (one
+    outlier can't move it).
+
+    Composition of two bounded stages, zero raw-row shuffles: the
+    per-key median comes from the distinct-pair histogram exchange
+    (:func:`_histogram_quantile_op`), broadcasts as an O(keys) table
+    via ``ray.put``, a single vectorized map pass rewrites each row to
+    its exact integer deviation ``|v - med|``, and the SAME histogram
+    exchange computes the deviation median. Every intermediate is an
+    exact int64 (medians of an int column are data values), so oracle
+    parity is arithmetic-free until the final float cast.
+
+    Rows with a null key or value are dropped (no partition / not a
+    value — matching the oracle's inner-join-on-medians shape).
+    Output: ``key_col``, ``n``, ``mad`` (float64). ``value_col`` must
+    be integer-typed.
+    """
+    import ray as _ray
+
+    from konlsearch_ray.functions.blocks import nonempty_refs
+    from konlsearch_ray.functions.temporal import _required_rows
+
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    med_ds = grouped_quantiles_int(ds, key_col, value_col,
+                                   qs=(("med", 5000),))
+    refs, rows = nonempty_refs(med_ds)
+    out_schema = pa.schema([(key_col, ktyp), ("n", pa.int64()),
+                            ("mad", pa.float64())])
+    if not rows:
+        return ray.data.from_arrow(out_schema.empty_table())
+    mt = pa.concat_tables(_ray.get(refs)).combine_chunks()
+    # discrete medians of an int column ARE data values — exact int64
+    bt = pa.table({key_col: mt[key_col],
+                   "med": pc.cast(mt["med"], pa.int64())})
+    ref = _ray.put(bt)
+
+    def dev(t: pa.Table) -> pa.Table:
+        b: pa.Table = _ray.get(ref)
+        t = _required_rows(t, (key_col, value_col))
+        idx = pc.index_in(t[key_col], value_set=b[key_col])
+        # every surviving row's key HAS a median by construction
+        med = pc.take(b["med"], idx)
+        dv = pc.abs_checked(pc.subtract_checked(
+            pc.cast(t[value_col], pa.int64()), med))
+        return pa.table({key_col: t[key_col], "dv": dv})
+
+    dev_ds = ds.map_batches(dev, batch_format="pyarrow")
+
+    def pick(v, cum, n, bps):
+        i = (n - 1) * bps // 10_000
+        return v[np.searchsorted(cum, i, side="right")].astype(np.float64)
+
+    return _histogram_quantile_op(dev_ds, key_col, "dv",
+                                  (("mad", 5000),), pick)

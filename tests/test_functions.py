@@ -2189,3 +2189,28 @@ def test_grouped_quantiles_cont(ray_session):
     exp = con.execute("""SELECT k, quantile_cont(v, 0.5) AS p50
                          FROM t GROUP BY k ORDER BY k""").df()
     assert np.allclose(out["p50"].to_numpy(), exp["p50"].to_numpy())
+
+
+def test_grouped_mad(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_mad
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 2 + [None], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 100, 7, None, 9], pa.int64()),
+    })
+    out = (grouped_mad(ray.data.from_arrow(t).repartition(3), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # key a: median 3, |dev| = [2,1,0,1,97] -> median 1 (outlier-proof);
+    # key b: single non-null value -> mad 0; null key dropped
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["n"].tolist() == [5, 1]
+    assert out["mad"].tolist() == [1.0, 0.0]
+
+    # all-null values: empty result with the typed schema
+    e = grouped_mad(ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"], pa.string()),
+        "v": pa.array([None], pa.int64())})), "k", "v")
+    df = e.to_pandas()
+    assert len(df) == 0
