@@ -207,13 +207,17 @@ def _suffstat_partial(key_col: str, ktyp, x_col: str, y_col: str,
         codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = {"n": np.ones(len(x), dtype=np.int64), "sx": x, "sy": y,
-                "sxx": x * x, "syy": y * y, "sxy": x * y}
+        # thunks: only the REQUESTED statistics pay their O(rows)
+        # multiply (regression never computes y*y).
+        vecs = {"n": lambda: np.ones(len(x), dtype=np.int64),
+                "sx": lambda: x, "sy": lambda: y,
+                "sxx": lambda: x * x, "syy": lambda: y * y,
+                "sxy": lambda: x * y}
         k = len(uniq)
         out = {key_col: pa.array(uniq, ktyp)}
         for name in stats:
             acc = np.zeros(k, dtype=np.int64)
-            np.add.at(acc, codes, vecs[name])
+            np.add.at(acc, codes, vecs[name]())
             out[name] = pa.array(acc)
         return pa.table(out)
 
@@ -946,295 +950,6 @@ def grouped_quantiles_cont(
     return _histogram_quantile_op(ds, key_col, value_col, qs, pick)
 
 
-def grouped_zscore(
-    ds: ray.data.Dataset,
-    key_col: str,
-    value_col: str,
-    id_col: str,
-) -> ray.data.Dataset:
-    """Per-key z-score normalization of an INTEGER column —
-    ``(v - mean) / stddev_pop`` per key — the standardization features
-    get before cross-source mixing (complements
-    :func:`grouped_minmax_norm`'s [0,1] scaling).
-
-    Same two-bounded-stage shape as minmax: per-block ``(key, n, sum,
-    sumsq)`` partials collapse inside ``map_batches``, one tiny keyed
-    merge folds them in arbitrary-precision Python ints (exact — the
-    SQL oracle's HUGEINT does the same), and the O(keys) stats table
-    broadcasts via ``ray.put`` for a single vectorized map pass. No raw
-    row ever shuffles.
-
-    Exactness contract: the float result is derived from exact integer
-    sufficient statistics through ONE fixed expression —
-    ``(v::double - s::double/n::double) /
-    sqrt((n*ssq - s*s)::double / (n::double * n::double))`` —
-    mirror it operand-for-operand in any oracle. ``sum(v*v)`` is
-    accumulated wrap-free at any block size via a two-limb split
-    (``v² = a²·2³² + 2ab·2¹⁶ + b²`` with ``a = |v|>>16``,
-    ``b = |v|&0xffff`` — each limb sum fits int64 for any block below
-    2³¹ rows) and recombined in Python ints at merge. ``|v| ≥ 2³¹``
-    raises (the oracle's BIGINT ``v*v`` errors there too — loud on both
-    sides, never silently wrong); rescale upstream.
-
-    A zero-variance key yields null ``z`` (SQL CASE, division by zero);
-    rows with a null key or value are dropped (no partition / no rank
-    signal). Output: ``key_col``, ``id_col``, ``v`` (int64), ``z``
-    (float64).
-    """
-    import ray as _ray
-
-    from konlsearch_ray.functions.blocks import nonempty_refs
-    from konlsearch_ray.functions.temporal import _required_rows
-
-    sch = _arrow_schema(ds)
-    ktyp = sch.field(key_col).type
-    if not pa.types.is_integer(sch.field(value_col).type):
-        raise ValueError(
-            f"value_col {value_col!r} must be integer-typed "
-            f"(got {sch.field(value_col).type}); quantize upstream")
-    p_empty = pa.table({key_col: pa.array([], ktyp),
-                        "n": pa.array([], pa.int64()),
-                        "s": pa.array([], pa.int64()),
-                        "saa": pa.array([], pa.int64()),
-                        "sab": pa.array([], pa.int64()),
-                        "sbb": pa.array([], pa.int64())})
-
-    def partial(t: pa.Table) -> pa.Table:
-        t = _required_rows(t, (key_col, value_col))
-        if not t.num_rows:
-            return p_empty
-        t = t.combine_chunks()
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        av = np.abs(v)
-        if len(av) and int(av.max()) >= 2**31:
-            raise ValueError(
-                "grouped_zscore: |value| >= 2**31 would overflow the "
-                "exact v*v accumulation (the SQL oracle's BIGINT v*v "
-                "errors there too); rescale the column upstream")
-        codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
-        k = len(uniq)
-        # two-limb v² = a²·2³² + 2ab·2¹⁶ + b²: every limb sum fits
-        # int64 for any realistic block (see docstring).
-        a, b = av >> 16, av & 0xFFFF
-        n = np.bincount(codes, minlength=k).astype(np.int64)
-        s = np.zeros(k, dtype=np.int64)
-        np.add.at(s, codes, v)
-        saa = np.zeros(k, dtype=np.int64)
-        np.add.at(saa, codes, a * a)
-        sab = np.zeros(k, dtype=np.int64)
-        np.add.at(sab, codes, a * b)
-        sbb = np.zeros(k, dtype=np.int64)
-        np.add.at(sbb, codes, b * b)
-        return pa.table({key_col: pa.array(uniq, ktyp),
-                         "n": pa.array(n), "s": pa.array(s),
-                         "saa": pa.array(saa), "sab": pa.array(sab),
-                         "sbb": pa.array(sbb)})
-
-    def merge(g: pa.Table) -> pa.Table:
-        stats_empty = pa.table({key_col: pa.array([], ktyp),
-                                "n": pa.array([], pa.int64()),
-                                "s_d": pa.array([], pa.float64()),
-                                "var_d": pa.array([], pa.float64())})
-        if not g.num_rows:
-            return stats_empty
-        n = sum(g["n"].to_pylist())          # exact: Python ints
-        s = sum(g["s"].to_pylist())
-        ssq = (sum(g["saa"].to_pylist()) * (1 << 32)
-               + 2 * sum(g["sab"].to_pylist()) * (1 << 16)
-               + sum(g["sbb"].to_pylist()))
-        num = n * ssq - s * s                # >= 0 (Cauchy-Schwarz)
-        var_d = (float(num) / (float(n) * float(n))
-                 if num > 0 else None)
-        return pa.table({
-            key_col: g[key_col][:1],
-            "n": pa.array([n], pa.int64()),
-            "s_d": pa.array([float(s)], pa.float64()),
-            "var_d": pa.array([var_d], pa.float64()),
-        })
-
-    stats_ds = (ds.map_batches(partial, batch_format="pyarrow")
-                  .groupby(key_col).map_groups(merge,
-                                               batch_format="pyarrow"))
-    refs, rows = nonempty_refs(stats_ds)
-    out_schema = pa.schema([(key_col, ktyp), (id_col, pa.int64()),
-                            ("v", pa.int64()), ("z", pa.float64())])
-    if not rows:
-        return ray.data.from_arrow(out_schema.empty_table())
-    bt = pa.concat_tables(_ray.get(refs)).combine_chunks()
-    ref = _ray.put(bt)
-
-    def zmap(t: pa.Table) -> pa.Table:
-        b: pa.Table = _ray.get(ref)
-        t = _required_rows(t, (key_col, value_col))
-        idx = pc.index_in(t[key_col], value_set=b[key_col])
-        # every surviving (non-null-key, non-null-value) row HAS a
-        # stats row by construction; a missing one would be a bug.
-        n_d = pc.take(b["n"], idx).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        s_d = pc.take(b["s_d"], idx).to_numpy(zero_copy_only=False)
-        var = pc.take(b["var_d"], idx)
-        has_var = pc.is_valid(var).to_numpy(zero_copy_only=False)
-        var_d = pc.fill_null(var, 1.0).to_numpy(zero_copy_only=False)
-        v = pc.cast(t[value_col], pa.int64())
-        vf = v.to_numpy(zero_copy_only=False).astype(np.float64)
-        # THE expression (see docstring) — keep operand order.
-        z = (vf - s_d / n_d) / np.sqrt(var_d)
-        zcol = pc.if_else(pa.array(has_var), pa.array(z),
-                          pa.nulls(t.num_rows, pa.float64()))
-        return pa.table({key_col: t[key_col], id_col: t[id_col],
-                         "v": v, "z": zcol})
-
-    return ds.map_batches(zmap, batch_format="pyarrow")
-
-
-def grouped_quantiles_int(
-    ds: ray.data.Dataset,
-    key_col: str,
-    value_col: str,
-    qs: tuple[tuple[str, int], ...] = DEFAULT_QS,
-) -> ray.data.Dataset:
-    """:func:`grouped_quantiles` for INTEGER columns WITHOUT co-locating
-    each key's raw rows — the hot-key scale path the exact operator's
-    docstring promises: identical integer-indexed quantile spec
-    (``sorted[(n-1) * q_bp // 10000]``), but the exchange moves per-block
-    ``(key, value, count)`` partials (bounded by distinct pairs per
-    block, never row count), and the quantile resolves from cumulative
-    counts over the merged value histogram. For a bounded value domain
-    (scores, cents, lengths) a key of ANY row count reduces to its
-    distinct values — exact, not a sketch.
-
-    Output matches :func:`grouped_quantiles`: ``key_col``, ``n``, one
-    float64 column per ``(label, q_bp)``. Null values are not values;
-    all-null (or empty) keys emit nothing; null keys are dropped (no
-    partition). ``value_col`` must be integer-typed.
-    """
-    sch = _arrow_schema(ds)
-    ktyp = sch.field(key_col).type
-    if not pa.types.is_integer(sch.field(value_col).type):
-        raise ValueError(
-            f"value_col {value_col!r} must be integer-typed "
-            f"(got {sch.field(value_col).type}); use grouped_quantiles "
-            f"or quantize upstream")
-    labels = [lb for lb, _ in qs]
-    bps = np.array([bp for _, bp in qs], dtype=np.int64)
-
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.select([key_col, value_col])
-        mask = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[value_col]))
-        t = t.filter(mask)
-        out = (t.group_by([key_col, value_col]).aggregate([([], "count_all")])
-               .rename_columns([key_col, value_col, "cnt"]))
-        return out.replace_schema_metadata(None)
-
-    fallback = pa.table({
-        key_col: pa.array([], ktyp),
-        "n": pa.array([], pa.int64()),
-        **{lb: pa.array([], pa.float64()) for lb in labels},
-    })
-
-    def emit(g: pa.Table) -> pa.Table:
-        if not g.num_rows:
-            return fallback
-        g = g.combine_chunks()
-        summed = (g.group_by([value_col]).aggregate([("cnt", "sum")])
-                  .rename_columns([value_col, "cnt"]))
-        v = summed[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = summed["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(v, kind="stable")
-        v, c = v[order], c[order]
-        cum = np.cumsum(c)
-        n = int(cum[-1])
-        idx = (n - 1) * bps // 10_000  # the shared integer-indexed spec
-        picks = v[np.searchsorted(cum, idx, side="right")]
-        row = {key_col: g[key_col][:1], "n": pa.array([n], pa.int64())}
-        for lb, p in zip(labels, picks):
-            row[lb] = pa.array([float(p)], pa.float64())
-        return pa.table(row)
-
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
-    return nonempty_blocks(out, tuple(fallback.column_names),
-                           fallback=fallback)
-
-
-def grouped_quantiles_cont(
-    ds: ray.data.Dataset,
-    key_col: str,
-    value_col: str,
-    qs: tuple[tuple[str, int], ...] = DEFAULT_QS,
-) -> ray.data.Dataset:
-    """Linearly INTERPOLATED per-key quantiles (SQL ``percentile_cont``
-    / DuckDB ``quantile_cont`` semantics) over an INTEGER column, with
-    the same distinct-pair-bounded exchange as
-    :func:`grouped_quantiles_int` — no key ever co-locates its raw
-    rows.
-
-    Interpolation is pinned to ONE explicit expression so any oracle
-    can mirror it operand-for-operand instead of trusting an engine
-    built-in's private float order: with ``pos = (n-1)·q_bp``,
-    ``lo = pos // 10000``, ``fr = pos % 10000`` (exact ints) and
-    ``v_hi`` the next order statistic when ``fr > 0`` (else ``v_lo``):
-
-        double(v_lo) + (double(fr) / 10000.0) · (double(v_hi) − double(v_lo))
-
-    Null/empty-key semantics and output shape match
-    grouped_quantiles_int (float64 quantile columns).
-    """
-    sch = _arrow_schema(ds)
-    ktyp = sch.field(key_col).type
-    if not pa.types.is_integer(sch.field(value_col).type):
-        raise ValueError(
-            f"value_col {value_col!r} must be integer-typed "
-            f"(got {sch.field(value_col).type}); quantize upstream")
-    labels = [lb for lb, _ in qs]
-    bps = np.array([bp for _, bp in qs], dtype=np.int64)
-
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.select([key_col, value_col])
-        mask = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[value_col]))
-        t = t.filter(mask)
-        out = (t.group_by([key_col, value_col]).aggregate([([], "count_all")])
-               .rename_columns([key_col, value_col, "cnt"]))
-        return out.replace_schema_metadata(None)
-
-    fallback = pa.table({
-        key_col: pa.array([], ktyp),
-        "n": pa.array([], pa.int64()),
-        **{lb: pa.array([], pa.float64()) for lb in labels},
-    })
-
-    def emit(g: pa.Table) -> pa.Table:
-        if not g.num_rows:
-            return fallback
-        g = g.combine_chunks()
-        summed = (g.group_by([value_col]).aggregate([("cnt", "sum")])
-                  .rename_columns([value_col, "cnt"]))
-        v = summed[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = summed["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(v, kind="stable")
-        v, c = v[order], c[order]
-        cum = np.cumsum(c)
-        n = int(cum[-1])
-        pos = (n - 1) * bps
-        lo_idx, fr = pos // 10_000, pos % 10_000
-        hi_idx = lo_idx + (fr > 0)
-        v_lo = v[np.searchsorted(cum, lo_idx, side="right")]
-        v_hi = v[np.searchsorted(cum, hi_idx, side="right")]
-        # THE interpolation expression (see docstring) — keep the order.
-        out_q = (v_lo.astype(np.float64)
-                 + (fr.astype(np.float64) / 10000.0)
-                 * (v_hi.astype(np.float64) - v_lo.astype(np.float64)))
-        row = {key_col: g[key_col][:1], "n": pa.array([n], pa.int64())}
-        for lb, val in zip(labels, out_q):
-            row[lb] = pa.array([float(val)], pa.float64())
-        return pa.table(row)
-
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
-    return nonempty_blocks(out, tuple(fallback.column_names),
-                           fallback=fallback)
-
-
 def grouped_mad(
     ds: ray.data.Dataset,
     key_col: str,
@@ -1274,7 +989,15 @@ def grouped_mad(
     if not rows:
         return ray.data.from_arrow(out_schema.empty_table())
     mt = pa.concat_tables(_ray.get(refs)).combine_chunks()
-    # discrete medians of an int column ARE data values — exact int64
+    # Discrete medians of an int column ARE data values, but they ride
+    # through the quantile op's float64 column — exact only below 2^53.
+    # Guard loudly (the sibling grouped_zscore raises on its analogous
+    # overflow too) instead of silently diverging from a BIGINT oracle.
+    mx = pc.max(pc.abs(mt["med"])).as_py()
+    if mx is not None and mx >= 2.0**53:
+        raise ValueError(
+            "grouped_mad: |median| >= 2**53 does not round-trip the "
+            "quantile op's float64 column exactly; rescale upstream")
     bt = pa.table({key_col: mt[key_col],
                    "med": pc.cast(mt["med"], pa.int64())})
     ref = _ray.put(bt)

@@ -2214,3 +2214,19 @@ def test_grouped_mad(ray_session):
         "v": pa.array([None], pa.int64())})), "k", "v")
     df = e.to_pandas()
     assert len(df) == 0
+
+
+def test_grouped_mad_median_overflow_guard(ray_session):
+    """|median| >= 2^53 cannot round-trip the quantile op's float64
+    column exactly — must raise, not silently diverge from a BIGINT
+    oracle."""
+    import pytest as _pytest
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_mad
+
+    t = pa.table({"k": pa.array(["a"] * 3, pa.string()),
+                  "v": pa.array([2**53 + 1, 2**53 + 3, 2**53 + 5],
+                                pa.int64())})
+    with _pytest.raises(Exception, match="2\\*\\*53"):
+        grouped_mad(ray.data.from_arrow(t), "k", "v").to_pandas()
