@@ -206,7 +206,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "search_regex_docs", "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
-               "latest_event", "first_event", "value_mad"]
+               "latest_event", "first_event", "value_mad", "embed_pca"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1264,6 +1264,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["user_id", "event_id", "ts", "event_type"])
         return latest_by_key(ev, "user_id", "ts", "event_id")
 
+    def embed_pca(sf_dir):
+        # Distributed PCA projection to 8 dims: O(d²) moment partials
+        # per block, driver-side eigh of the d×d covariance, one
+        # broadcast projection pass. No SQL oracle: eigendecomposition
+        # (rows-only gate; determinism pinned by eigenvector signs and
+        # covered by pytest against a numpy reference).
+        from konlsearch_ray.functions.similarity import embedding_pca
+
+        ds = _rp_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+        return embedding_pca(ds, "vec_id", "embedding", k=8)
+
     def value_mad(sf_dir):
         # Robust spread per type: median absolute deviation from two
         # bounded histogram exchanges + one O(keys) median broadcast.
@@ -1468,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event": latest_event,
         "first_event": first_event,
         "value_mad": value_mad,
+        "embed_pca": embed_pca,
     })
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -461,3 +462,87 @@ def lsh_bucketed_pairs(
     # silently drop rows (mixed-schema hazard) — keep real blocks only.
     pairs = nonempty_blocks(pairs, ("a", "b"))
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="nb")).select_columns(["a", "b"])
+
+
+def embedding_pca(
+    ds: ray.data.Dataset,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Distributed PCA projection of an embedding column — the
+    dimensionality reduction in front of clustering / ANN / near-dup
+    when the raw dimension is wasteful.
+
+    Scale shape: each block collapses to ONE moment row — ``(n, Σv,
+    MᵀM)``, d + d² floats regardless of row count — so the driver
+    folds O(blocks) tiny partials into the d×d covariance (d is the
+    embedding dim, never N), takes the top-``k`` eigenvectors with
+    ``np.linalg.eigh``, and broadcasts the (mean, components) pair back
+    through a single vectorized projection pass. The corpus streams
+    twice and never shuffles; driver state is O(d²).
+
+    Determinism: eigenvector SIGNS are pinned (largest-|entry|
+    positive) so reruns and different partitionings agree up to float
+    summation order of the partials. Rows with a null id or vector are
+    dropped. Output: ``id_col``, ``proj`` (list<double>, length k).
+    """
+    import ray as _ray
+
+    from konlsearch_ray.functions.blocks import nonempty_refs
+
+    def moments(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t[id_col]), pc.is_valid(t[vec_col]))
+        t = t.filter(mask)
+        if not t.num_rows:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "ss": pa.array([], pa.list_(pa.float64()))})
+        m = _matrix(t, vec_col)
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+            "ss": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64())),
+        })
+
+    refs, rows = nonempty_refs(ds.map_batches(moments,
+                                              batch_format="pyarrow"))
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("proj", pa.list_(pa.float64()))])
+    if not rows:
+        return ray.data.from_arrow(out_schema.empty_table())
+    mt = pa.concat_tables(_ray.get(refs))
+    n = int(pc.sum(mt["n"]).as_py())
+    s_rows = np.vstack(
+        [np.asarray(x, dtype=np.float64) for x in mt["s"].to_pylist()])
+    ss_rows = np.vstack(
+        [np.asarray(x, dtype=np.float64) for x in mt["ss"].to_pylist()])
+    d = s_rows.shape[1]
+    if not (1 <= k <= d):
+        raise ValueError(f"need 1 <= k <= dim ({d}), got {k}")
+    mean = s_rows.sum(axis=0) / n
+    cov = ss_rows.sum(axis=0).reshape(d, d) / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh((cov + cov.T) / 2.0)  # symmetrize float noise
+    comp = v[:, np.argsort(-w)[:k]]             # d × k, top variance first
+    # pin signs: the largest-|entry| coordinate of each component is
+    # positive (eigh's sign is arbitrary and run-dependent otherwise)
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0),
+                        np.arange(comp.shape[1])])
+    flip[flip == 0] = 1.0
+    comp = comp * flip
+    ref = _ray.put((mean, comp))
+
+    def project(t: pa.Table) -> pa.Table:
+        mean_b, comp_b = _ray.get(ref)
+        mask = pc.and_(pc.is_valid(t[id_col]), pc.is_valid(t[vec_col]))
+        t = t.filter(mask)
+        if not t.num_rows:
+            return out_schema.empty_table()
+        m = _matrix(t, vec_col)
+        proj = (m - mean_b) @ comp_b
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "proj": pa.array(list(proj), pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -26,14 +26,15 @@ def test_entry_smoke(ray_session):
 
 def test_registry_counts():
     """The ONE documented count (README/SURVEY/BASELINE all cite it):
-    101 queries() entries, 97 with oracles, 4 rows-only by design."""
+    102 queries() entries, 97 with oracles, 5 rows-only by design."""
     import __ray_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
-    assert len(q) == 101
+    assert len(q) == 102
     assert len(o) == 97
     assert set(q) - set(o) == {
-        "dedup_minhash", "curate_neardup", "approx_users", "embed_kmeans"}
+        "dedup_minhash", "curate_neardup", "approx_users", "embed_kmeans",
+        "embed_pca"}
 
 
 def test_registry_window_rotation():

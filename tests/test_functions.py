@@ -2230,3 +2230,40 @@ def test_grouped_mad_median_overflow_guard(ray_session):
                                 pa.int64())})
     with _pytest.raises(Exception, match="2\\*\\*53"):
         grouped_mad(ray.data.from_arrow(t), "k", "v").to_pandas()
+
+
+def test_embedding_pca(ray_session):
+    import numpy as np
+    import ray.data
+
+    from konlsearch_ray.functions.similarity import embedding_pca
+
+    # anisotropic 3-d cloud whose top-2 PCA plane is known: variance
+    # concentrated along axis 0 then axis 1, none along axis 2
+    rng = np.random.RandomState(7)
+    m = rng.randn(300, 3) * np.array([10.0, 3.0, 0.0]) + 5.0
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "v": pa.array([list(r) for r in m],
+                                pa.list_(pa.float64()))})
+    out = (embedding_pca(ray.data.from_arrow(t).repartition(4),
+                         "vec_id", "v", 2)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == 300
+    proj = np.vstack(out["proj"].to_numpy())
+    # numpy reference PCA on the same data
+    c = m - m.mean(axis=0)
+    w, v = np.linalg.eigh(np.cov(c.T, bias=True))
+    ref = c @ v[:, np.argsort(-w)[:2]]
+    # compare variance captured (sign/rotation-free invariant)
+    assert np.allclose(sorted(proj.var(axis=0)), sorted(ref.var(axis=0)),
+                       rtol=1e-9)
+    # third axis carried no variance: projection must capture ~all of it
+    assert np.isclose(proj.var(axis=0).sum(), c.var(axis=0).sum(),
+                      rtol=1e-9)
+
+    # determinism across repartitionings (signs pinned)
+    out2 = (embedding_pca(ray.data.from_arrow(t).repartition(9),
+                          "vec_id", "v", 2)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    proj2 = np.vstack(out2["proj"].to_numpy())
+    assert np.allclose(proj, proj2, atol=1e-8)
