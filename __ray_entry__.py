@@ -206,7 +206,8 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "search_regex_docs", "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
-               "latest_event", "first_event", "value_mad", "embed_pca"]
+               "latest_event", "first_event", "value_mad", "embed_pca",
+               "dedup_doc_lines"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1264,6 +1265,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["user_id", "event_id", "ts", "event_type"])
         return latest_by_key(ev, "user_id", "ts", "event_id")
 
+    def dedup_doc_lines(sf_dir):
+        # RefinedWeb-style boilerplate scrub: drop lines occurring in
+        # >= 2 distinct docs (len >= 10), reassemble in order. The dup
+        # vocabulary stays a Dataset through the anti existence-filter.
+        from konlsearch_ray.functions.linedup import drop_duplicate_lines
+
+        docs = _rp_clean(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+        return drop_duplicate_lines(docs, "doc_id", "text")
+
     def embed_pca(sf_dir):
         # Distributed PCA projection to 8 dims: O(d²) moment partials
         # per block, driver-side eigh of the d×d covariance, one
@@ -1481,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event": first_event,
         "value_mad": value_mad,
         "embed_pca": embed_pca,
+        "dedup_doc_lines": dedup_doc_lines,
     })
 
 
@@ -2351,6 +2363,19 @@ FROM (SELECT *, row_number() OVER (
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND event_id IS NOT NULL)
 WHERE rn = 1"""
+    out["dedup_doc_lines"] = """WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS ord
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+dup AS (SELECT line FROM l WHERE length(line) >= 10
+        GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM l WHERE length(line) < 10
+         UNION ALL
+         SELECT ll.* FROM (SELECT * FROM l WHERE length(line) >= 10) ll
+         ANTI JOIN dup USING (line))
+SELECT doc_id::BIGINT AS doc_id,
+       string_agg(line, chr(10) ORDER BY ord) AS text
+FROM kept GROUP BY doc_id"""
     out["value_mad"] = """WITH c AS (
   SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS v
   FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),

@@ -2267,3 +2267,48 @@ def test_embedding_pca(ray_session):
             .to_pandas().sort_values("vec_id").reset_index(drop=True))
     proj2 = np.vstack(out2["proj"].to_numpy())
     assert np.allclose(proj, proj2, atol=1e-8)
+
+
+def test_drop_duplicate_lines(ray_session):
+    import duckdb
+    import ray.data
+
+    from konlsearch_ray.functions.linedup import drop_duplicate_lines
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, None], pa.int64()),
+        "text": pa.array([
+            "hello world line\nshort\ncommon boilerplate line",
+            "common boilerplate line\nunique second line x",
+            "totally unique doc",
+            "common boilerplate line",   # all lines dropped -> doc gone
+            "null id drops",
+        ], pa.string()),
+    })
+    out = (drop_duplicate_lines(ray.data.from_arrow(t).repartition(3),
+                                "doc_id", "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("d", t)
+    exp = con.execute("""WITH l AS (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS ord
+        FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      dup AS (SELECT line FROM l WHERE length(line) >= 10
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      kept AS (SELECT * FROM l WHERE length(line) < 10
+               UNION ALL
+               SELECT ll.* FROM (SELECT * FROM l WHERE length(line) >= 10)
+               ll ANTI JOIN dup USING (line))
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+      FROM kept GROUP BY doc_id ORDER BY doc_id""").df()
+    assert out["doc_id"].tolist() == exp["doc_id"].tolist() == [1, 2, 3]
+    assert out["text"].tolist() == exp["text"].tolist()
+
+    # no duplicated lines at all: exact roundtrip incl. trailing newline
+    rt = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "text": pa.array(["alpha beta gamma\n\ndelta end\n"],
+                                    pa.string())})
+    ro = drop_duplicate_lines(ray.data.from_arrow(rt),
+                              "doc_id", "text").to_pandas()
+    assert ro["text"].tolist() == ["alpha beta gamma\n\ndelta end\n"]
