@@ -207,7 +207,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
-               "dedup_doc_lines"]
+               "dedup_doc_lines", "mix_by_lang"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1265,6 +1265,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["user_id", "event_id", "ts", "event_type"])
         return latest_by_key(ev, "user_id", "ts", "event_id")
 
+    def mix_by_lang(sf_dir):
+        # Data-mixture reweighting: per-source keep fractions resolved
+        # map-side by deterministic md5 bucket — zero shuffle/state.
+        from konlsearch_ray.functions.sampling import keyed_fraction_sample
+
+        docs = _rp_clean(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+        return keyed_fraction_sample(
+            docs, "lang", "doc_id",
+            {"en": 10000, "fr": 5000, "zh": 0}, salt="mix1",
+            default_bp=2500)
+
     def dedup_doc_lines(sf_dir):
         # RefinedWeb-style boilerplate scrub: drop lines occurring in
         # >= 2 distinct docs (len >= 10), reassemble in order. The dup
@@ -1493,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": value_mad,
         "embed_pca": embed_pca,
         "dedup_doc_lines": dedup_doc_lines,
+        "mix_by_lang": mix_by_lang,
     })
 
 
@@ -2363,6 +2376,13 @@ FROM (SELECT *, row_number() OVER (
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND event_id IS NOT NULL)
 WHERE rn = 1"""
+    out["mix_by_lang"] = """SELECT doc_id::BIGINT AS doc_id, lang
+FROM documents
+WHERE doc_id IS NOT NULL
+  AND CAST('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8)
+          AS UBIGINT) % 10000
+      < CASE lang WHEN 'en' THEN 10000 WHEN 'fr' THEN 5000
+                  WHEN 'zh' THEN 0 ELSE 2500 END"""
     out["dedup_doc_lines"] = """WITH l AS (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
          generate_subscripts(string_split(text, chr(10)), 1) AS ord

@@ -226,3 +226,53 @@ def exact_stratified_sample(
         [("__prio", "ascending"), (id_col, "ascending")], k)
     return out.map_batches(lambda t: t.select(orig),
                            batch_format="pyarrow")
+
+
+def keyed_fraction_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    fractions_bp: dict,
+    salt: str = "mix1",
+    default_bp: int = 0,
+) -> ray.data.Dataset:
+    """Per-source mixture reweighting: keep each row with its KEY's
+    fraction (basis points, exact) by the deterministic md5 bucket of
+    its ID — the data-mixture downsampling step in front of training
+    (e.g. keep 100% of books, 15% of web, 0% of a blocked source).
+
+    Zero shuffle, zero state: the (tiny) fraction table rides the task
+    closure and every row resolves map-side — partition-invariant and
+    rerun-stable because the bucket depends only on ``(salt, id)``.
+    Keys absent from ``fractions_bp`` fall back to ``default_bp``
+    (0 = drop, the blocklist default). Null keys use ``default_bp``;
+    null ids are dropped (no deterministic bucket).
+
+    All columns pass through. Oracle shape: ``bucket(id) < bp(key)``
+    with the shared md5 expression (see :func:`_bucket_of`).
+    """
+    for k, bp in fractions_bp.items():
+        if not (0 <= int(bp) <= BUCKETS):
+            raise ValueError(f"fraction for {k!r} must be in [0, "
+                             f"{BUCKETS}] basis points, got {bp}")
+    if not (0 <= int(default_bp) <= BUCKETS):
+        raise ValueError(f"default_bp must be in [0, {BUCKETS}]")
+    frac = {k: int(bp) for k, bp in fractions_bp.items()}
+    dbp = int(default_bp)
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[id_col]))
+        if not t.num_rows:
+            return t
+        t = t.combine_chunks()
+        buckets = _bucket_of(t[id_col], salt)
+        # vectorized key -> bp lookup (index_in against the tiny table;
+        # unknown and null keys fall back to default_bp)
+        kt = pa.array(list(frac.keys())).cast(t[key_col].type)
+        bpt = pa.array([frac[k] for k in frac], pa.int64())
+        idx = pc.index_in(t[key_col], value_set=kt)
+        bps = pc.fill_null(pc.take(bpt, idx), dbp).to_numpy(
+            zero_copy_only=False)
+        return t.filter(pa.array(buckets < bps))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -2312,3 +2312,41 @@ def test_drop_duplicate_lines(ray_session):
     ro = drop_duplicate_lines(ray.data.from_arrow(rt),
                               "doc_id", "text").to_pandas()
     assert ro["text"].tolist() == ["alpha beta gamma\n\ndelta end\n"]
+
+
+def test_keyed_fraction_sample(ray_session):
+    import duckdb
+    import ray.data
+
+    from konlsearch_ray.functions.sampling import keyed_fraction_sample
+
+    t = pa.table({
+        "k": pa.array(["a"] * 40 + ["b"] * 40 + ["c"] * 40 + [None] * 10
+                      + ["a"], pa.string()),
+        "id": pa.array(list(range(130)) + [None], pa.int64()),
+    })
+    out = (keyed_fraction_sample(ray.data.from_arrow(t).repartition(3),
+                                 "k", "id",
+                                 {"a": 10000, "b": 5000, "c": 0},
+                                 salt="s9", default_bp=2500)
+           .to_pandas())
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""SELECT k, id FROM t WHERE id IS NOT NULL
+        AND CAST('0x' || substr(md5('s9' || CAST(id AS VARCHAR)), 1, 8)
+                AS UBIGINT) % 10000
+            < CASE k WHEN 'a' THEN 10000 WHEN 'b' THEN 5000
+                     WHEN 'c' THEN 0 ELSE 2500 END""").df()
+    assert sorted(out["id"].tolist()) == sorted(exp["id"].tolist())
+    got = out.groupby("k", dropna=False).size()
+    assert got["a"] == 40  # 100% kept (the null-id row dropped)
+    assert "c" not in got  # 0% kept
+    assert 0 < got.get(None, got.sum()) # null keys fall to default_bp
+
+    # partition invariance
+    out2 = (keyed_fraction_sample(ray.data.from_arrow(t).repartition(9),
+                                  "k", "id",
+                                  {"a": 10000, "b": 5000, "c": 0},
+                                  salt="s9", default_bp=2500)
+            .to_pandas())
+    assert sorted(out2["id"].tolist()) == sorted(out["id"].tolist())
