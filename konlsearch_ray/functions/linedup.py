@@ -12,9 +12,11 @@ once per pass and never concentrates:
    C++ hash group-by (exchange bounded by distinct pairs per block),
    one keyed merge counts distinct docs per line — the duplicated-line
    vocabulary stays a Dataset, no driver state.
-3. FILTER: long lines anti-join the vocabulary through the existence
+3. FILTER: ALL lines anti-join the vocabulary through the existence
    filter (:func:`joins.filter_join` — the right side is the bounded
-   vocabulary, never the corpus); short lines bypass map-side.
+   vocabulary, never the corpus); short lines can never equal a
+   vocabulary line (those are all >= min_line_len chars), so they
+   survive the same join with no separate pass.
 4. REASSEMBLE: one keyed exchange on the doc id; each group sorts its
    ordinals and joins with ``\\n``. A document whose every line was
    dropped disappears (documented semantics — mirror with a GROUP BY
@@ -44,10 +46,15 @@ def drop_duplicate_lines(
     syntax would otherwise all collide and gut formatting). Rows with
     a null id or text are dropped. Output: ``id_col``, ``text_col``.
     """
+    from konlsearch_ray.functions.blocks import pinned_nonempty
     from konlsearch_ray.functions.joins import filter_join
 
     if min_dup_docs < 2:
         raise ValueError("min_dup_docs must be >= 2")
+    if id_col in ("ord", "line") or text_col in ("ord", "line"):
+        raise ValueError(
+            "id_col/text_col collide with drop_duplicate_lines "
+            "internals ('ord', 'line'); rename upstream")
     sch = _arrow_schema(ds)
     ityp = sch.field(id_col).type
 
@@ -74,23 +81,22 @@ def drop_duplicate_lines(
             "line": flat,
         })
 
+    out_schema = pa.schema([(id_col, ityp), (text_col, pa.string())])
     lines = ds.map_batches(explode, batch_format="pyarrow")
+    # ONE explode pass: the exploded blocks pin (spillable refs) and
+    # feed both the vocabulary build and the filter join; a fully empty
+    # explode (empty or all-null corpus) short-circuits here instead of
+    # handing filter_join a schema-less dataset.
+    lines, n_lines = pinned_nonempty(lines, (id_col, "ord", "line"))
+    if not n_lines:
+        return ray.data.from_arrow(out_schema.empty_table())
 
-    def split_part(keep_long: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.greater_equal(pc.utf8_length(t["line"]),
-                                 min_line_len)
-            return t.filter(m if keep_long else pc.invert(m))
-        return f
-
-    long_lines = lines.map_batches(split_part(True), batch_format="pyarrow")
-    short_lines = lines.map_batches(split_part(False),
-                                    batch_format="pyarrow")
-
-    # duplicated-line vocabulary: distinct-doc count per line — the
-    # same distinct-pair-bounded shape as aggregates.distinct_count,
+    # duplicated-line vocabulary: distinct-doc count per LONG line —
+    # the same distinct-pair-bounded shape as aggregates.distinct_count,
     # ending in a line-only projection that STAYS a Dataset.
     def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(pc.utf8_length(t["line"]),
+                                      min_line_len))
         return (t.select(["line", id_col])
                 .group_by(["line", id_col]).aggregate([])
                 .replace_schema_metadata(None))
@@ -103,15 +109,13 @@ def drop_duplicate_lines(
         return g.select(["line"]).slice(0, 1) if n >= min_dup_docs \
             else empty
 
-    dup_vocab = (long_lines.map_batches(pair_partial,
-                                        batch_format="pyarrow")
+    dup_vocab = (lines.map_batches(pair_partial, batch_format="pyarrow")
                  .groupby("line").map_groups(dup_only,
                                              batch_format="pyarrow"))
-    kept_long = filter_join(long_lines, dup_vocab, "line", "line",
-                            mode="anti")
-    kept = short_lines.union(kept_long)
-
-    out_schema = pa.schema([(id_col, ityp), (text_col, pa.string())])
+    # every vocabulary line is >= min_line_len chars, so short lines can
+    # never match: ONE anti join over ALL lines keeps them automatically
+    # (no short/long split, no extra corpus pass).
+    kept = filter_join(lines, dup_vocab, "line", "line", mode="anti")
 
     def assemble(g: pa.Table) -> pa.Table:
         if not g.num_rows:

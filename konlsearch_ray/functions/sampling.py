@@ -252,11 +252,16 @@ def keyed_fraction_sample(
     with the shared md5 expression (see :func:`_bucket_of`).
     """
     for k, bp in fractions_bp.items():
-        if not (0 <= int(bp) <= BUCKETS):
-            raise ValueError(f"fraction for {k!r} must be in [0, "
-                             f"{BUCKETS}] basis points, got {bp}")
-    if not (0 <= int(default_bp) <= BUCKETS):
-        raise ValueError(f"default_bp must be in [0, {BUCKETS}]")
+        # integral basis points ONLY: int(0.15) == 0 would silently
+        # turn "keep 15%" into a blocklist entry.
+        if int(bp) != bp or not (0 <= int(bp) <= BUCKETS):
+            raise ValueError(
+                f"fraction for {k!r} must be INTEGRAL basis points in "
+                f"[0, {BUCKETS}] (e.g. 15% = 1500), got {bp!r}")
+    if int(default_bp) != default_bp or not (0 <= int(default_bp) <= BUCKETS):
+        raise ValueError(
+            f"default_bp must be integral basis points in [0, {BUCKETS}],"
+            f" got {default_bp!r}")
     frac = {k: int(bp) for k, bp in fractions_bp.items()}
     dbp = int(default_bp)
 

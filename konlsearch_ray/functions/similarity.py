@@ -505,9 +505,12 @@ def embedding_pca(
             "ss": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64())),
         })
 
+    from konlsearch_ray.functions.blocks import arrow_schema
+
+    ityp = arrow_schema(ds).field(id_col).type
     refs, rows = nonempty_refs(ds.map_batches(moments,
                                               batch_format="pyarrow"))
-    out_schema = pa.schema([(id_col, pa.int64()),
+    out_schema = pa.schema([(id_col, ityp),
                             ("proj", pa.list_(pa.float64()))])
     if not rows:
         return ray.data.from_arrow(out_schema.empty_table())
@@ -541,7 +544,7 @@ def embedding_pca(
         m = _matrix(t, vec_col)
         proj = (m - mean_b) @ comp_b
         return pa.table({
-            id_col: pc.cast(t[id_col], pa.int64()),
+            id_col: t[id_col],  # caller's id type passes through
             "proj": pa.array(list(proj), pa.list_(pa.float64())),
         })
 

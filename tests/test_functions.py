@@ -2341,7 +2341,8 @@ def test_keyed_fraction_sample(ray_session):
     got = out.groupby("k", dropna=False).size()
     assert got["a"] == 40  # 100% kept (the null-id row dropped)
     assert "c" not in got  # 0% kept
-    assert 0 < got.get(None, got.sum()) # null keys fall to default_bp
+    # null keys fall to default_bp (pandas indexes the NA group as NaN)
+    assert got[got.index.isna()].sum() > 0
 
     # partition invariance
     out2 = (keyed_fraction_sample(ray.data.from_arrow(t).repartition(9),
@@ -2350,3 +2351,44 @@ def test_keyed_fraction_sample(ray_session):
                                   salt="s9", default_bp=2500)
             .to_pandas())
     assert sorted(out2["id"].tolist()) == sorted(out["id"].tolist())
+
+
+def test_review_fixes_r5_batch3(ray_session):
+    """Review findings on the PCA/linedup/mixture batch: empty-corpus
+    line dedup keeps its schema, non-integer id types survive PCA,
+    fractional basis points raise, internal-name collisions raise."""
+    import pytest as _pytest
+    import ray.data
+
+    from konlsearch_ray.functions.linedup import drop_duplicate_lines
+    from konlsearch_ray.functions.sampling import keyed_fraction_sample
+    from konlsearch_ray.functions.similarity import embedding_pca
+
+    # empty + all-null corpora: typed empty result, no crash
+    for tbl in (pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())}),
+                pa.table({"doc_id": pa.array([None], pa.int64()),
+                          "text": pa.array([None], pa.string())})):
+        out = drop_duplicate_lines(ray.data.from_arrow(tbl),
+                                   "doc_id", "text")
+        assert out.count() == 0
+        assert out.schema().names == ["doc_id", "text"]
+
+    # internal column-name collision raises instead of corrupting
+    with _pytest.raises(ValueError, match="internals"):
+        drop_duplicate_lines(ray.data.from_arrow(pa.table(
+            {"line": pa.array([1], pa.int64()),
+             "text": pa.array(["x"], pa.string())})), "line", "text")
+
+    # PCA passes a string id column through unchanged
+    t = pa.table({"sid": pa.array([f"u{i}" for i in range(20)]),
+                  "v": pa.array([[float(i), 1.0] for i in range(20)],
+                                pa.list_(pa.float64()))})
+    out = embedding_pca(ray.data.from_arrow(t), "sid", "v", 1).to_pandas()
+    assert len(out) == 20 and out["sid"].iloc[0].startswith("u")
+
+    # fractional basis points are a silent-data-loss trap: raise
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(["a"]),
+                                       "id": pa.array([1], pa.int64())}))
+    with _pytest.raises(ValueError, match="INTEGRAL basis points"):
+        keyed_fraction_sample(ds, "k", "id", {"a": 0.15})
