@@ -207,7 +207,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
-               "dedup_doc_lines", "mix_by_lang"]
+               "dedup_doc_lines", "mix_by_lang", "token_pairs"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1265,6 +1265,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["user_id", "event_id", "ts", "event_type"])
         return latest_by_key(ev, "user_id", "ts", "event_id")
 
+    def token_pairs(sf_dir):
+        # Skip-gram/PMI prep: windowed co-occurrence counts — offset
+        # slices (no join) + per-block pair combine; the exchange moves
+        # the pair vocabulary only.
+        from konlsearch_ray.functions.text import token_cooccurrence
+
+        docs = _rp_clean(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+        return token_cooccurrence(docs, "doc_id", "text",
+                                  window=3, min_count=5)
+
     def mix_by_lang(sf_dir):
         # Data-mixture reweighting: per-source keep fractions resolved
         # map-side by deterministic md5 bucket — zero shuffle/state.
@@ -1506,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_pca": embed_pca,
         "dedup_doc_lines": dedup_doc_lines,
         "mix_by_lang": mix_by_lang,
+        "token_pairs": token_pairs,
     })
 
 
@@ -2376,6 +2388,14 @@ FROM (SELECT *, row_number() OVER (
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND event_id IS NOT NULL)
 WHERE rn = 1"""
+    out["token_pairs"] = f"""WITH {_KEPT},
+p AS (SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos FROM kept)
+SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2,
+       count(*)::BIGINT AS n
+FROM p a JOIN p b ON a.doc_id = b.doc_id
+                 AND b.pos > a.pos AND b.pos - a.pos <= 3
+GROUP BY 1, 2 HAVING count(*) >= 5"""
     out["mix_by_lang"] = """SELECT doc_id::BIGINT AS doc_id, lang
 FROM documents
 WHERE doc_id IS NOT NULL

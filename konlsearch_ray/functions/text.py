@@ -597,3 +597,80 @@ def url_domain_counts(
                       "n": pa.array([], pa.int64())})
     return nonempty_blocks(out.map_batches(finish, batch_format="pyarrow"),
                            ("domain", "n"), fallback=empty)
+
+
+def token_cooccurrence(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    min_count: int = 5,
+) -> ray.data.Dataset:
+    """Windowed token co-occurrence counts — the skip-gram / PMI
+    preparation table: for kept-token positions ``i < j`` within one
+    document and ``j - i <= window``, count the UNORDERED pair
+    ``(min(a, b), max(a, b))``.
+
+    Scale shape: tokenization and pair extraction are one vectorized
+    pass per block (positions in the kept stream are consecutive, so
+    offset-``d`` pairs are two aligned slices — no join, no per-row
+    Python), a per-block pandas groupby collapses occurrences to
+    distinct-pair counts BEFORE the exchange, and one keyed merge sums
+    them and applies ``min_count``. The exchange moves the pair
+    vocabulary, never the occurrence stream.
+
+    Rows with a null id or text are dropped. Output: ``t1``, ``t2``
+    (``t1 <= t2``), ``n`` (int64, ``>= min_count``).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    p_empty = pa.table({"t1": pa.array([], pa.string()),
+                        "t2": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t[id_col]), pc.is_valid(t[text_col]))
+        t = t.filter(mask)
+        if not t.num_rows:
+            return p_empty
+        a = analyze_strings(t[text_col].combine_chunks()
+                            if isinstance(t[text_col], pa.ChunkedArray)
+                            else t[text_col])
+        doc, term = a["doc_idx"], a["term"]
+        lefts, rights = [], []
+        for d in range(1, window + 1):
+            if len(doc) <= d:
+                break
+            same = doc[:-d] == doc[d:]  # kept positions are consecutive
+            lefts.append(term[:-d][same])
+            rights.append(term[d:][same])
+        if not lefts:
+            return p_empty
+        x = np.concatenate(lefts)
+        y = np.concatenate(rights)
+        t1 = np.where(x <= y, x, y)
+        t2 = np.where(x <= y, y, x)
+        g = (pd.DataFrame({"t1": t1, "t2": t2})
+             .groupby(["t1", "t2"], sort=False, observed=True)
+             .size().reset_index(name="n"))
+        return pa.table({"t1": pa.array(g["t1"], pa.string()),
+                         "t2": pa.array(g["t2"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["t1", "t2"]).aggregate(Sum("n", alias_name="n_sum")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_sum"], min_count))
+        return pa.table({"t1": t["t1"], "t2": t["t2"],
+                         "n": pc.cast(t["n_sum"], pa.int64())})
+
+    from konlsearch_ray.functions.blocks import nonempty_blocks
+
+    return nonempty_blocks(merged.map_batches(finish,
+                                              batch_format="pyarrow"),
+                           ("t1", "t2", "n"), fallback=p_empty)

@@ -2392,3 +2392,28 @@ def test_review_fixes_r5_batch3(ray_session):
                                        "id": pa.array([1], pa.int64())}))
     with _pytest.raises(ValueError, match="INTEGRAL basis points"):
         keyed_fraction_sample(ds, "k", "id", {"a": 0.15})
+
+
+def test_token_cooccurrence(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.text import token_cooccurrence
+
+    # tokens after analysis: doc1 = [aa, bb, aa, bb, aa],
+    # doc2 = [aa, bb] — window 2, unordered pairs
+    t = pa.table({
+        "doc_id": pa.array([1, 2, None], pa.int64()),
+        "text": pa.array(["aa bb aa bb aa", "aa bb", "aa aa"], pa.string()),
+    })
+    out = (token_cooccurrence(ray.data.from_arrow(t).repartition(2),
+                              "doc_id", "text", window=2, min_count=1)
+           .to_pandas().sort_values(["t1", "t2"]).reset_index(drop=True))
+    # doc1 offsets: d=1 -> (aa,bb)x2,(bb,aa)x2 ; d=2 -> (aa,aa)x2,(bb,bb)x1
+    # doc2: d=1 -> (aa,bb)x1 ; null-id doc dropped
+    rows = {(r.t1, r.t2): r.n for r in out.itertuples()}
+    assert rows == {("aa", "aa"): 2, ("aa", "bb"): 5, ("bb", "bb"): 1}
+
+    # min_count filters the tail
+    out2 = token_cooccurrence(ray.data.from_arrow(t), "doc_id", "text",
+                              window=2, min_count=5).to_pandas()
+    assert len(out2) == 1 and out2["n"].tolist() == [5]
