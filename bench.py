@@ -415,6 +415,16 @@ def run_bench() -> dict:
     hash_split(docs_ds2, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
                salt="bench").materialize()
     queries["hash_split_sec"] = round(time.perf_counter() - t0, 3)
+    from konlsearch_ray.functions.linedup import drop_duplicate_lines
+    from konlsearch_ray.functions.text import token_cooccurrence
+
+    t0 = time.perf_counter()
+    drop_duplicate_lines(docs_ds2, "doc_id", "text").materialize()
+    queries["line_dedup_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    token_cooccurrence(docs_ds2, "doc_id", "text",
+                       window=3, min_count=5).materialize()
+    queries["cooccur_sec"] = round(time.perf_counter() - t0, 3)
 
     # --- corpus shaping + repetition profiling -----------------------------
     from konlsearch_ray.functions.packing import pack_by_offset
