@@ -207,7 +207,8 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
-               "dedup_doc_lines", "mix_by_lang", "token_pairs"]
+               "dedup_doc_lines", "mix_by_lang", "token_pairs",
+               "wavg_price"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1265,6 +1266,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["user_id", "event_id", "ts", "event_type"])
         return latest_by_key(ev, "user_id", "ts", "event_id")
 
+    def wavg_price(sf_dir):
+        # Quantity-weighted mean price per returnflag — exact two-limb
+        # integer folds, one mirrored float division.
+        from konlsearch_ray.functions.stats import grouped_weighted_mean
+
+        li = _rp_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                       columns=["l_returnflag", "l_quantity",
+                                "l_extendedprice"])
+
+        def prep(t):
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "w": pc.cast(pc.round(t["l_quantity"],
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+                "v": _cents_col(t, "l_extendedprice"),
+            })
+
+        return grouped_weighted_mean(
+            li.map_batches(prep, batch_format="pyarrow"),
+            "l_returnflag", "v", "w")
+
     def token_pairs(sf_dir):
         # Skip-gram/PMI prep: windowed co-occurrence counts — offset
         # slices (no join) + per-block pair combine; the exchange moves
@@ -1518,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_doc_lines": dedup_doc_lines,
         "mix_by_lang": mix_by_lang,
         "token_pairs": token_pairs,
+        "wavg_price": wavg_price,
     })
 
 
@@ -2388,6 +2414,18 @@ FROM (SELECT *, row_number() OVER (
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND event_id IS NOT NULL)
 WHERE rn = 1"""
+    out["wavg_price"] = """WITH b AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS w,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL)
+SELECT l_returnflag, count(*)::BIGINT AS n, sum(w)::BIGINT AS sw,
+       CASE WHEN sum(w) = 0 THEN NULL
+            ELSE CAST(sum(w*v) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+       END AS wmean
+FROM b GROUP BY 1"""
     out["token_pairs"] = f"""WITH {_KEPT},
 p AS (SELECT doc_id, unnest(toks) AS term,
              generate_subscripts(toks, 1) AS pos FROM kept)

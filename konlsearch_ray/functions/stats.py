@@ -1020,3 +1020,93 @@ def grouped_mad(
 
     return _histogram_quantile_op(dev_ds, key_col, "dv",
                                   (("mad", 5000),), pick)
+
+
+def grouped_weighted_mean(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+) -> ray.data.Dataset:
+    """Per-key weighted mean ``Σ(w·v) / Σw`` of INTEGER columns — the
+    quantity-weighted price / importance-weighted score aggregate —
+    from exact integer sufficient statistics.
+
+    Exactness: per-element ``w·v`` fits int64 because both inputs are
+    capped at ``|x| < 2³¹`` (raises otherwise, like grouped_zscore);
+    block sums of the product fold wrap-free through the same two-limb
+    split (``wv = hi·2³² + lo``) and recombine in Python ints at merge.
+    The one float expression — ``Σ(w·v)::double / Σw::double`` — is
+    mirrored operand-for-operand by any oracle. ``Σw == 0`` (or an
+    empty key) yields a null mean (SQL division-by-zero CASE).
+
+    Rows with a null key, value or weight are dropped (SQL aggregates
+    skip them). Output: ``key_col``, ``n`` (int64), ``sw`` (int64),
+    ``wmean`` (float64).
+    """
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    for c in (value_col, weight_col):
+        if not pa.types.is_integer(sch.field(c).type):
+            raise ValueError(
+                f"{c!r} must be integer-typed for exact weighted-mean "
+                f"partials (got {sch.field(c).type}); quantize upstream")
+    p_cols = ("n", "sw", "hi", "lo")
+    p_empty = pa.table({key_col: pa.array([], ktyp),
+                        **{c: pa.array([], pa.int64()) for c in p_cols}})
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(
+            pc.is_valid(t[key_col]),
+            pc.and_kleene(pc.is_valid(t[value_col]),
+                          pc.is_valid(t[weight_col])))
+        t = t.filter(ok)
+        if not t.num_rows:
+            return p_empty
+        t = t.combine_chunks()
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and max(int(np.abs(v).max()),
+                          int(np.abs(w).max())) >= 2**31:
+            raise ValueError(
+                "grouped_weighted_mean: |value| or |weight| >= 2**31 "
+                "would overflow the exact w*v accumulation (the SQL "
+                "oracle's BIGINT w*v errors there too); rescale upstream")
+        wv = w * v  # < 2^62 in magnitude: exact
+        hi, lo = wv >> 32, wv & 0xFFFFFFFF  # floor/remainder: exact split
+        codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        k = len(uniq)
+        out = {key_col: pa.array(uniq, ktyp)}
+        for name, vec in (("n", np.ones(len(v), dtype=np.int64)),
+                          ("sw", w), ("hi", hi), ("lo", lo)):
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, codes, vec)
+            out[name] = pa.array(acc)
+        return pa.table(out)
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "n": pa.array([], pa.int64()),
+        "sw": pa.array([], pa.int64()),
+        "wmean": pa.array([], pa.float64()),
+    })
+
+    def merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        n = sum(g["n"].to_pylist())          # exact: Python ints
+        sw = sum(g["sw"].to_pylist())
+        swv = sum(g["hi"].to_pylist()) * (1 << 32) + sum(g["lo"].to_pylist())
+        wmean = (pa.array([float(swv) / float(sw)], pa.float64())
+                 if sw != 0 else pa.nulls(1, pa.float64()))
+        return pa.table({
+            key_col: g[key_col][:1],
+            "n": pa.array([n], pa.int64()),
+            "sw": pa.array([sw], pa.int64()),
+            "wmean": wmean,
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
+    return nonempty_blocks(out, (key_col, "n", "sw", "wmean"),
+                           fallback=fallback)

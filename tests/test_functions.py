@@ -2417,3 +2417,56 @@ def test_token_cooccurrence(ray_session):
     out2 = token_cooccurrence(ray.data.from_arrow(t), "doc_id", "text",
                               window=2, min_count=5).to_pandas()
     assert len(out2) == 1 and out2["n"].tolist() == [5]
+
+
+def test_grouped_weighted_mean(ray_session):
+    import duckdb
+    import numpy as np
+    import pytest as _pytest
+    import ray.data
+
+    from konlsearch_ray.functions.stats import grouped_weighted_mean
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", None, "c"], pa.string()),
+        "v": pa.array([100, 200, None, 7, -7, 5, 9], pa.int64()),
+        "w": pa.array([1, 3, 9, 2, 2, 1, 0], pa.int64()),
+    })
+    out = (grouped_weighted_mean(ray.data.from_arrow(t).repartition(3),
+                                 "k", "v", "w")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""SELECT k, count(*)::BIGINT AS n,
+            sum(w)::BIGINT AS sw,
+            CASE WHEN sum(w) = 0 THEN NULL
+                 ELSE CAST(sum(w*v) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+            END AS wmean
+        FROM t WHERE k IS NOT NULL AND v IS NOT NULL AND w IS NOT NULL
+        GROUP BY k ORDER BY k""").df()
+    assert out["k"].tolist() == exp["k"].tolist() == ["a", "b", "c"]
+    assert out["sw"].tolist() == exp["sw"].tolist()
+    # key b: weights cancel (sw=0 -> null); key c: zero weight -> null
+    # wait: b has sw=4, values 7,-7 -> wmean 0.0; c has sw=0 -> null
+    assert out.loc[0, "wmean"] == exp.loc[0, "wmean"]
+    assert out.loc[1, "wmean"] == 0.0
+    assert np.isnan(out.loc[2, "wmean"]) and np.isnan(exp.loc[2, "wmean"])
+
+    # near-cap magnitudes stay exact through the two-limb fold
+    cap = 2**31 - 1
+    big = pa.table({"k": pa.array(["x"] * 3, pa.string()),
+                    "v": pa.array([cap, cap - 1, -cap], pa.int64()),
+                    "w": pa.array([cap, 1, cap], pa.int64())})
+    bo = grouped_weighted_mean(ray.data.from_arrow(big).repartition(2),
+                               "k", "v", "w").to_pandas()
+    con.register("b", big)
+    bexp = con.execute("""SELECT CAST(sum(w*v) AS DOUBLE)
+                          / CAST(sum(w) AS DOUBLE) AS m FROM b""").df()
+    assert bo["wmean"].tolist() == bexp["m"].tolist()
+
+    # over-cap raises (matching the oracle's BIGINT overflow error)
+    over = pa.table({"k": pa.array(["x"]), "v": pa.array([2**31], pa.int64()),
+                     "w": pa.array([1], pa.int64())})
+    with _pytest.raises(Exception, match="2\\*\\*31"):
+        grouped_weighted_mean(ray.data.from_arrow(over),
+                              "k", "v", "w").to_pandas()
