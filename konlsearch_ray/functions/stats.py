@@ -180,6 +180,23 @@ def winsorize(
 
     return ds.map_batches(clip, batch_format="pyarrow")
 
+def _check_abs_below(col, name: str, op: str, bound: int = 2**31) -> None:
+    """Raise if any value in ``col`` has ``|x| >= bound`` — checked at
+    the ARROW level (exact Python ints from min_max), because a numpy
+    route is bypassable: ``np.abs(int64 min)`` stays negative and a
+    uint64 column wraps through ``.astype(np.int64)`` before any
+    magnitude check could see it."""
+    mm = pc.min_max(col)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None:
+        return
+    if lo <= -bound or hi >= bound:
+        raise ValueError(
+            f"{op}: |{name}| >= 2**31 would overflow the exact int64 "
+            f"product accumulation (a conservative cap, stricter than "
+            f"the oracle's BIGINT); rescale the column upstream")
+
+
 def _suffstat_partial(key_col: str, ktyp, x_col: str, y_col: str,
                       stats: tuple[str, ...]):
     """Shared per-block partial of :func:`grouped_corr` /
@@ -711,8 +728,9 @@ def grouped_zscore(
     (``v² = a²·2³² + 2ab·2¹⁶ + b²`` with ``a = |v|>>16``,
     ``b = |v|&0xffff`` — each limb sum fits int64 for any block below
     2³¹ rows) and recombined in Python ints at merge. ``|v| ≥ 2³¹``
-    raises (the oracle's BIGINT ``v*v`` errors there too — loud on both
-    sides, never silently wrong); rescale upstream.
+    raises — a conservative cap (BIGINT ``v*v`` itself survives up to
+    ``|v| < 2^31.5``), chosen so the failure is loud on the engine side
+    before anything can be silently wrong; rescale upstream.
 
     A zero-variance key yields null ``z`` (SQL CASE, division by zero);
     rows with a null key or value are dropped (no partition / no rank
@@ -742,13 +760,9 @@ def grouped_zscore(
         if not t.num_rows:
             return p_empty
         t = t.combine_chunks()
+        _check_abs_below(t[value_col], value_col, "grouped_zscore")
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         av = np.abs(v)
-        if len(av) and int(av.max()) >= 2**31:
-            raise ValueError(
-                "grouped_zscore: |value| >= 2**31 would overflow the "
-                "exact v*v accumulation (the SQL oracle's BIGINT v*v "
-                "errors there too); rescale the column upstream")
         codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
         k = len(uniq)
         # two-limb v² = a²·2³² + 2ab·2¹⁶ + b²: every limb sum fits
@@ -1064,14 +1078,10 @@ def grouped_weighted_mean(
         if not t.num_rows:
             return p_empty
         t = t.combine_chunks()
+        _check_abs_below(t[value_col], value_col, "grouped_weighted_mean")
+        _check_abs_below(t[weight_col], weight_col, "grouped_weighted_mean")
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(v) and max(int(np.abs(v).max()),
-                          int(np.abs(w).max())) >= 2**31:
-            raise ValueError(
-                "grouped_weighted_mean: |value| or |weight| >= 2**31 "
-                "would overflow the exact w*v accumulation (the SQL "
-                "oracle's BIGINT w*v errors there too); rescale upstream")
         wv = w * v  # < 2^62 in magnitude: exact
         hi, lo = wv >> 32, wv & 0xFFFFFFFF  # floor/remainder: exact split
         codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)

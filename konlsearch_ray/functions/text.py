@@ -611,19 +611,25 @@ def token_cooccurrence(
     document and ``j - i <= window``, count the UNORDERED pair
     ``(min(a, b), max(a, b))``.
 
-    Scale shape: tokenization and pair extraction are one vectorized
-    pass per block (positions in the kept stream are consecutive, so
-    offset-``d`` pairs are two aligned slices — no join, no per-row
-    Python), a per-block pandas groupby collapses occurrences to
-    distinct-pair counts BEFORE the exchange, and one keyed merge sums
-    them and applies ``min_count``. The exchange moves the pair
+    Scale shape: the whole partial runs on INTEGER token codes (the
+    same ``analyze_strings_coded`` + shifted-slice pattern as
+    ``ngrams._ngram_count_partial`` — object-string grouping is the
+    slow path that dictionary encoding exists to avoid): positions in
+    the kept stream are consecutive, so offset-``d`` pairs are two
+    aligned code slices; one Arrow sort of the per-block DICTIONARY
+    (vocabulary-sized, not stream-sized) yields lexicographic ranks so
+    unordered pairs normalize by string order with integer min/max;
+    one combined-key sort + run-length count collapses occurrences to
+    distinct-pair partials BEFORE the exchange, and one keyed merge
+    sums them and applies ``min_count``. The exchange moves the pair
     vocabulary, never the occurrence stream.
 
     Rows with a null id or text are dropped. Output: ``t1``, ``t2``
     (``t1 <= t2``), ``n`` (int64, ``>= min_count``).
     """
-    import pandas as pd
     from ray.data.aggregate import Sum
+
+    from konlsearch_ray.analyzer import analyze_strings_coded
 
     if window < 1:
         raise ValueError("window must be >= 1")
@@ -637,29 +643,39 @@ def token_cooccurrence(
         t = t.filter(mask)
         if not t.num_rows:
             return p_empty
-        a = analyze_strings(t[text_col].combine_chunks()
-                            if isinstance(t[text_col], pa.ChunkedArray)
-                            else t[text_col])
-        doc, term = a["doc_idx"], a["term"]
+        doc, codes, _pos, dictionary = analyze_strings_coded(t[text_col])
         lefts, rights = [], []
         for d in range(1, window + 1):
             if len(doc) <= d:
                 break
             same = doc[:-d] == doc[d:]  # kept positions are consecutive
-            lefts.append(term[:-d][same])
-            rights.append(term[d:][same])
-        if not lefts:
+            lefts.append(codes[:-d][same])
+            rights.append(codes[d:][same])
+        if not lefts or not sum(len(a) for a in lefts):
             return p_empty
         x = np.concatenate(lefts)
         y = np.concatenate(rights)
-        t1 = np.where(x <= y, x, y)
-        t2 = np.where(x <= y, y, x)
-        g = (pd.DataFrame({"t1": t1, "t2": t2})
-             .groupby(["t1", "t2"], sort=False, observed=True)
-             .size().reset_index(name="n"))
-        return pa.table({"t1": pa.array(g["t1"], pa.string()),
-                         "t2": pa.array(g["t2"], pa.string()),
-                         "n": pa.array(g["n"], pa.int64())})
+        # lexicographic ranks from ONE vocabulary-sized Arrow sort
+        # (bytewise UTF-8 order = DuckDB least/greatest collation)
+        nvocab = len(dictionary)
+        sort_idx = (pc.sort_indices(dictionary)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+        rank = np.empty(nvocab, dtype=np.int64)
+        rank[sort_idx] = np.arange(nvocab)
+        r1, r2 = rank[x], rank[y]
+        comb = np.minimum(r1, r2) * nvocab + np.maximum(r1, r2)
+        comb.sort(kind="stable")
+        first = np.ones(len(comb), dtype=bool)
+        first[1:] = comb[1:] != comb[:-1]
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.append(idx, len(comb)))
+        u = comb[idx]
+        by_rank = pc.take(dictionary, pa.array(sort_idx))
+        t1 = pc.take(by_rank, pa.array(u // nvocab))
+        t2 = pc.take(by_rank, pa.array(u % nvocab))
+        return pa.table({"t1": pc.cast(t1, pa.string()),
+                         "t2": pc.cast(t2, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
 
     merged = (ds.map_batches(partial, batch_format="pyarrow")
                 .groupby(["t1", "t2"]).aggregate(Sum("n", alias_name="n_sum")))

@@ -2446,8 +2446,7 @@ def test_grouped_weighted_mean(ray_session):
         GROUP BY k ORDER BY k""").df()
     assert out["k"].tolist() == exp["k"].tolist() == ["a", "b", "c"]
     assert out["sw"].tolist() == exp["sw"].tolist()
-    # key b: weights cancel (sw=0 -> null); key c: zero weight -> null
-    # wait: b has sw=4, values 7,-7 -> wmean 0.0; c has sw=0 -> null
+    # key b: sw=4 with values 7,-7 -> wmean 0.0; key c: sw=0 -> null
     assert out.loc[0, "wmean"] == exp.loc[0, "wmean"]
     assert out.loc[1, "wmean"] == 0.0
     assert np.isnan(out.loc[2, "wmean"]) and np.isnan(exp.loc[2, "wmean"])
@@ -2464,9 +2463,33 @@ def test_grouped_weighted_mean(ray_session):
                           / CAST(sum(w) AS DOUBLE) AS m FROM b""").df()
     assert bo["wmean"].tolist() == bexp["m"].tolist()
 
-    # over-cap raises (matching the oracle's BIGINT overflow error)
+    # over-cap raises (conservative cap, stricter than BIGINT)
     over = pa.table({"k": pa.array(["x"]), "v": pa.array([2**31], pa.int64()),
                      "w": pa.array([1], pa.int64())})
     with _pytest.raises(Exception, match="2\\*\\*31"):
         grouped_weighted_mean(ray.data.from_arrow(over),
                               "k", "v", "w").to_pandas()
+
+
+def test_overflow_guard_not_bypassable(ray_session):
+    """Review finding: np.abs(int64 min) stays negative and uint64 wraps
+    through astype — the Arrow-level guard must still raise."""
+    import pytest as _pytest
+    import ray.data
+
+    from konlsearch_ray.functions.stats import (grouped_weighted_mean,
+                                                grouped_zscore)
+
+    tmin = pa.table({"k": pa.array(["a", "a"], pa.string()),
+                     "v": pa.array([-2**63, 1], pa.int64()),
+                     "id": pa.array([1, 2], pa.int64())})
+    with _pytest.raises(Exception, match="2\\*\\*31"):
+        grouped_zscore(ray.data.from_arrow(tmin), "k", "v", "id") \
+            .to_pandas()
+
+    tu = pa.table({"k": pa.array(["a"], pa.string()),
+                   "v": pa.array([2**64 - 5], pa.uint64()),
+                   "w": pa.array([3], pa.int64())})
+    with _pytest.raises(Exception, match="2\\*\\*31"):
+        grouped_weighted_mean(ray.data.from_arrow(tu), "k", "v", "w") \
+            .to_pandas()
