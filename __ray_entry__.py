@@ -208,7 +208,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
                "dedup_doc_lines", "mix_by_lang", "token_pairs",
-               "wavg_price"]
+               "wavg_price", "profile_events"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1266,6 +1266,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["user_id", "event_id", "ts", "event_type"])
         return latest_by_key(ev, "user_id", "ts", "event_id")
 
+    def profile_events(sf_dir):
+        # Pre-training data audit: per-column rows/nulls/min/max — one
+        # O(cols) partial row per block, typed min/max merge.
+        from konlsearch_ray.functions.aggregates import profile_columns
+
+        ev = _rp_clean(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id", "user_id", "event_type"])
+        return profile_columns(ev, ["event_id", "user_id", "event_type"])
+
     def wavg_price(sf_dir):
         # Quantity-weighted mean price per returnflag — exact two-limb
         # integer folds, one mirrored float division.
@@ -1544,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_by_lang": mix_by_lang,
         "token_pairs": token_pairs,
         "wavg_price": wavg_price,
+        "profile_events": profile_events,
     })
 
 
@@ -2414,6 +2424,20 @@ FROM (SELECT *, row_number() OVER (
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND event_id IS NOT NULL)
 WHERE rn = 1"""
+    out["profile_events"] = """SELECT 'event_id' AS column,
+       count(*)::BIGINT AS n_rows,
+       (count(*) - count(event_id))::BIGINT AS n_nulls,
+       CAST(min(event_id) AS VARCHAR) AS min_val,
+       CAST(max(event_id) AS VARCHAR) AS max_val FROM events
+UNION ALL
+SELECT 'user_id', count(*)::BIGINT,
+       (count(*) - count(user_id))::BIGINT,
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', count(*)::BIGINT,
+       (count(*) - count(event_type))::BIGINT,
+       min(event_type), max(event_type) FROM events"""
     out["wavg_price"] = """WITH b AS (
   SELECT l_returnflag,
          CAST(round(l_quantity) AS BIGINT) AS w,

@@ -927,3 +927,85 @@ def grouped_mode(
              .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
     return nonempty_blocks(out, (key_col, "mode_v", "cnt"),
                            fallback=fallback)
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    cols: list[str],
+) -> ray.data.Dataset:
+    """Per-column data-quality profile — row count, null count, min and
+    max — the audit table a pipeline checks before training on a new
+    drop (the Deequ/TFDV basic-profile shape).
+
+    Scale: each block collapses to ONE row per profiled column
+    (O(cols), independent of row count) via Arrow's C++ min_max and
+    null_count; one tiny keyed merge folds the partials, keeping
+    min/max comparisons in the COLUMN'S OWN TYPE (an integer min
+    compared as a string would say "10" < "9") and stringifying only
+    at the end. Integer and string columns are supported (floats and
+    timestamps stringify engine-dependently — cast upstream).
+
+    Output: ``column`` (string), ``n_rows``, ``n_nulls`` (int64),
+    ``min_val``, ``max_val`` (string; null for all-null columns).
+    """
+    sch = _arrow_schema(ds)
+    for c in cols:
+        t = sch.field(c).type
+        if not (pa.types.is_integer(t) or pa.types.is_string(t)
+                or pa.types.is_large_string(t)):
+            raise ValueError(
+                f"profile_columns supports integer and string columns; "
+                f"{c!r} is {t} (stringification would be "
+                f"engine-dependent — cast upstream)")
+    p_schema = pa.schema([("column", pa.string()),
+                          ("n_rows", pa.int64()),
+                          ("n_nulls", pa.int64()),
+                          ("min_i", pa.int64()), ("max_i", pa.int64()),
+                          ("min_s", pa.string()), ("max_s", pa.string())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {n: [] for n in p_schema.names}
+        for c in cols:
+            col = t[c]
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            is_int = pa.types.is_integer(col.type)
+            rows["column"].append(c)
+            rows["n_rows"].append(t.num_rows)
+            rows["n_nulls"].append(col.null_count)
+            rows["min_i"].append(mn if is_int else None)
+            rows["max_i"].append(mx if is_int else None)
+            rows["min_s"].append(None if is_int else mn)
+            rows["max_s"].append(None if is_int else mx)
+        return pa.table({n: pa.array(rows[n], p_schema.field(n).type)
+                         for n in p_schema.names})
+
+    fallback = pa.table({"column": pa.array([], pa.string()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "n_nulls": pa.array([], pa.int64()),
+                         "min_val": pa.array([], pa.string()),
+                         "max_val": pa.array([], pa.string())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        n = pc.sum(g["n_rows"]).as_py() or 0
+        nulls = pc.sum(g["n_nulls"]).as_py() or 0
+        mn_i = pc.min(g["min_i"]).as_py()
+        mx_i = pc.max(g["max_i"]).as_py()
+        mn_s = pc.min(g["min_s"]).as_py()
+        mx_s = pc.max(g["max_s"]).as_py()
+        mn = str(mn_i) if mn_i is not None else mn_s
+        mx = str(mx_i) if mx_i is not None else mx_s
+        return pa.table({
+            "column": g["column"][:1],
+            "n_rows": pa.array([n], pa.int64()),
+            "n_nulls": pa.array([nulls], pa.int64()),
+            "min_val": pa.array([mn], pa.string()),
+            "max_val": pa.array([mx], pa.string()),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("column").map_groups(merge, batch_format="pyarrow"))
+    return nonempty_blocks(out, tuple(fallback.column_names),
+                           fallback=fallback)

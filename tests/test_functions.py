@@ -2493,3 +2493,28 @@ def test_overflow_guard_not_bypassable(ray_session):
     with _pytest.raises(Exception, match="2\\*\\*31"):
         grouped_weighted_mean(ray.data.from_arrow(tu), "k", "v", "w") \
             .to_pandas()
+
+
+def test_profile_columns(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import profile_columns
+
+    t = pa.table({
+        "i": pa.array([9, 10, None, -3], pa.int64()),
+        "s": pa.array(["b", None, "a", "zz"], pa.string()),
+        "f": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    })
+    out = (profile_columns(ray.data.from_arrow(t).repartition(2),
+                           ["i", "s"])
+           .to_pandas().sort_values("column").reset_index(drop=True))
+    assert out["column"].tolist() == ["i", "s"]
+    assert out["n_rows"].tolist() == [4, 4]
+    assert out["n_nulls"].tolist() == [1, 1]
+    # typed merge: integer min is -3 (string order would say "-3" > "10")
+    assert out.loc[0, ["min_val", "max_val"]].tolist() == ["-3", "10"]
+    assert out.loc[1, ["min_val", "max_val"]].tolist() == ["a", "zz"]
+
+    with _pytest.raises(ValueError, match="integer and string"):
+        profile_columns(ray.data.from_arrow(t), ["f"])
