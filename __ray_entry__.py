@@ -208,7 +208,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
                "dedup_doc_lines", "mix_by_lang", "token_pairs",
-               "wavg_price", "profile_events"]
+               "wavg_price", "profile_events", "retention_weekly"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1266,6 +1266,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["user_id", "event_id", "ts", "event_type"])
         return latest_by_key(ev, "user_id", "ts", "event_id")
 
+    def retention_weekly(sf_dir):
+        # Cohort retention: users counted per (first-touch week, week
+        # offset) — composed from the CDC first-per-key reduction, a
+        # distinct-pair activity table, one hash join, and a map-side
+        # combined count. floor(week) is monotonic, so first-event week
+        # == min week (the oracle uses min directly).
+        import pyarrow.compute as pc
+
+        from konlsearch_ray.functions.joins import equi_join
+        from konlsearch_ray.functions.temporal import latest_by_key
+
+        WEEK_US = 7 * 86400 * 1_000_000
+        ev = _rp_clean(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id", "event_id", "ts"])
+
+        def week_col(t, out):
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+            return t.append_column(
+                out, pc.cast(pc.divide(us, WEEK_US), pa.int64()))
+
+        first = (latest_by_key(ev, "user_id", "ts", "event_id",
+                               newest=False)
+                 .map_batches(lambda t: week_col(t, "w0")
+                              .select(["user_id", "w0"]),
+                              batch_format="pyarrow"))
+        # distinct (user, week) pairs: per-block distinct bounds the
+        # exchange, the keyed merge dedups across blocks
+        acts = ev.map_batches(
+            lambda t: week_col(
+                t.filter(pc.and_(pc.is_valid(t["user_id"]),
+                                 pc.is_valid(t["ts"]))), "w")
+            .select(["user_id", "w"])
+            .group_by(["user_id", "w"]).aggregate([])
+            .replace_schema_metadata(None), batch_format="pyarrow")
+        acts = (acts.groupby("user_id")
+                .map_groups(lambda g: (g.group_by(["user_id", "w"])
+                                       .aggregate([])
+                                       .replace_schema_metadata(None)),
+                            batch_format="pyarrow"))
+        joined = equi_join(acts, first, "user_id", "user_id")
+
+        def combine(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame({
+                "cohort_week": t["w0"].to_numpy(zero_copy_only=False),
+                "week_offset": (t["w"].to_numpy(zero_copy_only=False)
+                                - t["w0"].to_numpy(zero_copy_only=False)),
+            })
+            g = (df.groupby(["cohort_week", "week_offset"], sort=False,
+                            observed=True).size().reset_index(name="n"))
+            return pa.table({
+                "cohort_week": pa.array(g["cohort_week"], pa.int64()),
+                "week_offset": pa.array(g["week_offset"], pa.int64()),
+                "n_users": pa.array(g["n"], pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        merged = (joined.map_batches(combine, batch_format="pyarrow")
+                  .groupby(["cohort_week", "week_offset"])
+                  .aggregate(Sum("n_users", alias_name="nu")))
+        return merged.map_batches(
+            lambda t: pa.table({"cohort_week": t["cohort_week"],
+                                "week_offset": t["week_offset"],
+                                "n_users": pc.cast(t["nu"], pa.int64())}),
+            batch_format="pyarrow")
+
     def profile_events(sf_dir):
         # Pre-training data audit: per-column rows/nulls/min/max — one
         # O(cols) partial row per block, typed min/max merge.
@@ -1554,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pairs": token_pairs,
         "wavg_price": wavg_price,
         "profile_events": profile_events,
+        "retention_weekly": retention_weekly,
     })
 
 
@@ -2424,6 +2492,14 @@ FROM (SELECT *, row_number() OVER (
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND event_id IS NOT NULL)
 WHERE rn = 1"""
+    out["retention_weekly"] = """WITH f AS (
+  SELECT user_id, min(epoch_us(ts) // 604800000000) AS w0
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT f.w0::BIGINT AS cohort_week, (a.w - f.w0)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM a JOIN f USING (user_id) GROUP BY 1, 2"""
     out["profile_events"] = """SELECT 'event_id' AS column,
        count(*)::BIGINT AS n_rows,
        (count(*) - count(event_id))::BIGINT AS n_nulls,
