@@ -208,7 +208,8 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
                "dedup_doc_lines", "mix_by_lang", "token_pairs",
-               "wavg_price", "profile_events", "retention_weekly"]
+               "wavg_price", "profile_events", "retention_weekly",
+               "daily_active_users", "twap_value"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1266,6 +1267,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        columns=["user_id", "event_id", "ts", "event_type"])
         return latest_by_key(ev, "user_id", "ts", "event_id")
 
+    def twap_value(sf_dir):
+        # Per-type time-weighted average price: each observation
+        # weighted by the whole-second gap to its successor — one key
+        # bucket exchange, exact two-limb folds.
+        from konlsearch_ray.functions.temporal import time_weighted_mean
+
+        ev = _cents_events(sf_dir,
+                           ["event_id", "event_type", "ts", "value"])
+        return time_weighted_mean(ev, "event_type", "ts", "v",
+                                  "event_id")
+
+    def daily_active_users(sf_dir):
+        # DAU: distinct users per UTC day — the distinct-pair-bounded
+        # COUNT(DISTINCT) operator over a derived day key.
+        import pyarrow.compute as pc
+
+        from konlsearch_ray.functions.aggregates import distinct_count
+
+        ev = _rp_clean(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id", "ts"])
+
+        def day_col(t):
+            t = t.filter(pc.and_(pc.is_valid(t["user_id"]),
+                                 pc.is_valid(t["ts"])))
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+            return pa.table({
+                "day": pc.cast(pc.divide(us, 86400 * 1_000_000),
+                               pa.int64()),
+                "user_id": t["user_id"]})
+
+        return distinct_count(
+            ev.map_batches(day_col, batch_format="pyarrow"),
+            "day", "user_id")
+
     def retention_weekly(sf_dir):
         # Cohort retention: users counted per (first-touch week, week
         # offset) — composed from the CDC first-per-key reduction, a
@@ -1622,6 +1657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wavg_price": wavg_price,
         "profile_events": profile_events,
         "retention_weekly": retention_weekly,
+        "daily_active_users": daily_active_users,
+        "twap_value": twap_value,
     })
 
 
@@ -2492,6 +2529,22 @@ FROM (SELECT *, row_number() OVER (
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND event_id IS NOT NULL)
 WHERE rn = 1"""
+    out["twap_value"] = """WITH o AS (
+  SELECT event_type AS k, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS v, event_id AS i
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL AND event_id IS NOT NULL),
+w AS (SELECT k, v, (lead(t) OVER (PARTITION BY k ORDER BY t, i) - t)
+                   // 1000000 AS w FROM o)
+SELECT k AS event_type, count(*)::BIGINT AS n, sum(w)::BIGINT AS sw,
+  CASE WHEN sum(w) = 0 THEN NULL
+       ELSE CAST(sum(w*v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) END AS twap
+FROM w WHERE w IS NOT NULL GROUP BY k"""
+    out["daily_active_users"] = """SELECT
+  (epoch_us(ts) // 86400000000)::BIGINT AS day,
+  count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1"""
     out["retention_weekly"] = """WITH f AS (
   SELECT user_id, min(epoch_us(ts) // 604800000000) AS w0
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),

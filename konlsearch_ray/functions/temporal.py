@@ -1152,3 +1152,120 @@ def latest_by_key(
     # 0-row Datasets break downstream unions and the oracle gate).
     fb = pa.table({n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
     return nonempty_blocks(out, tuple(sch.names), fallback=fb)
+
+
+# --------------------------------------------------------------------------
+# Time-weighted mean (TWAP)
+# --------------------------------------------------------------------------
+
+def time_weighted_mean(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    nbuckets: int | None = None,
+    int_unit: str | None = None,
+) -> ray.data.Dataset:
+    """Per-key time-weighted average (TWAP): order each key's rows by
+    ``(ts, id)``, weight every observation by the WHOLE-SECOND gap to
+    its successor (``(lead(ts) - ts) // 1s`` — the last observation has
+    no successor and is excluded), and return ``Σ(w·v) / Σw``.
+
+    Exactness contract matches :func:`stats.grouped_weighted_mean`:
+    integer values capped at ``|v| < 2³¹`` (raises), second-gaps
+    likewise (a 68-year gap would be data corruption anyway), the
+    per-key ``Σ(w·v)`` recombined from two int64 limbs in Python ints,
+    and ONE mirrored float division. All-zero-weight keys (every gap
+    under a second) yield a null ``twap``.
+
+    Scale: one hash exchange on the key bucket; in-bucket work is one
+    lexsort + shifted slices + per-key ``np.add.at`` folds (no per-row
+    Python; the only Python loop is over the bucket's KEYS for the
+    exact limb recombination). Rows with a null key/ts/value/id are
+    dropped. Output: ``key_col``, ``n`` (weighted observations, int64),
+    ``sw`` (total seconds, int64), ``twap`` (float64).
+    """
+    from konlsearch_ray.functions.stats import _check_abs_below
+
+    nbuckets = nbuckets or _default_nbuckets()
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    if not pa.types.is_integer(sch.field(value_col).type):
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed "
+            f"(got {sch.field(value_col).type}); quantize upstream")
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _required_rows(t, (key_col, ts_col, value_col, id_col))
+        _check_abs_below(t[value_col], value_col, "time_weighted_mean")
+        return pa.table({
+            "k": t[key_col],
+            "i": pc.cast(t[id_col], pa.int64()),
+            "t": _ts_us(t[ts_col], int_unit),
+            "v": pc.cast(t[value_col], pa.int64()),
+            "bucket": pa.array(_key_bucket(t[key_col], nbuckets)),
+        })
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "n": pa.array([], pa.int64()),
+        "sw": pa.array([], pa.int64()),
+        "twap": pa.array([], pa.float64()),
+    })
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        kvals = g["k"]
+        codes, uniq_idx = pd.factorize(kvals.to_pandas(), sort=False)
+        codes = codes.astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        i = g["i"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, codes))
+        ks, ts_, vs = codes[order], t[order], v[order]
+        nkeys = len(uniq_idx)
+        if len(ks) < 2:
+            same = np.zeros(0, dtype=bool)
+        else:
+            same = ks[1:] == ks[:-1]
+        idx = np.flatnonzero(same)
+        w = (ts_[idx + 1] - ts_[idx]) // 1_000_000
+        if len(w) and int(w.max()) >= 2**31:
+            raise ValueError(
+                "time_weighted_mean: a gap of >= 2**31 seconds cannot "
+                "fold exactly; check the timestamp column")
+        vk, kk = vs[idx], ks[idx]
+        wv = w * vk  # |v|,w < 2^31: fits int64 exactly
+        hi, lo = wv >> 32, wv & 0xFFFFFFFF
+        n = np.zeros(nkeys, dtype=np.int64)
+        np.add.at(n, kk, 1)
+        sw = np.zeros(nkeys, dtype=np.int64)
+        np.add.at(sw, kk, w)
+        shi = np.zeros(nkeys, dtype=np.int64)
+        np.add.at(shi, kk, hi)
+        slo = np.zeros(nkeys, dtype=np.int64)
+        np.add.at(slo, kk, lo)
+        twap = []
+        for j in range(nkeys):  # O(keys in bucket), exact Python ints
+            if sw[j] == 0:
+                twap.append(None)
+            else:
+                swv = int(shi[j]) * (1 << 32) + int(slo[j])
+                twap.append(float(swv) / float(int(sw[j])))
+        out = pa.table({
+            key_col: pa.array(uniq_idx, ktyp),
+            "n": pa.array(n),
+            "sw": pa.array(sw),
+            "twap": pa.array(twap, pa.float64()),
+        })
+        # a key with ZERO weighted observations (single row) has no
+        # TWAP at all — SQL's WHERE w IS NOT NULL drops it pre-group
+        return out.filter(pc.greater(out["n"], 0))
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, (key_col, "n", "sw", "twap"),
+                           fallback=fallback)

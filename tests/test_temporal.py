@@ -381,3 +381,28 @@ def test_latest_by_key_earliest(ray_session):
            .to_pandas().sort_values("k").reset_index(drop=True))
     # k=1: ts tie -> SMALLEST id (100); k=2: oldest ts 3 -> id 201
     assert out["id"].tolist() == [100, 201]
+
+
+def test_time_weighted_mean(ray_session):
+    import ray.data
+
+    from konlsearch_ray.functions.temporal import time_weighted_mean
+
+    # key 1: obs (t=0s, v=10) weighted 5s, (t=5s, v=20) weighted 10s,
+    # last obs excluded -> twap = (10*5 + 20*10)/15 = 250/15
+    # key 2: single row -> no weighted obs -> key absent
+    # key 3: two rows in the same second -> sw=0 -> null twap
+    t = _ds({
+        "k": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "t": pa.array([0, 5 * US, 15 * US, 7, 0, 500_000], pa.int64()),
+        "v": pa.array([10, 20, 99, 5, 1, 2], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    out = (time_weighted_mean(t.repartition(2), "k", "t", "v", "id",
+                              int_unit="us")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 3]
+    assert out["n"].tolist() == [2, 1]
+    assert out["sw"].tolist() == [15, 0]
+    assert out.loc[0, "twap"] == 250.0 / 15.0
+    assert out["twap"].isna().tolist() == [False, True]
