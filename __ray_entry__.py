@@ -41,6 +41,11 @@ MORPH_TOKENS = ["win", "ble"]
 PREFIX_QUERY = "tab"
 CONTAINS_QUERY = "ow"
 REGEX_QUERY = "(ery|dow|eam)$"
+# Proximity query: at sf0.001 the AND set is ~326 docs while NEAR/3
+# keeps ~125 — the slop genuinely discriminates, so the oracle checks
+# the window logic, not just the intersection.
+NEAR_TOKENS = ["table", "merge"]
+NEAR_SLOP = 3
 NGRAM_TAU = 0.03
 NGRAM_MAXDOC = 150
 EMBED_TAU = 0.4
@@ -203,7 +208,8 @@ _PREVIOUSLY_VERIFIED = [
 _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
                "search_prefix_docs", "search_contains_docs",
-               "search_regex_docs", "join_full_custorders", "value_zscore",
+               "search_regex_docs", "search_near_docs",
+               "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
@@ -314,6 +320,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with partial-match semantics, so parity is engine-level.
         return _ids_table(
             _reader(sf_dir).search_regex(REGEX_QUERY, limit=100_000))
+
+    def search_near_docs(sf_dir):
+        # Proximity (NEAR/slop) search: AND candidates + vectorized
+        # positional recheck over the docstore token streams.
+        return _ids_table(
+            _reader(sf_dir).search_near(NEAR_TOKENS, slop=NEAR_SLOP))
 
     def bm25_topk(sf_dir):
         top = _reader(sf_dir).bm25_topk(BM25_TOKENS, BM25_K)
@@ -1639,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prefix_docs": search_prefix_docs,
         "search_contains_docs": search_contains_docs,
         "search_regex_docs": search_regex_docs,
+        "search_near_docs": search_near_docs,
         "join_full_custorders": join_full_custorders,
         "value_zscore": value_zscore,
         "cube_lineitem": cube_lineitem,
@@ -1808,6 +1821,21 @@ WHERE term LIKE '%{CONTAINS_QUERY}%' ORDER BY doc_id""",
         "search_regex_docs": f"""WITH {_KEPT}, {_OCC}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM occ
 WHERE regexp_matches(term, '{REGEX_QUERY}') ORDER BY doc_id""",
+        # NEAR/slop: doc matches iff some occurrence anchor a has an
+        # occurrence of EVERY query term in [a.pos, a.pos + slop] — the
+        # minimal window starts at an occurrence, so anchoring at every
+        # occurrence is exact span(max-min) <= slop semantics.
+        "search_near_docs": f"""WITH {_KEPT},
+tp AS (SELECT doc_id, (generate_subscripts(toks, 1) - 1)::BIGINT AS pos,
+              unnest(toks) AS term FROM kept),
+q AS (SELECT doc_id, pos, term FROM tp WHERE term IN {_sql_in(NEAR_TOKENS)})
+SELECT DISTINCT a.doc_id::BIGINT AS doc_id FROM q a
+WHERE NOT EXISTS (
+  SELECT 1 FROM (VALUES {", ".join(f"('{t}')" for t in sorted(set(NEAR_TOKENS)))}) v(t)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM q b WHERE b.doc_id = a.doc_id AND b.term = v.t
+    AND b.pos BETWEEN a.pos AND a.pos + {NEAR_SLOP}))
+ORDER BY doc_id""",
         "bm25_topk": f"""WITH {_KEPT}, {_OCC},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ
        WHERE term IN {bm25_terms} GROUP BY 1, 2),

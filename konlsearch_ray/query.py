@@ -582,6 +582,81 @@ class IndexReader:
             return []
         return self.search(terms, SearchMode.OR)
 
+    def search_near(self, tokens: list[str], slop: int = 2,
+                    analyzer=None) -> list[int]:
+        """Proximity search (NEAR/slop): docs where some window of
+        ``slop + 1`` consecutive kept-token positions contains at least
+        one occurrence of EVERY distinct query term — equivalently,
+        there exist per-term positions whose span (max − min) is ≤
+        ``slop``. With k distinct terms a match therefore needs
+        ``slop >= k - 1`` (distinct terms cannot share a position).
+
+        Two-phase, the standard positional-recheck design: (1) the AND
+        intersection over postings yields the candidate set; (2) the
+        candidates' contents are fetched from the docstore (shard-pruned
+        multi-get) and re-tokenized in ONE vectorized pass
+        (analyzer.analyze_strings — tokenization is a pure function of
+        content, so the streams equal what was indexed), then a single
+        flat-array window check runs over every occurrence: an anchor
+        occurrence ``a`` matches iff every term has an occurrence in
+        ``[a, a + slop]``; the minimal window starts at an occurrence of
+        one of the terms, so anchoring at every occurrence is exact.
+        Cost is ∝ query-term occurrences in the CANDIDATE docs only,
+        never the corpus; at cluster scale phase (2) is shard-local (see
+        ShardedQueryEngine.search_near). ``analyzer``: pass the index's
+        analyzer for indexes built with a custom analyzer_factory; None →
+        the normative vectorized path. Ascending doc ids."""
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
+        from konlsearch_ray.analyzer import normalize_query_tokens
+
+        tset = sorted(set(normalize_query_tokens(tokens)))
+        if not tset:
+            return []
+        if len(tset) == 1:
+            return self.search(tset, SearchMode.AND)
+        cand = self.search(tset, SearchMode.AND)
+        if not cand:
+            return []
+        from konlsearch_ray.docstore import DocStore
+
+        store = DocStore(self.index_dir)
+        tbl = store.get_multi(cand)
+        doc_ids = tbl["doc_id"].to_numpy()
+        content_col = store.meta.get("content_col", "content")
+        contents = tbl[content_col]
+        if analyzer is None:
+            from konlsearch_ray.analyzer import analyze_strings
+
+            occ = analyze_strings(contents)
+            doc_idx, terms, pos = occ["doc_idx"], occ["term"], occ["pos"]
+        else:
+            streams = analyzer.tokenize_many(contents.to_pylist())
+            lens = np.array([len(s) for s in streams], dtype=np.int64)
+            doc_idx = np.repeat(np.arange(len(streams), dtype=np.int64), lens)
+            terms = np.array([t for s in streams for t in s], dtype=object)
+            pos = (np.arange(lens.sum(), dtype=np.int64)
+                   - np.repeat(np.cumsum(lens) - lens, lens))
+        keep = np.isin(terms, np.array(tset, dtype=object))
+        doc_idx, terms, pos = doc_idx[keep], terms[keep], pos[keep]
+        if not len(doc_idx):
+            return []
+        # Doc-scoped positions → one global coordinate so the whole
+        # candidate set checks in k·O(n log n) flat-array passes; the
+        # stride keeps windows from crossing doc boundaries.
+        stride = int(pos.max()) + slop + 2
+        g = doc_idx * stride + pos.astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        g, doc_idx, terms = g[order], doc_idx[order], terms[order]
+        ok = np.ones(len(g), dtype=bool)
+        for t in tset:
+            pos_t = g[terms == t]  # sorted (slice of a sorted array)
+            lo = np.searchsorted(pos_t, g, side="left")
+            hi = np.searchsorted(pos_t, g + slop, side="right")
+            ok &= lo < hi
+        hit_idx = np.unique(doc_idx[ok])
+        return [int(x) for x in doc_ids[hit_idx]]
+
     def search_complex(self, tree) -> list[int]:
         """tree = (left, right, 'AND'|'OR'); leaves are (tokens, mode)."""
         return [int(x) for x in np.sort(self._eval(tree))]
@@ -943,6 +1018,9 @@ class ShardQueryActor:
     def search_regex(self, pattern, limit):
         return self.reader.search_regex(pattern, limit=limit)
 
+    def search_near(self, tokens, slop):
+        return self.reader.search_near(tokens, slop=slop)
+
     def bm25_topk(self, tokens, k):
         return self.reader.bm25_topk(tokens, k)
 
@@ -1029,6 +1107,19 @@ class ShardedQueryEngine:
         import ray as _ray
 
         parts = _ray.get([a.search_regex.remote(pattern, limit)
+                          for a in self._actors])
+        out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
+                                      for p in parts]))
+        return [int(x) for x in out]
+
+    def search_near(self, tokens, slop=2):
+        """Scatter-gather proximity search: the AND candidates and the
+        docstore recheck are both shard-local (each doc's postings AND
+        its stored content live in its own shard), so per-actor results
+        concatenate exactly like plain Boolean search."""
+        import ray as _ray
+
+        parts = _ray.get([a.search_near.remote(tokens, slop)
                           for a in self._actors])
         out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
                                       for p in parts]))

@@ -1,0 +1,124 @@
+"""Proximity (NEAR/slop) search vs a brute-force span oracle.
+
+Semantics under test (query.py search_near): doc matches iff there exist
+per-term positions in its kept ordered token stream whose span
+(max − min) is ≤ slop — i.e. some window of slop+1 consecutive positions
+contains every distinct query term.
+"""
+
+import itertools
+
+import pytest
+
+from konlsearch_ray.analyzer import tokenize
+from konlsearch_ray.build import IndexConfig, build_index
+from konlsearch_ray.corpus import write_corpus
+from konlsearch_ray.docstore import DocStore
+from konlsearch_ray.query import IndexReader
+
+N_DOCS = 300
+SHARD_SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def near_built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("konl_near")
+    corpus_dir = write_corpus(str(root / "corpus"), N_DOCS, seed=7)
+    index_dir = str(root / "index")
+    build_index(corpus_dir, index_dir,
+                IndexConfig(shard_size=SHARD_SIZE, tokenize_batch_size=64))
+    reader = IndexReader(index_dir)
+    store = DocStore(index_dir)
+    all_rows = store.get_all()
+    docs = dict(zip(all_rows["doc_id"].to_pylist(),
+                    all_rows["content"].to_pylist()))
+    return reader, docs, index_dir
+
+
+def brute_near(docs: dict, terms: list[str], slop: int) -> list[int]:
+    tset = sorted(set(terms))
+    out = []
+    for doc_id, content in docs.items():
+        stream = tokenize(content)
+        pos = {t: [i for i, x in enumerate(stream) if x == t] for t in tset}
+        if any(not p for p in pos.values()):
+            continue
+        best = min(
+            (max(combo) - min(combo)
+             for combo in itertools.product(*(pos[t] for t in tset))),
+            default=None)
+        if best is not None and best <= slop:
+            out.append(doc_id)
+    return sorted(out)
+
+
+def pick_terms(docs: dict, k: int = 2) -> list[str]:
+    """Two terms that co-occur in a decent number of docs."""
+    from collections import Counter
+
+    df = Counter()
+    for content in docs.values():
+        df.update(set(tokenize(content)))
+    common = [t for t, _ in df.most_common(8)]
+    return common[:k]
+
+
+def test_near_matches_bruteforce(near_built):
+    reader, docs, _ = near_built
+    terms = pick_terms(docs, 2)
+    for slop in (1, 2, 5, 20):
+        got = reader.search_near(terms, slop=slop)
+        want = brute_near(docs, terms, slop)
+        assert got == want, (terms, slop)
+
+
+def test_near_three_terms(near_built):
+    reader, docs, _ = near_built
+    terms = pick_terms(docs, 3)
+    for slop in (2, 4, 12):
+        got = reader.search_near(terms, slop=slop)
+        assert got == brute_near(docs, terms, slop), (terms, slop)
+
+
+def test_near_widening_monotone_to_and(near_built):
+    """slop → ∞ converges to plain AND; results grow monotonically."""
+    reader, docs, _ = near_built
+    terms = pick_terms(docs, 2)
+    prev = set()
+    for slop in (0, 1, 3, 9, 10_000):
+        cur = set(reader.search_near(terms, slop=slop))
+        assert prev <= cur
+        prev = cur
+    assert sorted(prev) == reader.search(terms, "AND")
+
+
+def test_near_single_and_missing_terms(near_built):
+    reader, docs, _ = near_built
+    (t,) = pick_terms(docs, 1)
+    assert reader.search_near([t], slop=0) == reader.search([t], "AND")
+    assert reader.search_near(["qqqzzz", t], slop=50) == []
+    assert reader.search_near([], slop=3) == []
+    with pytest.raises(ValueError):
+        reader.search_near([t], slop=-1)
+
+
+def test_near_duplicate_query_tokens(near_built):
+    """Duplicate/denormalized query tokens collapse to the distinct set."""
+    reader, docs, _ = near_built
+    terms = pick_terms(docs, 2)
+    got = reader.search_near([terms[0].upper(), terms[1], terms[0]], slop=4)
+    assert got == reader.search_near(terms, slop=4)
+
+
+def test_near_sharded_parity(near_built):
+    from konlsearch_ray.query import ShardedQueryEngine
+
+    reader, docs, index_dir = near_built
+    terms = pick_terms(docs, 2)
+    eng = ShardedQueryEngine(index_dir, num_actors=3)
+    try:
+        for slop in (1, 6):
+            assert (eng.search_near(terms, slop=slop)
+                    == reader.search_near(terms, slop=slop))
+    finally:
+        eng.shutdown()
