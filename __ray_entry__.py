@@ -208,7 +208,7 @@ _PREVIOUSLY_VERIFIED = [
 _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
                "search_prefix_docs", "search_contains_docs",
-               "search_regex_docs", "search_near_docs",
+               "search_regex_docs", "search_near_docs", "bm25_lang",
                "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
@@ -343,6 +343,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             top = eng.bm25_topk(BM25_TOKENS, BM25_K)
         finally:
             eng.shutdown()
+        return pa.table(
+            {"doc_id": pa.array([d for d, _ in top], pa.int64()),
+             "score": pa.array([round(s, 4) for _, s in top], pa.float64())})
+
+    def bm25_lang(sf_dir):
+        # Filtered BM25: metadata predicate (lang='fr') resolved through
+        # the docstore's column-pruned pushdown scan; scoring statistics
+        # stay corpus-level, so scores equal the unfiltered ranking
+        # restricted to the allowed set (the oracle asserts exactly that).
+        import pyarrow.dataset as pads
+
+        from konlsearch_ray.docstore import DocStore
+
+        allowed = DocStore(_index_dir(sf_dir)).ids_matching(
+            pads.field("lang") == "fr")
+        top = _reader(sf_dir).bm25_topk(BM25_TOKENS, BM25_K, allowed=allowed)
         return pa.table(
             {"doc_id": pa.array([d for d, _ in top], pa.int64()),
              "score": pa.array([round(s, 4) for _, s in top], pa.float64())})
@@ -1569,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_morph": search_morph,
         "bm25_topk": bm25_topk,
         "bm25_sharded": bm25_sharded,
+        "bm25_lang": bm25_lang,
         "term_stats": term_stats,
         "index_stats": index_stats,
         "doc_sha256": doc_sha256,
@@ -1836,6 +1853,27 @@ WHERE NOT EXISTS (
     SELECT 1 FROM q b WHERE b.doc_id = a.doc_id AND b.term = v.t
     AND b.pos BETWEEN a.pos AND a.pos + {NEAR_SLOP}))
 ORDER BY doc_id""",
+        # Filtered BM25: identical scoring pipeline (idf/avgdl/N over the
+        # FULL corpus), candidates restricted by the metadata predicate —
+        # the filtered-search contract bm25_topk(allowed=...) documents.
+        "bm25_lang": f"""WITH {_KEPT}, {_OCC},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ
+       WHERE term IN {bm25_terms} GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM kept),
+st AS (SELECT count(*)::DOUBLE AS n,
+              sum(len(toks))::BIGINT::DOUBLE / count(*)::DOUBLE AS avgdl FROM kept),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM occ
+       WHERE term IN {bm25_terms} GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+         sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))) AS s
+       FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN st
+       WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')
+       GROUP BY tf.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT {BM25_K}""",
         "bm25_topk": f"""WITH {_KEPT}, {_OCC},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ
        WHERE term IN {bm25_terms} GROUP BY 1, 2),

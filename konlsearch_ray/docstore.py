@@ -142,6 +142,29 @@ class DocStore:
         streaming path."""
         return self._read(None, None)
 
+    def ids_matching(self, flt, shards: set[int] | None = None) -> np.ndarray:
+        """Sorted live doc ids whose stored row matches the pyarrow
+        dataset filter expression ``flt`` (e.g.
+        ``pads.field("lang") == "ko"``). The filter pushes down to the
+        parquet scan and only the ``doc_id`` column leaves storage —
+        this is the metadata side of filtered search
+        (``IndexReader.bm25_topk(allowed=...)``). ``shards`` restricts
+        the scan (scatter-gather actors pass their own subset)."""
+        files = []
+        for d in self._shard_dirs(shards):
+            files.extend(
+                os.path.join(d, n) for n in sorted(os.listdir(d))
+                if n.endswith(".parquet"))
+        if not files:
+            return np.zeros(0, dtype=np.int64)
+        dataset = pads.dataset(files, format="parquet")
+        ids = dataset.to_table(columns=["doc_id"], filter=flt)["doc_id"]
+        out = ids.to_numpy().astype(np.int64)
+        if len(self._dead):
+            out = out[~np.isin(out, self._dead)]
+        out.sort()
+        return out
+
     def get_all_status(self) -> pa.Table:
         """Reference ``KonlIndex.get_all`` parity (reference
         index.py:372-383): the reference walks the FULL assigned-ID

@@ -694,7 +694,8 @@ class IndexReader:
         return w * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / self.avgdl))
 
     def bm25_topk(
-        self, tokens: list[str], k: int = 10, prune: bool = True
+        self, tokens: list[str], k: int = 10, prune: bool = True,
+        allowed: "np.ndarray | None" = None,
     ) -> list[tuple[int, float]]:
         """BM25 top-k, rank-identical to the exact path.
 
@@ -707,13 +708,31 @@ class IndexReader:
         top-k threshold. Pruning is *safe*: only docs provably below
         the k-th best score are skipped, so results (ids AND scores)
         equal ``prune=False`` exactly (ties broken by ascending doc_id).
+
+        ``allowed``: optional SORTED int64 array of doc ids — filtered
+        search (e.g. a metadata predicate resolved through
+        ``DocStore.ids_matching``). Scoring statistics (idf, avgdl, N)
+        stay corpus-level — the standard filtered-search semantics, so a
+        doc's score is identical with and without the filter and equals
+        the unfiltered ranking restricted to the allowed set. The
+        filtered path uses the exact scorer: block-max metadata is
+        unfiltered, so its bounds are valid but loose under heavy
+        filtering; correctness over micro-pruning.
         """
         toks = sorted(set(normalize_query_tokens(tokens)))
-        if prune and len(toks) > 1:
+        if allowed is not None:
+            allowed = np.asarray(allowed, dtype=np.int64)
+        elif prune and len(toks) > 1:
             return self._bm25_maxscore(toks, k)
         id_parts, score_parts = [], []
         for t in toks:
             ids, tfs = self.postings_scores(t)
+            if allowed is not None and len(ids):
+                pos = np.searchsorted(allowed, ids)
+                posc = np.minimum(pos, max(len(allowed) - 1, 0))
+                m = ((pos < len(allowed)) & (allowed[posc] == ids)
+                     if len(allowed) else np.zeros(len(ids), dtype=bool))
+                ids, tfs = ids[m], tfs[m]
             if len(ids) == 0:
                 continue
             w = self.idf(t)
@@ -1001,6 +1020,8 @@ class ShardQueryActor:
     """
 
     def __init__(self, index_dir: str, shards: list[int]):
+        self.index_dir = index_dir
+        self.shard_set = set(shards)
         self.reader = IndexReader(index_dir, shards=shards, use_global_df=True)
 
     def search(self, tokens, mode):
@@ -1023,6 +1044,16 @@ class ShardQueryActor:
 
     def bm25_topk(self, tokens, k):
         return self.reader.bm25_topk(tokens, k)
+
+    def bm25_topk_filtered(self, tokens, k, flt):
+        """Filtered BM25 over this actor's shard subset: the metadata
+        scan resolves ``flt`` against its OWN docstore shards only, so
+        the allowed-id work parallelizes with the shards."""
+        from konlsearch_ray.docstore import DocStore
+
+        allowed = DocStore(self.index_dir).ids_matching(
+            flt, shards=self.shard_set)
+        return self.reader.bm25_topk(tokens, k, allowed=allowed)
 
 
 class ShardedQueryEngine:
@@ -1129,6 +1160,20 @@ class ShardedQueryEngine:
         import ray as _ray
 
         parts = _ray.get([a.bm25_topk.remote(tokens, k) for a in self._actors])
+        merged = [t for p in parts for t in p]
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return merged[:k]
+
+    def bm25_topk_filtered(self, tokens, k, flt):
+        """Scatter-gather filtered BM25 (pyarrow dataset expression
+        ``flt``, e.g. ``pads.field("lang") == "ko"``): scores are
+        corpus-stat-identical to the single reader, each actor resolves
+        the predicate over its own shards, so the merge is the same
+        top-k-of-partial-top-ks as :meth:`bm25_topk`."""
+        import ray as _ray
+
+        parts = _ray.get([a.bm25_topk_filtered.remote(tokens, k, flt)
+                          for a in self._actors])
         merged = [t for p in parts for t in p]
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
