@@ -122,6 +122,39 @@ def _morph_index_dir(sf_dir: str) -> str:
     return out
 
 
+def _merged_index_dir(sf_dir: str) -> str:
+    """Two half-indexes (split at a shard boundary) merged into one
+    global segment layout via merge_indexes — the gate then runs plain
+    Boolean search over the MERGED index against the whole-table SQL
+    oracle, so the merge path gets the same hard evidence as a build."""
+    key = f"merged:{sf_dir}"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    import duckdb
+
+    from konlsearch_ray.build import IndexConfig, build_index
+    from konlsearch_ray.merge import merge_indexes
+
+    tag = hashlib.md5(
+        f"{sf_dir}:{_src_fp(sf_dir)}:merged-v1".encode()).hexdigest()[:10]
+    root = f"/tmp/konl_entry_index/{tag}"
+    out = os.path.join(root, "merged")
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        os.makedirs(root, exist_ok=True)
+        src = os.path.join(sf_dir, "documents.parquet")
+        cut = 256  # shard boundary for shard_size=256
+        for name, pred in (("a", f"doc_id <= {cut}"), ("b", f"doc_id > {cut}")):
+            duckdb.sql(f"COPY (SELECT * FROM read_parquet('{src}') WHERE "
+                       f"{pred}) TO '{root}/{name}.parquet' (FORMAT PARQUET)")
+        cfg = IndexConfig(content_col="text", id_col="doc_id", dedup=False,
+                          sort_keys=[], shard_size=256)
+        build_index(f"{root}/a.parquet", f"{root}/ia", cfg)
+        build_index(f"{root}/b.parquet", f"{root}/ib", cfg)
+        merge_indexes([f"{root}/ia", f"{root}/ib"], out)
+    _INDEX_CACHE[key] = out
+    return out
+
+
 def _docs(sf_dir: str):
     import ray.data
 
@@ -209,7 +242,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
                "search_prefix_docs", "search_contains_docs",
                "search_regex_docs", "search_near_docs", "bm25_lang",
-               "join_full_custorders", "value_zscore",
+               "merge_search", "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
@@ -362,6 +395,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table(
             {"doc_id": pa.array([d for d, _ in top], pa.int64()),
              "score": pa.array([round(s, 4) for _, s in top], pa.float64())})
+
+    def merge_search(sf_dir):
+        # AND search over the MERGED two-half index (see _merged_index_dir)
+        # — must equal the whole-table oracle exactly.
+        from konlsearch_ray.query import IndexReader
+
+        return _ids_table(
+            IndexReader(_merged_index_dir(sf_dir)).search(AND_TOKENS, "AND"))
 
     def search_morph(sf_dir):
         # Terms findable only through morpheme segmentation — exercises
@@ -1586,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk,
         "bm25_sharded": bm25_sharded,
         "bm25_lang": bm25_lang,
+        "merge_search": merge_search,
         "term_stats": term_stats,
         "index_stats": index_stats,
         "doc_sha256": doc_sha256,
@@ -1814,6 +1856,8 @@ ORDER BY doc_id""",
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM occ
 WHERE term IN {_sql_in(OR_TOKENS)} ORDER BY doc_id""",
         "search_and_absent": _and_sql(["qqqzzz", "table"]),
+        # Identical semantics to search_and, served from the MERGED index.
+        "merge_search": _and_sql(AND_TOKENS),
         "search_phrase": f"""WITH {_KEPT}
 SELECT doc_id::BIGINT AS doc_id FROM kept
 WHERE coalesce(list_position(toks, '{PHRASE_TOKENS[0]}'), 0) > 0
