@@ -46,6 +46,10 @@ REGEX_QUERY = "(ery|dow|eam)$"
 # the window logic, not just the intersection.
 NEAR_TOKENS = ["table", "merge"]
 NEAR_SLOP = 3
+# Query-time term boosting (Lucene term^w): weights chosen to reorder
+# the unboosted top-k, so the oracle checks the weighting, not just
+# the candidate set.
+BM25_BOOSTS = {"table": 2.5, "fast": 0.25}
 NGRAM_TAU = 0.03
 NGRAM_MAXDOC = 150
 EMBED_TAU = 0.4
@@ -242,7 +246,8 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
                "search_prefix_docs", "search_contains_docs",
                "search_regex_docs", "search_near_docs", "bm25_lang",
-               "merge_search", "join_full_custorders", "value_zscore",
+               "bm25_boosted", "merge_search",
+               "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
@@ -376,6 +381,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             top = eng.bm25_topk(BM25_TOKENS, BM25_K)
         finally:
             eng.shutdown()
+        return pa.table(
+            {"doc_id": pa.array([d for d, _ in top], pa.int64()),
+             "score": pa.array([round(s, 4) for _, s in top], pa.float64())})
+
+    def bm25_boosted(sf_dir):
+        # Per-term query-time boosting — the kernel is linear in idf, so
+        # the oracle just scales each term's idf by its boost.
+        top = _reader(sf_dir).bm25_topk(BM25_TOKENS, BM25_K,
+                                        boosts=BM25_BOOSTS)
         return pa.table(
             {"doc_id": pa.array([d for d, _ in top], pa.int64()),
              "score": pa.array([round(s, 4) for _, s in top], pa.float64())})
@@ -1627,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk,
         "bm25_sharded": bm25_sharded,
         "bm25_lang": bm25_lang,
+        "bm25_boosted": bm25_boosted,
         "merge_search": merge_search,
         "term_stats": term_stats,
         "index_stats": index_stats,
@@ -1916,6 +1931,26 @@ sc AS (SELECT tf.doc_id,
        CROSS JOIN st
        WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')
        GROUP BY tf.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT {BM25_K}""",
+        # Boosted BM25: same pipeline, each term's idf scaled by its boost.
+        "bm25_boosted": f"""WITH {_KEPT}, {_OCC},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ
+       WHERE term IN {bm25_terms} GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM kept),
+st AS (SELECT count(*)::DOUBLE AS n,
+              sum(len(toks))::BIGINT::DOUBLE / count(*)::DOUBLE AS avgdl FROM kept),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM occ
+       WHERE term IN {bm25_terms} GROUP BY 1),
+bst AS (SELECT * FROM (VALUES {", ".join(f"('{t}', {w})" for t, w in sorted(BM25_BOOSTS.items()))}) b(term, w)),
+sc AS (SELECT tf.doc_id,
+         sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+             * coalesce(bst.w, 1.0)
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))) AS s
+       FROM tf JOIN df USING (term) LEFT JOIN bst USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN st GROUP BY tf.doc_id)
 SELECT doc_id::BIGINT AS doc_id, round(s, 4) AS score FROM sc
 ORDER BY s DESC, doc_id LIMIT {BM25_K}""",
         "bm25_topk": f"""WITH {_KEPT}, {_OCC},

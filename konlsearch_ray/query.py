@@ -696,6 +696,7 @@ class IndexReader:
     def bm25_topk(
         self, tokens: list[str], k: int = 10, prune: bool = True,
         allowed: "np.ndarray | None" = None,
+        boosts: "dict[str, float] | None" = None,
     ) -> list[tuple[int, float]]:
         """BM25 top-k, rank-identical to the exact path.
 
@@ -718,12 +719,26 @@ class IndexReader:
         filtered path uses the exact scorer: block-max metadata is
         unfiltered, so its bounds are valid but loose under heavy
         filtering; correctness over micro-pruning.
+
+        ``boosts``: optional per-term positive weight (query-time term
+        boosting — Lucene's ``term^w``): a term's score contribution is
+        multiplied by its boost (default 1.0). The BM25 kernel is linear
+        in idf, so boosting composes exactly with MaxScore pruning: the
+        cached per-entry upper bounds are stored unboosted and scaled at
+        use, keeping pruned results bit-identical to the exact path.
         """
         toks = sorted(set(normalize_query_tokens(tokens)))
+        if boosts is not None:
+            boosts = {
+                nt: float(w)
+                for t, w in boosts.items()
+                for nt in normalize_query_tokens([t])}
+            if any(w <= 0 for w in boosts.values()):
+                raise ValueError("boosts must be positive")
         if allowed is not None:
             allowed = np.asarray(allowed, dtype=np.int64)
         elif prune and len(toks) > 1:
-            return self._bm25_maxscore(toks, k)
+            return self._bm25_maxscore(toks, k, boosts=boosts)
         id_parts, score_parts = [], []
         for t in toks:
             ids, tfs = self.postings_scores(t)
@@ -736,6 +751,8 @@ class IndexReader:
             if len(ids) == 0:
                 continue
             w = self.idf(t)
+            if boosts is not None:
+                w *= boosts.get(t, 1.0)
             dl = self.doc_len(ids)
             tf = tfs.astype(np.float64)
             s = w * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / self.avgdl))
@@ -758,7 +775,9 @@ class IndexReader:
         order = sorted(cand.tolist(), key=lambda i: (-agg[i], uniq[i]))[:k]
         return [(int(uniq[i]), float(agg[i])) for i in order]
 
-    def _bm25_maxscore(self, toks: list[str], k: int) -> list[tuple[int, float]]:
+    def _bm25_maxscore(self, toks: list[str], k: int,
+                       boosts: "dict[str, float] | None" = None,
+                       ) -> list[tuple[int, float]]:
         """Term-at-a-time MaxScore with block-max skip (see bm25_topk).
 
         Invariants that make this exact:
@@ -776,7 +795,10 @@ class IndexReader:
         for t in toks:
             ids, tfs = self.postings_scores(t)
             if len(ids):
-                all_terms.append((t, self.idf(t), ids, tfs))
+                w = self.idf(t)
+                if boosts is not None:
+                    w *= boosts.get(t, 1.0)
+                all_terms.append((t, w, ids, tfs))
         if not all_terms:
             return []
         # Per-term global upper bound from block-max tf at minimal dl.
@@ -804,10 +826,16 @@ class IndexReader:
                 # the mask conjunction commutes, results are identical.
                 ent_ub = self._ent_ub_cache.get(t)
                 if ent_ub is None:
+                    # Cached UNBOOSTED (base-idf) bounds; the kernel is
+                    # linear in w, so a boosted query scales them at use
+                    # instead of poisoning the cache.
                     ent_ub = self._kernel(
-                        w, self.block_upper_tf(t).astype(np.float64),
+                        self.idf(t),
+                        self.block_upper_tf(t).astype(np.float64),
                         np.full(len(ids), self._min_dl))
                     self._ent_ub_cache[t] = ent_ub
+                if boosts is not None and boosts.get(t, 1.0) != 1.0:
+                    ent_ub = ent_ub * boosts[t]
                 ids_f = ids[ent_ub + suffix[i + 1] >= theta]
             else:
                 ids_f = ids
@@ -1042,8 +1070,8 @@ class ShardQueryActor:
     def search_near(self, tokens, slop):
         return self.reader.search_near(tokens, slop=slop)
 
-    def bm25_topk(self, tokens, k):
-        return self.reader.bm25_topk(tokens, k)
+    def bm25_topk(self, tokens, k, boosts=None):
+        return self.reader.bm25_topk(tokens, k, boosts=boosts)
 
     def bm25_topk_filtered(self, tokens, k, flt):
         """Filtered BM25 over this actor's shard subset: the metadata
@@ -1156,10 +1184,11 @@ class ShardedQueryEngine:
                                       for p in parts]))
         return [int(x) for x in out]
 
-    def bm25_topk(self, tokens, k=10):
+    def bm25_topk(self, tokens, k=10, boosts=None):
         import ray as _ray
 
-        parts = _ray.get([a.bm25_topk.remote(tokens, k) for a in self._actors])
+        parts = _ray.get([a.bm25_topk.remote(tokens, k, boosts)
+                          for a in self._actors])
         merged = [t for p in parts for t in p]
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]

@@ -26,12 +26,12 @@ def test_entry_smoke(ray_session):
 
 def test_registry_counts():
     """The ONE documented count (README/SURVEY/BASELINE all cite it):
-    113 queries() entries, 108 with oracles, 5 rows-only by design."""
+    114 queries() entries, 109 with oracles, 5 rows-only by design."""
     import __ray_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
-    assert len(q) == 113
-    assert len(o) == 108
+    assert len(q) == 114
+    assert len(o) == 109
     assert set(q) - set(o) == {
         "dedup_minhash", "curate_neardup", "approx_users", "embed_kmeans",
         "embed_pca"}
