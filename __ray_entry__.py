@@ -252,6 +252,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
                "dedup_doc_lines", "mix_by_lang", "token_pairs",
+               "lang_entropy",
                "wavg_price", "profile_events", "retention_weekly",
                "daily_active_users", "twap_value"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
@@ -903,6 +904,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ev = _events(sf_dir).select_columns(["event_id", "props"])
         return clean_text(ev, "props", "event_id")
+
+    def lang_entropy(sf_dir):
+        # Per-language Shannon entropy of the source distribution —
+        # the label-diversity audit (skew detector) over documents.
+        from konlsearch_ray.functions.aggregates import grouped_entropy
+
+        docs = _docs(sf_dir).select_columns(["lang", "source"])
+        return grouped_entropy(docs, "lang", "source")
 
     def distinct_users(sf_dir):
         # Exact per-type distinct users: per-block distinct pairs (Arrow
@@ -1693,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_redact": clean_redact,
         "top_docs": top_docs,
         "distinct_users": distinct_users,
+        "lang_entropy": lang_entropy,
         "approx_users": approx_users,
         "hist_doclen": hist_doclen,
         "user_top_events": user_top_events,
@@ -2308,6 +2318,15 @@ FROM c""",
         "top_docs": """SELECT doc_id::BIGINT AS doc_id,
        n_chars::BIGINT AS n_chars
 FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100""",
+        # H = log2(N) - sum(c*log2(c))/N from the same integer pair
+        # counts the engine folds; round(6) absorbs summation-order ulps.
+        "lang_entropy": """WITH pc2 AS (
+  SELECT lang, source, count(*)::BIGINT AS c FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+ag AS (SELECT lang, sum(c)::BIGINT AS n,
+              sum(c::DOUBLE * log2(c::DOUBLE)) AS sl FROM pc2 GROUP BY 1)
+SELECT lang, round(log2(n::DOUBLE) - sl / n::DOUBLE, 6) AS entropy, n
+FROM ag ORDER BY lang""",
         "distinct_users": """SELECT event_type,
        COUNT(DISTINCT user_id)::BIGINT AS n_distinct
 FROM events GROUP BY event_type""",

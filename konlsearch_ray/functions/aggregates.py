@@ -929,6 +929,69 @@ def grouped_mode(
                            fallback=fallback)
 
 
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    digits: int = 6,
+) -> ray.data.Dataset:
+    """Per-key Shannon entropy (base 2) of the VALUE distribution — the
+    label-diversity score a curation pipeline uses to flag skewed or
+    degenerate slices (one dominant source per language, one event type
+    per user).
+
+    Same two-stage shape as :func:`grouped_mode`: block-level distinct
+    ``(key, value)`` pair counts via Arrow's C++ hash group-by (exchange
+    volume bounded by distinct pairs, never rows), then a keyed merge
+    sums pair counts and computes
+
+        H = log2(N) − (Σ c·log2(c)) / N
+
+    from the INTEGER counts in ascending-value order (one canonical
+    float expression per key — no float accumulation across the
+    exchange). ``digits`` rounds the output (SQL-parity guard, like the
+    BM25 entries' round(s, 4)). Null values/keys are dropped (SQL
+    count/group semantics). Output: ``key_col``, ``entropy`` (float64),
+    ``n`` (int64 — rows behind the estimate).
+    """
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[value_col])))
+        out = (t.select([key_col, value_col])
+                .group_by([key_col, value_col])
+                .aggregate([([], "count_all")]))
+        return (out.rename_columns([key_col, value_col, "cnt"])
+                .replace_schema_metadata(None))
+
+    fallback = pa.table({key_col: pa.array([], ktyp),
+                         "entropy": pa.array([], pa.float64()),
+                         "n": pa.array([], pa.int64())})
+
+    def emit(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        g = g.combine_chunks()
+        summed = (g.group_by([value_col])
+                   .aggregate([("cnt", "sum")])
+                   .sort_by(value_col))
+        c = summed["cnt_sum"].to_numpy().astype(np.float64)
+        n = float(c.sum())
+        h = float(np.log2(n) - float((c * np.log2(c)).sum()) / n)
+        return pa.table({
+            key_col: g[key_col][:1],
+            "entropy": pa.array([round(h, digits)], pa.float64()),
+            "n": pa.array([int(n)], pa.int64()),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).map_groups(emit, batch_format="pyarrow"))
+    return nonempty_blocks(out, (key_col, "entropy", "n"),
+                           fallback=fallback)
+
+
 def profile_columns(
     ds: ray.data.Dataset,
     cols: list[str],

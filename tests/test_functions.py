@@ -2518,3 +2518,29 @@ def test_profile_columns(ray_session):
 
     with _pytest.raises(ValueError, match="integer and string"):
         profile_columns(ray.data.from_arrow(t), ["f"])
+
+
+def test_grouped_entropy(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import grouped_entropy
+
+    t = pa.table({
+        "k": ["a"] * 8 + ["b"] * 4 + ["c"] * 3 + [None, "a"],
+        "v": ["x", "x", "y", "y", "z", "z", "z", "z",
+              "p", "p", "p", "p", "q", "q", "r", None, None],
+    })
+    got = (grouped_entropy(ray.data.from_arrow(t).repartition(5), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    def h(counts):
+        n = sum(counts)
+        return round(math.log2(n) - sum(c * math.log2(c) for c in counts) / n, 6)
+
+    # null key and null value rows drop; 'b' all-one-label -> 0 bits.
+    assert got["k"].tolist() == ["a", "b", "c"]
+    assert got["n"].tolist() == [8, 4, 3]
+    assert got["entropy"].tolist() == [h([2, 2, 4]), 0.0, h([2, 1])]
