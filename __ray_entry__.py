@@ -252,7 +252,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
                "dedup_doc_lines", "mix_by_lang", "token_pairs",
-               "lang_entropy",
+               "lang_entropy", "sample_weighted",
                "wavg_price", "profile_events", "retention_weekly",
                "daily_active_users", "twap_value"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
@@ -1155,6 +1155,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
         return exact_sample(docs, "doc_id", 100, salt="s1")
 
+    def sample_weighted(sf_dir):
+        # Exactly-k weighted sample without replacement (Efraimidis-
+        # Spirakis -ln(u)/w priorities over the shared md5 uniform);
+        # inclusion probability ∝ event value.
+        from konlsearch_ray.functions.sampling import weighted_sample
+
+        ev = _events(sf_dir).select_columns(["event_id", "user_id", "value"])
+        return weighted_sample(ev, "event_id", "value", 50)
+
     def anti_customers(sf_dir):
         # Existence filter (NOT EXISTS): customers with no 420k+ order.
         # Right side reduces to distinct keys before the exchange — the
@@ -1719,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_pct_rank": value_pct_rank,
         "user_sequence": user_sequence,
         "sample_fixed": sample_fixed,
+        "sample_weighted": sample_weighted,
         "anti_customers": anti_customers,
         "semi_customers": semi_customers,
         "event_corr": event_corr,
@@ -2504,6 +2514,14 @@ GROUP BY user_id""",
         "sample_fixed": """SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
 FROM documents
 ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""",
+        # A-Res weighted reservoir: same md5 uniform, -ln(u)/w priority.
+        "sample_weighted": """SELECT event_id::BIGINT AS event_id,
+       user_id::BIGINT AS user_id, value
+FROM (SELECT event_id, user_id, value,
+             -ln((CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) + 1) / 4294967296.0) / value AS prio
+      FROM events WHERE value > 0)
+ORDER BY prio, event_id LIMIT 50""",
         "anti_customers": """SELECT c_custkey::BIGINT AS c_custkey, c_name
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o

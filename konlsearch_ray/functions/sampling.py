@@ -23,10 +23,10 @@ import ray.data
 BUCKETS = 10_000  # basis points: fractions resolve to 0.01%
 
 
-def _bucket_of(ids: pa.ChunkedArray | pa.Array, salt: str) -> np.ndarray:
-    """md5-derived bucket in [0, BUCKETS) per row — engine-independent
-    (DuckDB: ``CAST('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 8)
-    AS UBIGINT) % 10000``)."""
+def _hash32_of(ids: pa.ChunkedArray | pa.Array, salt: str) -> np.ndarray:
+    """md5-derived uint32 per row (first 8 hex digits) —
+    engine-independent (DuckDB: ``CAST('0x' || substr(md5(salt ||
+    CAST(id AS VARCHAR)), 1, 8) AS UBIGINT)``)."""
     from konlsearch_ray.build import hash_hex_column
 
     s = pc.cast(ids, pa.string())
@@ -38,7 +38,7 @@ def _bucket_of(ids: pa.ChunkedArray | pa.Array, salt: str) -> np.ndarray:
     from konlsearch_ray.query import _string_col_to_S
 
     if not len(hx):  # the empty S-matrix is 1 byte wide, not 32
-        return np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64)
     s = _string_col_to_S(hx)
     mat = s.view(np.uint8).reshape(len(s), s.dtype.itemsize)
     nib = np.where(mat[:, :8] >= ord("a"), mat[:, :8] - ord("a") + 10,
@@ -46,7 +46,14 @@ def _bucket_of(ids: pa.ChunkedArray | pa.Array, salt: str) -> np.ndarray:
     val = np.zeros(len(hx), dtype=np.uint64)
     for j in range(8):  # 8 fixed passes, each vectorized
         val = (val << np.uint64(4)) | nib[:, j]
-    return (val % np.uint64(BUCKETS)).astype(np.int64)
+    return val
+
+
+def _bucket_of(ids: pa.ChunkedArray | pa.Array, salt: str) -> np.ndarray:
+    """md5-derived bucket in [0, BUCKETS) per row — engine-independent
+    (DuckDB: ``CAST('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 8)
+    AS UBIGINT) % 10000``)."""
+    return (_hash32_of(ids, salt) % np.uint64(BUCKETS)).astype(np.int64)
 
 
 def hash_split(
@@ -281,3 +288,57 @@ def keyed_fraction_sample(
         return t.filter(pa.array(buckets < bps))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Exactly-k deterministic WEIGHTED sample without replacement —
+    the mixture draw (inclusion probability ∝ row weight: quality
+    score, source multiplier, token count) behind curated training
+    mixes. Efraimidis–Spirakis A-Res priorities: each row draws the
+    md5-uniform u = (hash32(salt||id) + 1) / 2^32 ∈ (0, 1] and the
+    sample is the k SMALLEST −ln(u)/w (equivalently the k largest
+    u^(1/w); ties broken by id). Deterministic and partition-invariant
+    like :func:`exact_sample`; changing ``salt`` redraws.
+
+    Rows with null or non-positive weight are dropped (a zero-weight
+    row must never be sampled; SQL mirrors with ``WHERE w > 0``).
+    Engine/SQL float parity caveat: ln() is not required to be
+    correctly rounded, so numpy and an SQL engine may differ by an ulp
+    — a rank flip needs two priorities within that ulp, which the
+    uniform hash makes vanishingly unlikely (and any such flip swaps
+    only the boundary row).
+
+    Scale shape: per-block top-k + one O(k × blocks)-row merge; the
+    corpus never shuffles. Output: sampled rows, original columns.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from konlsearch_ray.functions.stats import global_topk
+
+    def prio(t: pa.Table) -> pa.Table:
+        if "__prio" in t.schema.names:
+            raise ValueError("column __prio collides with weighted_sample")
+        t = t.filter(pc.and_(pc.is_valid(t[id_col]),
+                             pc.fill_null(pc.greater(
+                                 pc.cast(t[weight_col], pa.float64()), 0.0),
+                                 False)))
+        if not t.num_rows:
+            return t.append_column("__prio", pa.array([], pa.float64()))
+        t = t.combine_chunks()
+        u = ((_hash32_of(t[id_col], salt).astype(np.float64) + 1.0)
+             / 4294967296.0)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("__prio", pa.array(-np.log(u) / w))
+
+    orig = list(ds.schema().names)
+    out = global_topk(
+        ds.map_batches(prio, batch_format="pyarrow"),
+        [("__prio", "ascending"), (id_col, "ascending")], k)
+    return out.map_batches(lambda t: t.select(orig),
+                           batch_format="pyarrow")

@@ -2544,3 +2544,48 @@ def test_grouped_entropy(ray_session):
     assert got["k"].tolist() == ["a", "b", "c"]
     assert got["n"].tolist() == [8, 4, 3]
     assert got["entropy"].tolist() == [h([2, 2, 4]), 0.0, h([2, 1])]
+
+
+def test_weighted_sample(ray_session):
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from konlsearch_ray.functions.sampling import weighted_sample
+
+    n = 200
+    ids = list(range(1, n + 1))
+    w = [float(i % 7) for i in ids]  # every 7th row weight 0 -> excluded
+    w[3] = None
+    t = pa.table({"id": pa.array(ids, pa.int64()),
+                  "w": pa.array(w, pa.float64()),
+                  "tag": pa.array([f"r{i}" for i in ids])})
+
+    def brute(k, salt=""):
+        rows = []
+        for i, wi in zip(ids, w):
+            if wi is None or wi <= 0:
+                continue
+            h = int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16)
+            u = (h + 1) / 4294967296.0
+            rows.append((-math.log(u) / wi, i))
+        rows.sort()
+        return [i for _, i in rows[:k]]
+
+    for nparts in (1, 7):
+        got = (weighted_sample(ray.data.from_arrow(t).repartition(nparts),
+                               "id", "w", 25)
+               .to_pandas())
+        assert sorted(got["id"].tolist()) == sorted(brute(25))
+        assert set(got.columns) == {"id", "w", "tag"}
+    # k > live rows: every positive-weight row, nothing else.
+    allrows = weighted_sample(
+        ray.data.from_arrow(t), "id", "w", 10_000).to_pandas()
+    assert sorted(allrows["id"].tolist()) == sorted(brute(10_000))
+    # salt redraws
+    salted = weighted_sample(
+        ray.data.from_arrow(t), "id", "w", 25, salt="s1").to_pandas()
+    assert sorted(salted["id"].tolist()) == sorted(brute(25, salt="s1"))
+    assert sorted(salted["id"].tolist()) != sorted(brute(25))
