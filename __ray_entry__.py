@@ -252,7 +252,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "union_userpairs", "event_regr", "quantiles_cont_cents",
                "latest_event", "first_event", "value_mad", "embed_pca",
                "dedup_doc_lines", "mix_by_lang", "token_pairs",
-               "lang_entropy", "sample_weighted",
+               "lang_entropy", "sample_weighted", "top_docs_ties",
                "wavg_price", "profile_events", "retention_weekly",
                "daily_active_users", "twap_value"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
@@ -1155,6 +1155,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
         return exact_sample(docs, "doc_id", 100, salt="s1")
 
+    def top_docs_ties(sf_dir):
+        # rank() <= 3 WITH TIES per language over the n_chars//50 length
+        # bucket — boundary ties all survive (en keeps 20 rows at
+        # sf0.001), which is exactly what distinguishes RANK from the
+        # unique-tie-break grouped_topk entry (user_top_events).
+        from konlsearch_ray.functions.aggregates import grouped_topk_ties
+
+        docs = (_docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+                .map_batches(
+                    lambda t: t.append_column(
+                        "bucket", pc.divide(t["n_chars"], 50)),
+                    batch_format="pyarrow")
+                .select_columns(["doc_id", "lang", "bucket"]))
+        return grouped_topk_ties(docs, "lang", [("bucket", "descending")], 3)
+
     def sample_weighted(sf_dir):
         # Exactly-k weighted sample without replacement (Efraimidis-
         # Spirakis -ln(u)/w priorities over the shared md5 uniform);
@@ -1729,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sequence": user_sequence,
         "sample_fixed": sample_fixed,
         "sample_weighted": sample_weighted,
+        "top_docs_ties": top_docs_ties,
         "anti_customers": anti_customers,
         "semi_customers": semi_customers,
         "event_corr": event_corr,
@@ -2514,6 +2530,13 @@ GROUP BY user_id""",
         "sample_fixed": """SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
 FROM documents
 ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""",
+        # RANK-with-ties leaderboard: boundary ties all survive.
+        "top_docs_ties": """WITH r AS (
+  SELECT doc_id, lang, n_chars // 50 AS bucket,
+         rank() OVER (PARTITION BY lang ORDER BY n_chars // 50 DESC) AS rk
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL)
+SELECT doc_id::BIGINT AS doc_id, lang, bucket::BIGINT AS bucket
+FROM r WHERE rk <= 3""",
         # A-Res weighted reservoir: same md5 uniform, -ln(u)/w priority.
         "sample_weighted": """SELECT event_id::BIGINT AS event_id,
        user_id::BIGINT AS user_id, value

@@ -275,6 +275,63 @@ def grouped_topk(
     return nonempty_blocks(out, tuple(sch.names), fallback=sch.empty_table())
 
 
+def grouped_topk_ties(
+    ds: ray.data.Dataset,
+    key_col: str,
+    rank_keys: list[tuple[str, str]],
+    k: int,
+) -> ray.data.Dataset:
+    """Top-k rows per key WITH TIES — SQL ``rank() OVER (PARTITION BY
+    key ORDER BY ...) <= k``: a row survives iff fewer than k DISTINCT
+    rank-key tuples beat it, so boundary ties all stay (the leaderboard
+    semantics :func:`grouped_topk`'s unique tie-break deliberately
+    avoids).
+
+    Pruning stays block-local and safe: a row beaten by ≥ k distinct
+    better tuples inside ITS OWN block is beaten globally, so stage 1
+    applies the same rank-filter kernel per block (partial bounded by
+    k distinct values + their ties per key per block) and stage 2
+    re-applies it per key over the survivors. Null keys and null rank
+    values are dropped up front (documented contract — mirror with
+    ``WHERE ... IS NOT NULL`` in SQL).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def rank_filter(t: pa.Table) -> pa.Table:
+        cols = [key_col] + [c for c, _ in rank_keys]
+        for c in cols:
+            t = t.filter(pc.is_valid(t[c]))
+        if not t.num_rows:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending")] + list(rank_keys))
+        t = t.take(idx).combine_chunks()
+        n = t.num_rows
+        # Boundary masks from adjacent-row inequality (no nulls left).
+        def changed(col: str) -> np.ndarray:
+            a = t[col]
+            return pc.not_equal(a.slice(1), a.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+
+        new_key = np.concatenate(([True], changed(key_col)))
+        new_val = new_key.copy()
+        for c, _ in rank_keys:
+            new_val[1:] |= changed(c)
+        pos = np.arange(n, dtype=np.int64)
+        key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        run_start = np.maximum.accumulate(np.where(new_val, pos, 0))
+        rank0 = run_start - key_start  # 0-based RANK (ties share it)
+        return t.filter(pa.array(rank0 < k))
+
+    out = (ds.map_batches(rank_filter, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby(key_col).map_groups(rank_filter,
+                                        batch_format="pyarrow"))
+    sch = _arrow_schema(ds)
+    return nonempty_blocks(out, tuple(sch.names), fallback=sch.empty_table())
+
+
 def pivot_counts(
     ds: ray.data.Dataset,
     key_col: str,

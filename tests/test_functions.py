@@ -2589,3 +2589,35 @@ def test_weighted_sample(ray_session):
         ray.data.from_arrow(t), "id", "w", 25, salt="s1").to_pandas()
     assert sorted(salted["id"].tolist()) == sorted(brute(25, salt="s1"))
     assert sorted(salted["id"].tolist()) != sorted(brute(25))
+
+
+def test_grouped_topk_ties(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import grouped_topk_ties
+
+    t = pa.table({
+        "k": ["a"] * 7 + ["b"] * 4 + [None],
+        "v": [9, 9, 9, 8, 8, 7, 1, 5, 5, 5, 5, 3],
+        "id": list(range(12)),
+    })
+
+    def oracle(k):
+        df = t.to_pandas().dropna(subset=["k", "v"])
+        df["rk"] = df.groupby("k")["v"].rank(method="min", ascending=False)
+        return (df[df["rk"] <= k].drop(columns="rk")
+                .sort_values("id").reset_index(drop=True))
+
+    for nparts in (1, 5):
+        for k in (1, 2, 3):
+            got = (grouped_topk_ties(
+                ray.data.from_arrow(t).repartition(nparts), "k",
+                [("v", "descending")], k)
+                .to_pandas().sort_values("id").reset_index(drop=True))
+            pd.testing.assert_frame_equal(got, oracle(k), check_dtype=False)
+    # k=1 on 'a' keeps the three tied 9s; on 'b' all four tied 5s.
+    got1 = grouped_topk_ties(
+        ray.data.from_arrow(t), "k", [("v", "descending")], 1).to_pandas()
+    assert sorted(got1["id"].tolist()) == [0, 1, 2, 7, 8, 9, 10]
