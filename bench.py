@@ -314,6 +314,63 @@ def run_bench() -> dict:
     _probed_section(queries, "latency", _latency,
                     score=lambda o: -o["bm25_p50_ms"])
 
+    # --- round-5 serving features: proximity + boosted BM25 ---------------
+    # Same head+vocab query mix as _latency so candidate sets match the
+    # headline path; NEAR pays its documented positional-recheck cost
+    # (docstore fetch + re-tokenize ∝ AND candidates).
+    def _features() -> dict:
+        out = {}
+        lat = []
+        for i in range(100):
+            toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
+                    vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
+            t0 = time.perf_counter()
+            reader.search_near(toks, slop=3)
+            lat.append(time.perf_counter() - t0)
+        out["near_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
+        lat = []
+        for i in range(N_QUERY_REPS):
+            toks = [HEAD_TERMS[i % len(HEAD_TERMS)],
+                    vocab_terms[int(rng.integers(0, len(vocab_terms)))]]
+            t0 = time.perf_counter()
+            reader.bm25_topk(toks, 10, boosts={toks[0]: 2.0, toks[1]: 0.5})
+            lat.append(time.perf_counter() - t0)
+        out["bm25_boosted_p50_ms"] = round(
+            float(np.percentile(lat, 50)) * 1000, 3)
+        return out
+
+    _probed_section(queries, "features", _features,
+                    score=lambda o: -o["near_p50_ms"])
+
+    # --- cross-index merge over the sf documents table --------------------
+    # Two shard-aligned half builds (untimed input prep), then the merge
+    # itself: the disjoint path is file union + one finalize, so the
+    # timing is the fixed merge overhead a segment-compaction tier pays.
+    import duckdb
+
+    from konlsearch_ray.merge import merge_indexes
+
+    mroot = f"/tmp/konl_bench_merge_{NUM_CPUS}"
+    shutil.rmtree(mroot, ignore_errors=True)
+    os.makedirs(mroot, exist_ok=True)
+    src = os.path.join(SF_DIR, "documents.parquet")
+    max_id = duckdb.sql(
+        f"SELECT max(doc_id) FROM read_parquet('{src}')").fetchone()[0]
+    mshard = 1024 if max_id > 2048 else 256  # both halves non-empty
+    cut = mshard  # shard-aligned boundary → disjoint file-union path
+    for name, pred in (("a", f"doc_id <= {cut}"), ("b", f"doc_id > {cut}")):
+        duckdb.sql(f"COPY (SELECT * FROM read_parquet('{src}') WHERE {pred})"
+                   f" TO '{mroot}/{name}.parquet' (FORMAT PARQUET)")
+    mcfg = IndexConfig(content_col="text", id_col="doc_id", dedup=False,
+                       sort_keys=[], shard_size=mshard)
+    build_index(f"{mroot}/a.parquet", f"{mroot}/ia", mcfg)
+    build_index(f"{mroot}/b.parquet", f"{mroot}/ib", mcfg)
+    t0 = time.perf_counter()
+    mstats = merge_indexes([f"{mroot}/ia", f"{mroot}/ib"],
+                           f"{mroot}/merged")
+    queries["merge_sec"] = round(time.perf_counter() - t0, 3)
+    assert mstats["N"], "merged index is empty"
+
     # --- distributed query serving throughput -----------------------------
     import pyarrow as pa
 

@@ -618,9 +618,11 @@ class IndexReader:
         cand = self.search(tset, SearchMode.AND)
         if not cand:
             return []
-        from konlsearch_ray.docstore import DocStore
+        store = getattr(self, "_docstore", None)
+        if store is None:
+            from konlsearch_ray.docstore import DocStore
 
-        store = DocStore(self.index_dir)
+            store = self._docstore = DocStore(self.index_dir)
         tbl = store.get_multi(cand)
         doc_ids = tbl["doc_id"].to_numpy()
         content_col = store.meta.get("content_col", "content")
