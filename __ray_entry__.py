@@ -245,7 +245,8 @@ _PREVIOUSLY_VERIFIED = [
 _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "quantiles_cents", "user_type_totals_top",
                "search_prefix_docs", "search_contains_docs",
-               "search_regex_docs", "search_near_docs", "bm25_lang",
+               "search_regex_docs", "search_near_docs",
+               "search_near_ordered", "bm25_lang",
                "bm25_boosted", "merge_search",
                "join_full_custorders", "value_zscore",
                "cube_lineitem", "intersect_userpairs", "except_userpairs",
@@ -385,6 +386,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table(
             {"doc_id": pa.array([d for d, _ in top], pa.int64()),
              "score": pa.array([round(s, 4) for _, s in top], pa.float64())})
+
+    def search_near_ordered(sf_dir):
+        # Ordered-span (sloppy-phrase) variant: occurrences in query
+        # order, total span <= slop.
+        return _ids_table(
+            _reader(sf_dir).search_near(NEAR_TOKENS, slop=NEAR_SLOP,
+                                        ordered=True))
 
     def bm25_boosted(sf_dir):
         # Per-term query-time boosting — the kernel is linear in idf, so
@@ -1762,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_contains_docs": search_contains_docs,
         "search_regex_docs": search_regex_docs,
         "search_near_docs": search_near_docs,
+        "search_near_ordered": search_near_ordered,
         "join_full_custorders": join_full_custorders,
         "value_zscore": value_zscore,
         "cube_lineitem": cube_lineitem,
@@ -1947,6 +1956,18 @@ WHERE NOT EXISTS (
   WHERE NOT EXISTS (
     SELECT 1 FROM q b WHERE b.doc_id = a.doc_id AND b.term = v.t
     AND b.pos BETWEEN a.pos AND a.pos + {NEAR_SLOP}))
+ORDER BY doc_id""",
+        # Ordered span: an occurrence of term2 strictly after term1,
+        # within the slop window.
+        "search_near_ordered": f"""WITH {_KEPT},
+tp AS (SELECT doc_id, (generate_subscripts(toks, 1) - 1)::BIGINT AS pos,
+              unnest(toks) AS term FROM kept),
+q AS (SELECT doc_id, pos, term FROM tp WHERE term IN {_sql_in(NEAR_TOKENS)})
+SELECT DISTINCT a.doc_id::BIGINT AS doc_id FROM q a
+WHERE a.term = '{NEAR_TOKENS[0]}' AND EXISTS (
+  SELECT 1 FROM q b WHERE b.doc_id = a.doc_id
+  AND b.term = '{NEAR_TOKENS[1]}'
+  AND b.pos > a.pos AND b.pos <= a.pos + {NEAR_SLOP})
 ORDER BY doc_id""",
         # Filtered BM25: identical scoring pipeline (idf/avgdl/N over the
         # FULL corpus), candidates restricted by the metadata predicate —

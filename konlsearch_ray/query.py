@@ -583,7 +583,7 @@ class IndexReader:
         return self.search(terms, SearchMode.OR)
 
     def search_near(self, tokens: list[str], slop: int = 2,
-                    analyzer=None) -> list[int]:
+                    analyzer=None, ordered: bool = False) -> list[int]:
         """Proximity search (NEAR/slop): docs where some window of
         ``slop + 1`` consecutive kept-token positions contains at least
         one occurrence of EVERY distinct query term — equivalently,
@@ -605,15 +605,24 @@ class IndexReader:
         never the corpus; at cluster scale phase (2) is shard-local (see
         ShardedQueryEngine.search_near). ``analyzer``: pass the index's
         analyzer for indexes built with a custom analyzer_factory; None →
-        the normative vectorized path. Ascending doc ids."""
+        the normative vectorized path. Ascending doc ids.
+
+        ``ordered=True`` is the ordered-span (sloppy-phrase) variant:
+        occurrences must appear in QUERY order (strictly increasing
+        positions, duplicates in the query need distinct occurrences)
+        with total span ≤ ``slop``. Checked by a greedy searchsorted
+        chain from every first-term anchor — greedy takes the earliest
+        legal next occurrence, which only loosens the constraint on the
+        terms after it, so existence is decided exactly."""
         if slop < 0:
             raise ValueError(f"slop must be >= 0, got {slop}")
         from konlsearch_ray.analyzer import normalize_query_tokens
 
-        tset = sorted(set(normalize_query_tokens(tokens)))
+        seq = normalize_query_tokens(tokens)
+        tset = sorted(set(seq))
         if not tset:
             return []
-        if len(tset) == 1:
+        if len(seq) == 1:
             return self.search(tset, SearchMode.AND)
         cand = self.search(tset, SearchMode.AND)
         if not cand:
@@ -650,6 +659,21 @@ class IndexReader:
         g = doc_idx * stride + pos.astype(np.int64)
         order = np.argsort(g, kind="stable")
         g, doc_idx, terms = g[order], doc_idx[order], terms[order]
+        if ordered:
+            # Greedy chain: from each first-term anchor, hop to the
+            # earliest strictly-later occurrence of each next term.
+            sentinel = np.iinfo(np.int64).max // 2  # "no next occurrence"
+            anchors = g[terms == seq[0]]
+            anchor_docs = doc_idx[terms == seq[0]]
+            cur = anchors
+            for t in seq[1:]:
+                pos_t = g[terms == t]
+                idx = np.searchsorted(pos_t, cur, side="right")
+                nxt = np.append(pos_t, sentinel)
+                cur = nxt[np.minimum(idx, len(pos_t))]
+            ok = (cur - anchors) <= slop
+            hit_idx = np.unique(anchor_docs[ok])
+            return [int(x) for x in doc_ids[hit_idx]]
         ok = np.ones(len(g), dtype=bool)
         for t in tset:
             pos_t = g[terms == t]  # sorted (slice of a sorted array)
@@ -1069,8 +1093,8 @@ class ShardQueryActor:
     def search_regex(self, pattern, limit):
         return self.reader.search_regex(pattern, limit=limit)
 
-    def search_near(self, tokens, slop):
-        return self.reader.search_near(tokens, slop=slop)
+    def search_near(self, tokens, slop, ordered=False):
+        return self.reader.search_near(tokens, slop=slop, ordered=ordered)
 
     def bm25_topk(self, tokens, k, boosts=None):
         return self.reader.bm25_topk(tokens, k, boosts=boosts)
@@ -1173,14 +1197,14 @@ class ShardedQueryEngine:
                                       for p in parts]))
         return [int(x) for x in out]
 
-    def search_near(self, tokens, slop=2):
+    def search_near(self, tokens, slop=2, ordered=False):
         """Scatter-gather proximity search: the AND candidates and the
         docstore recheck are both shard-local (each doc's postings AND
         its stored content live in its own shard), so per-actor results
         concatenate exactly like plain Boolean search."""
         import ray as _ray
 
-        parts = _ray.get([a.search_near.remote(tokens, slop)
+        parts = _ray.get([a.search_near.remote(tokens, slop, ordered)
                           for a in self._actors])
         out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
                                       for p in parts]))

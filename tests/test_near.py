@@ -122,3 +122,55 @@ def test_near_sharded_parity(near_built):
                     == reader.search_near(terms, slop=slop))
     finally:
         eng.shutdown()
+
+
+def brute_near_ordered(docs: dict, terms: list[str], slop: int) -> list[int]:
+    out = []
+    for doc_id, content in docs.items():
+        stream = tokenize(content)
+
+        def ok_from(start_positions):
+            for p1 in start_positions:
+                cur = p1
+                good = True
+                for t in terms[1:]:
+                    nxt = [i for i, x in enumerate(stream)
+                           if x == t and i > cur]
+                    if not nxt:
+                        good = False
+                        break
+                    cur = nxt[0]
+                if good and cur - p1 <= slop:
+                    return True
+            return False
+
+        starts = [i for i, x in enumerate(stream) if x == terms[0]]
+        if starts and ok_from(starts):
+            out.append(doc_id)
+    return sorted(out)
+
+
+def test_near_ordered_matches_bruteforce(near_built):
+    reader, docs, _ = near_built
+    terms = pick_terms(docs, 2)
+    for slop in (1, 3, 8):
+        got = reader.search_near(terms, slop=slop, ordered=True)
+        assert got == brute_near_ordered(docs, terms, slop), (terms, slop)
+    # Reversed query order is a different ordered query.
+    rev = reader.search_near(terms[::-1], slop=3, ordered=True)
+    assert rev == brute_near_ordered(docs, terms[::-1], 3)
+    # Ordered is a subset of unordered at equal slop.
+    assert (set(reader.search_near(terms, slop=4, ordered=True))
+            <= set(reader.search_near(terms, slop=4)))
+
+
+def test_near_ordered_three_terms_and_duplicates(near_built):
+    reader, docs, _ = near_built
+    terms = pick_terms(docs, 3)
+    for slop in (3, 10):
+        assert (reader.search_near(terms, slop=slop, ordered=True)
+                == brute_near_ordered(docs, terms, slop))
+    # Duplicate query term needs two distinct occurrences in order.
+    t = pick_terms(docs, 1)[0]
+    dup = reader.search_near([t, t], slop=5, ordered=True)
+    assert dup == brute_near_ordered(docs, [t, t], 5)
