@@ -140,3 +140,41 @@ def test_merge_carries_tombstones(ray_session, tmp_path_factory):
     from konlsearch_ray.docstore import DocStore
 
     assert DocStore(out).get(victim) is None
+
+
+def test_shift_binary_firsts_property():
+    """Direct unit check of the remap's varint splice: for random
+    per-term gap streams, shifting the first gap must decode back to
+    the original doc ids + offset, term by term."""
+    import numpy as np
+    import pyarrow as pa
+
+    from konlsearch_ray.codec import varint_decode, varint_encode
+    from konlsearch_ray.merge import _shift_binary_firsts
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n_terms = int(rng.integers(1, 12))
+        dfs, blobs, want_ids = [], [], []
+        off = int(rng.integers(1, 5)) * 4096
+        for _ in range(n_terms):
+            df = int(rng.integers(0, 9))  # df=0 rows exercise the edge
+            dfs.append(df)
+            if df == 0:
+                blobs.append(b"")
+                want_ids.append(np.zeros(0, dtype=np.int64))
+                continue
+            first = int(rng.integers(1, 1 << int(rng.integers(3, 40))))
+            gaps = np.concatenate((
+                [first],
+                rng.integers(1, 1 << int(rng.integers(1, 20)),
+                             size=df - 1))).astype(np.uint64)
+            blobs.append(varint_encode(gaps))
+            want_ids.append(np.cumsum(gaps.astype(np.int64)) + off)
+        col = pa.array(blobs, pa.large_binary())
+        out = _shift_binary_firsts(col, np.array(dfs, dtype=np.int64), off)
+        assert len(out) == n_terms
+        for i, df in enumerate(dfs):
+            got_gaps = varint_decode(out[i].as_py(), df)
+            got_ids = np.cumsum(got_gaps.astype(np.int64))
+            assert np.array_equal(got_ids, want_ids[i]), (trial, i)
