@@ -942,6 +942,15 @@ class QueryStage:
                 for r, (d, s) in enumerate(self.reader.bm25_topk(tokens, int(k))):
                     qids.append(qid); docs.append(d); ranks.append(r); scores.append(s)
                     modes.append(mode); ks.append(int(k))
+            elif mode in ("NEAR", "ONEAR"):
+                # Proximity modes: the k column carries the slop. The
+                # docstore recheck is shard-local, so partial/sharded
+                # serving concatenates exactly like Boolean modes.
+                hits = self.reader.search_near(
+                    tokens, slop=int(k), ordered=(mode == "ONEAR"))
+                for r, d in enumerate(hits):
+                    qids.append(qid); docs.append(d); ranks.append(r); scores.append(0.0)
+                    modes.append(mode); ks.append(int(k))
             else:
                 for r, d in enumerate(self.reader.search(tokens, mode)):
                     qids.append(qid); docs.append(d); ranks.append(r); scores.append(0.0)

@@ -174,3 +174,35 @@ def test_near_ordered_three_terms_and_duplicates(near_built):
     t = pick_terms(docs, 1)[0]
     dup = reader.search_near([t, t], slop=5, ordered=True)
     assert dup == brute_near_ordered(docs, [t, t], 5)
+
+
+def test_querystage_near_modes(near_built):
+    import pyarrow as pa
+    import ray.data
+
+    from konlsearch_ray.query import QueryStage, sharded_query_pipeline
+
+    reader, docs, index_dir = near_built
+    terms = pick_terms(docs, 2)
+    qt = pa.table({
+        "qid": pa.array([1, 2], pa.int64()),
+        "tokens": pa.array([terms, terms], pa.list_(pa.string())),
+        "mode": pa.array(["NEAR", "ONEAR"]),
+        "k": pa.array([4, 4], pa.int64()),  # slop for proximity modes
+    })
+    got = (ray.data.from_arrow(qt)
+           .map_batches(QueryStage, fn_constructor_kwargs={
+               "index_dir": index_dir}, batch_format="pyarrow",
+               concurrency=1)
+           .to_pandas().sort_values(["qid", "rank"]))
+    near = reader.search_near(terms, slop=4)
+    onear = reader.search_near(terms, slop=4, ordered=True)
+    assert got[got["qid"] == 1]["doc_id"].tolist() == near
+    assert got[got["qid"] == 2]["doc_id"].tolist() == onear
+    # Sharded Dataset pipeline merges the shard-local partials to the
+    # same doc lists.
+    sharded = (sharded_query_pipeline(
+        index_dir, ray.data.from_arrow(qt), num_subsets=3)
+        .to_pandas().sort_values(["qid", "rank"]))
+    assert sharded[sharded["qid"] == 1]["doc_id"].tolist() == near
+    assert sharded[sharded["qid"] == 2]["doc_id"].tolist() == onear
