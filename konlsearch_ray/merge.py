@@ -191,6 +191,22 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
             off = max(0, next_free - s[0])
             offsets.append(off)
             next_free = s[-1] + off + 1
+        # Doc id 0 is clamped into shard 0 at build time ((0-1)//size
+        # floors to -1), so a SHIFTED id 0 would land one arithmetic
+        # shard below its rewritten directory and break point lookups.
+        # 1-based ids are the engine contract (reference id counter
+        # starts at 1); enforce it exactly where the shift corrupts.
+        for d, s, off in zip(index_dirs, shard_sets, offsets):
+            if off == 0:
+                continue
+            dl0 = os.path.join(d, "doclens", f"shard-{s[0]:06d}.parquet")
+            min_id = int(pc.min(
+                pq.read_table(dl0, columns=["doc_id"])["doc_id"]).as_py())
+            if min_id < 1:
+                raise ValueError(
+                    f"remap_ids would shift index {d} (min doc_id "
+                    f"{min_id}) — the id-0 clamp makes shifted 0-based "
+                    "ids unaddressable; re-key the corpus to 1-based ids")
     else:
         offsets = [0] * len(index_dirs)
         seen: set[int] = set()

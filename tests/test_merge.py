@@ -178,3 +178,14 @@ def test_shift_binary_firsts_property():
             got_gaps = varint_decode(out[i].as_py(), df)
             got_ids = np.cumsum(got_gaps.astype(np.int64))
             assert np.array_equal(got_ids, want_ids[i]), (trial, i)
+
+
+def test_remap_rejects_zero_based_ids(ray_session, tmp_path_factory):
+    """A shifted 0-based corpus would break the id-0 shard clamp; the
+    remap path must refuse it (the unshifted FIRST index is fine)."""
+    root = tmp_path_factory.mktemp("konl_merge_zero")
+    a = _split(root, 0, 200, "a")    # min doc_id 0
+    ia = str(root / "ia")
+    build_index(a, ia, _cfg())
+    with pytest.raises(ValueError, match="1-based"):
+        merge_indexes([ia, ia], str(root / "m"), remap_ids=True)
