@@ -948,6 +948,49 @@ def _restore_cfg_from_meta(index_dir: str, cfg: IndexConfig) -> bool:
     return True
 
 
+@ray.remote
+def _compact_shard_dir(d: str) -> int:
+    """Merge one docstore shard dir's block files into a single
+    doc_id-sorted file; returns the number of files replaced."""
+    files = [os.path.join(d, n) for n in sorted(os.listdir(d))
+             if n.endswith(".parquet")]
+    if len(files) <= 1:
+        return 0
+    t = pa.concat_tables(pq.read_table(f) for f in files).sort_by("doc_id")
+    out = os.path.join(d, "docs-00000.parquet")
+    # Small row groups: the file is doc_id-sorted, so point/multi/range
+    # filters prune to the few groups whose [min,max] intersect — the
+    # whole point of compacting is selective reads, not full scans.
+    tmp = out + ".tmp"
+    pq.write_table(t, tmp, compression="zstd", use_dictionary=False,
+                   row_group_size=1024)
+    os.replace(tmp, out)
+    for f in files:
+        if f != out:
+            os.remove(f)
+    return len(files)
+
+
+def _compact_docstore(docs_dir: str) -> None:
+    """One file per docstore shard. The fused block writers emit one
+    file per (input block × shard) — O(blocks × shards) tiny files when
+    canonical order is uncorrelated with input order — and every point/
+    multi/range read (and the proximity recheck) then pays thousands of
+    parquet footer opens per call (measured: 2.2 s of a 2.8 s NEAR query
+    on a 147k-doc index with ~7k block files). Compacting to one
+    doc_id-SORTED file per shard restores O(shards) opens and gives
+    range/isin filters real row-group pruning. Runs BEFORE the
+    _DOCS_DONE marker: a crash mid-compaction (merged file + stale
+    blocks would double rows) is cleaned by the resume rmtree."""
+    dirs = [os.path.join(docs_dir, n)
+            for n in (sorted(os.listdir(docs_dir))
+                      if os.path.isdir(docs_dir) else [])
+            if n.startswith("shard=")]
+    refs = [_compact_shard_dir.remote(d) for d in dirs]
+    if refs:
+        ray.get(refs)
+
+
 def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
     docs_dir = os.path.join(index_dir, "docs")
     marker = os.path.join(index_dir, "_DOCS_DONE")
@@ -982,6 +1025,7 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
             # overlapped light key wave, then a fused
             # filter+ids+partitioned-write task wave. No shuffle.
             sub = _driver_rank_docs(ds, cfg, docs_dir)
+            _compact_docstore(docs_dir)
             with open(marker, "w") as f:
                 f.write("ok")
             return sub
@@ -1042,6 +1086,7 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
         # so the temp dir is complete. One winner per duplicate sha joins
         # the docstore via the same shard-partitioned layout.
         _append_tie_winners(tie_tmp, docs_dir, cfg, cols, keep, add_shard)
+    _compact_docstore(docs_dir)
     with open(marker, "w") as f:
         f.write("ok")
     return {}

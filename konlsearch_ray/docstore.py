@@ -46,7 +46,8 @@ class DocStore:
                 out.append(os.path.join(self.docs_dir, name))
         return out
 
-    def _read(self, shards: set[int] | None, flt) -> pa.Table:
+    def _read(self, shards: set[int] | None, flt,
+              columns: list[str] | None = None) -> pa.Table:
         files = []
         for d in self._shard_dirs(shards):
             files.extend(
@@ -55,7 +56,7 @@ class DocStore:
         if not files:
             return pa.table({})
         dataset = pads.dataset(files, format="parquet")
-        t = dataset.to_table(filter=flt)
+        t = dataset.to_table(filter=flt, columns=columns)
         if len(self._dead):
             keep = ~np.isin(t["doc_id"].to_numpy(), self._dead)
             t = t.filter(pa.array(keep))
@@ -97,14 +98,18 @@ class DocStore:
         toks = self.get_ordered_tokens(doc_id, analyzer=analyzer)
         return set(toks) if toks is not None else None
 
-    def get_multi(self, doc_ids: list[int]) -> pa.Table:
+    def get_multi(self, doc_ids: list[int],
+                  columns: list[str] | None = None) -> pa.Table:
         """Multi-get (reference RocksDB multiget): rows for the IDs that
-        exist, ascending doc_id."""
+        exist, ascending doc_id. ``columns`` projects the read — only
+        the named columns leave storage (the proximity recheck fetches
+        just (doc_id, content))."""
         ids = sorted(set(int(x) for x in doc_ids))
         if not ids:
             return pa.table({})
         shards = {(i - 1) // self.shard_size for i in ids}
-        return self._read(shards, pads.field("doc_id").isin(ids))
+        return self._read(shards, pads.field("doc_id").isin(ids),
+                          columns=columns)
 
     def get_multi_status(self, doc_ids: list[int]) -> pa.Table:
         """Multi-get with per-id statuses (reference GetStatusCode,

@@ -38,6 +38,7 @@ from enum import Enum
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from konlsearch_ray.analyzer import normalize_query_tokens
@@ -632,24 +633,37 @@ class IndexReader:
             from konlsearch_ray.docstore import DocStore
 
             store = self._docstore = DocStore(self.index_dir)
-        tbl = store.get_multi(cand)
-        doc_ids = tbl["doc_id"].to_numpy()
         content_col = store.meta.get("content_col", "content")
+        tbl = store.get_multi(cand, columns=["doc_id", content_col])
+        doc_ids = tbl["doc_id"].to_numpy()
         contents = tbl[content_col]
+        # Occurrences come back INTEGER-CODED (Arrow dictionary_encode in
+        # C) and filter by an int isin against the few query-term codes —
+        # the object-dtype term filtering this replaces dominated NEAR
+        # latency at head-term candidate counts.
         if analyzer is None:
-            from konlsearch_ray.analyzer import analyze_strings
+            from konlsearch_ray.analyzer import analyze_strings_coded
 
-            occ = analyze_strings(contents)
-            doc_idx, terms, pos = occ["doc_idx"], occ["term"], occ["pos"]
+            doc_idx, codes, pos, dictionary = analyze_strings_coded(contents)
         else:
             streams = analyzer.tokenize_many(contents.to_pylist())
             lens = np.array([len(s) for s in streams], dtype=np.int64)
             doc_idx = np.repeat(np.arange(len(streams), dtype=np.int64), lens)
-            terms = np.array([t for s in streams for t in s], dtype=object)
+            denc = pa.array(
+                [t for s in streams for t in s], pa.string(),
+            ).dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            dictionary = denc.dictionary
             pos = (np.arange(lens.sum(), dtype=np.int64)
                    - np.repeat(np.cumsum(lens) - lens, lens))
-        keep = np.isin(terms, np.array(tset, dtype=object))
-        doc_idx, terms, pos = doc_idx[keep], terms[keep], pos[keep]
+        qcode_arr = pc.index_in(pa.array(tset, pa.string()),
+                                value_set=dictionary)
+        qcodes = {t: c for t, c in zip(tset, qcode_arr.to_pylist())}
+        if any(c is None for c in qcodes.values()):
+            return []  # some query term has no occurrence in candidates
+        keep = np.isin(codes, np.fromiter(qcodes.values(), dtype=np.int64))
+        doc_idx, codes, pos = doc_idx[keep], codes[keep], pos[keep]
         if not len(doc_idx):
             return []
         # Doc-scoped positions → one global coordinate so the whole
@@ -658,16 +672,17 @@ class IndexReader:
         stride = int(pos.max()) + slop + 2
         g = doc_idx * stride + pos.astype(np.int64)
         order = np.argsort(g, kind="stable")
-        g, doc_idx, terms = g[order], doc_idx[order], terms[order]
+        g, doc_idx, codes = g[order], doc_idx[order], codes[order]
         if ordered:
             # Greedy chain: from each first-term anchor, hop to the
             # earliest strictly-later occurrence of each next term.
             sentinel = np.iinfo(np.int64).max // 2  # "no next occurrence"
-            anchors = g[terms == seq[0]]
-            anchor_docs = doc_idx[terms == seq[0]]
+            first = codes == qcodes[seq[0]]
+            anchors = g[first]
+            anchor_docs = doc_idx[first]
             cur = anchors
             for t in seq[1:]:
-                pos_t = g[terms == t]
+                pos_t = g[codes == qcodes[t]]
                 idx = np.searchsorted(pos_t, cur, side="right")
                 nxt = np.append(pos_t, sentinel)
                 cur = nxt[np.minimum(idx, len(pos_t))]
@@ -676,7 +691,7 @@ class IndexReader:
             return [int(x) for x in doc_ids[hit_idx]]
         ok = np.ones(len(g), dtype=bool)
         for t in tset:
-            pos_t = g[terms == t]  # sorted (slice of a sorted array)
+            pos_t = g[codes == qcodes[t]]  # sorted (slice of sorted)
             lo = np.searchsorted(pos_t, g, side="left")
             hi = np.searchsorted(pos_t, g + slop, side="right")
             ok &= lo < hi
