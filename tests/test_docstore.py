@@ -92,3 +92,47 @@ def test_get_tokens_custom_analyzer(store):
     row = store.get(3)
     golden = an.tokenize_many([row[store.meta["content_col"]]])[0]
     assert store.get_ordered_tokens(3, analyzer=an) == golden
+
+
+def test_docstore_compacted_layout(store):
+    """Every shard dir holds exactly ONE doc_id-sorted parquet file after
+    build (the post-docs compaction wave), and compaction is idempotent +
+    content-preserving when a shard has been split into block files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from konlsearch_ray.build import _compact_docstore
+
+    ds, stats, idx = store
+    docs_dir = os.path.join(idx, "docs")
+    shard_dirs = [os.path.join(docs_dir, n) for n in os.listdir(docs_dir)
+                  if n.startswith("shard=")]
+    assert shard_dirs
+    for d in shard_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+        ids = pq.read_table(os.path.join(d, files[0]))["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+
+    # Split one compacted shard back into interleaved block files and
+    # re-compact: same rows, one sorted file again.
+    d = shard_dirs[0]
+    f0 = os.path.join(d, [f for f in os.listdir(d)
+                          if f.endswith(".parquet")][0])
+    t = pq.read_table(f0)
+    golden = t.sort_by("doc_id")
+    even = t.filter(pa.array([i % 2 == 0 for i in range(t.num_rows)]))
+    odd = t.filter(pa.array([i % 2 == 1 for i in range(t.num_rows)]))
+    os.remove(f0)
+    pq.write_table(even, os.path.join(d, "block-a.parquet"))
+    pq.write_table(odd, os.path.join(d, "block-b.parquet"))
+    _compact_docstore(docs_dir)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 1
+    merged = pq.read_table(os.path.join(d, files[0]))
+    assert merged.sort_by("doc_id").equals(golden)
+    # Idempotent: a second pass leaves the single file untouched.
+    _compact_docstore(docs_dir)
+    assert [f for f in os.listdir(d) if f.endswith(".parquet")] == files
