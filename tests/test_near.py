@@ -206,3 +206,31 @@ def test_querystage_near_modes(near_built):
         .to_pandas().sort_values(["qid", "rank"]))
     assert sharded[sharded["qid"] == 1]["doc_id"].tolist() == near
     assert sharded[sharded["qid"] == 2]["doc_id"].tolist() == onear
+
+
+def test_near_fanout_parity(near_built, monkeypatch):
+    """The driver-side Ray-task fan-out (large candidate sets) returns
+    exactly the inline path's results, for both unordered and ordered
+    variants and for slops at both extremes."""
+    import konlsearch_ray.query as qmod
+
+    import collections
+
+    reader, docs, _ = near_built
+    df = collections.Counter()
+    for content in docs.values():
+        df.update(set(tokenize(content)))
+    t1, t2, t3 = [t for t, _ in df.most_common(3)]
+    queries = [([t1, t2], 2, False), ([t1, t2], 6, True),
+               ([t3, t1, t2], 4, False)]
+    golden = [reader.search_near(t, slop=s, ordered=o)
+              for t, s, o in queries]
+    # Force fan-out: every candidate set passes the threshold and splits
+    # into multiple chunks.
+    monkeypatch.setattr(qmod, "NEAR_FANOUT_MIN_CANDIDATES", 1)
+    monkeypatch.setattr(qmod, "NEAR_FANOUT_CHUNK_MIN", 7)
+    fanned = [reader.search_near(t, slop=s, ordered=o)
+              for t, s, o in queries]
+    assert fanned == golden
+    # At least one query's AND candidate set truly splits into chunks.
+    assert any(len(reader.search(t, "AND")) > 7 for t, _, _ in queries)
