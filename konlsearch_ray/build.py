@@ -948,26 +948,54 @@ def _restore_cfg_from_meta(index_dir: str, cfg: IndexConfig) -> bool:
     return True
 
 
+# Per-merge-run heap bound for docstore compaction: a shard of huge
+# docs (shard_size × doc bytes) must never concat into one task's
+# memory whole; runs above the cap merge into multiple sorted files
+# (reads already handle several files per shard — the win is dropping
+# O(blocks) files to O(shard_bytes / cap), not reaching exactly one).
+COMPACT_RUN_MAX_BYTES = 512 << 20
+
+
 @ray.remote
-def _compact_shard_dir(d: str) -> int:
-    """Merge one docstore shard dir's block files into a single
-    doc_id-sorted file; returns the number of files replaced."""
+def _compact_shard_dir(d: str, max_bytes: int = COMPACT_RUN_MAX_BYTES) -> int:
+    """Merge one docstore shard dir's block files into few (usually one)
+    doc_id-sorted files; returns the number of files replaced."""
     files = [os.path.join(d, n) for n in sorted(os.listdir(d))
              if n.endswith(".parquet")]
     if len(files) <= 1:
         return 0
-    t = pa.concat_tables(pq.read_table(f) for f in files).sort_by("doc_id")
-    out = os.path.join(d, "docs-00000.parquet")
-    # Small row groups: the file is doc_id-sorted, so point/multi/range
-    # filters prune to the few groups whose [min,max] intersect — the
-    # whole point of compacting is selective reads, not full scans.
-    tmp = out + ".tmp"
-    pq.write_table(t, tmp, compression="zstd", use_dictionary=False,
-                   row_group_size=1024)
-    os.replace(tmp, out)
+    # Greedy size-bounded runs over the on-disk (compressed) sizes; the
+    # in-heap table is larger than compressed bytes, but the cap is a
+    # coarse guard, not an accountant.
+    runs: list[list[str]] = [[]]
+    run_bytes = 0
     for f in files:
-        if f != out:
-            os.remove(f)
+        sz = os.path.getsize(f)
+        if runs[-1] and run_bytes + sz > max_bytes:
+            runs.append([])
+            run_bytes = 0
+        runs[-1].append(f)
+        run_bytes += sz
+    if len(runs) == len(files):
+        return 0  # every file already at/above the cap — nothing to gain
+    tmps = []
+    for j, run in enumerate(runs):
+        t = pa.concat_tables(pq.read_table(f) for f in run)
+        t = t.sort_by("doc_id")
+        # Small row groups: files are doc_id-sorted, so point/multi/
+        # range filters prune to the few groups whose [min,max]
+        # intersect — the whole point of compacting is selective reads.
+        tmp = os.path.join(d, f"docs-{j:05d}.parquet.tmpnew")
+        pq.write_table(t, tmp, compression="zstd", use_dictionary=False,
+                       row_group_size=1024)
+        tmps.append(tmp)
+    # Inputs out, outputs in. Not atomic as a whole — a crash here
+    # leaves a mixed dir, which is fine: compaction runs strictly
+    # before the _DOCS_DONE marker, so resume rmtrees the docs dir.
+    for f in files:
+        os.remove(f)
+    for tmp in tmps:
+        os.replace(tmp, tmp[:-len(".tmpnew")])
     return len(files)
 
 

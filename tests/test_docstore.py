@@ -136,3 +136,41 @@ def test_docstore_compacted_layout(store):
     # Idempotent: a second pass leaves the single file untouched.
     _compact_docstore(docs_dir)
     assert [f for f in os.listdir(d) if f.endswith(".parquet")] == files
+
+
+def test_compaction_size_bounded_runs(store, tmp_path):
+    """A shard whose files exceed the per-run byte cap merges into
+    MULTIPLE sorted files (bounded heap per task), not one; when every
+    file is already at the cap, compaction is a no-op."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from konlsearch_ray.build import _compact_shard_dir
+
+    d = str(tmp_path / "shard=0")
+    os.makedirs(d)
+    t = pa.table({"doc_id": list(range(1, 91)),
+                  "content": [f"row {i}" for i in range(90)]})
+    for j, lo in enumerate((0, 30, 60)):
+        pq.write_table(t.slice(lo, 30), os.path.join(d, f"b{j}.parquet"))
+    sizes = [os.path.getsize(os.path.join(d, n)) for n in os.listdir(d)]
+
+    # Cap below any single file: every file is its own run -> no-op.
+    assert ray.get(_compact_shard_dir.remote(d, max_bytes=1)) == 0
+    assert sorted(os.listdir(d)) == ["b0.parquet", "b1.parquet",
+                                     "b2.parquet"]
+
+    # Cap fitting two files: 3 inputs -> 2 sorted run files, same rows.
+    assert ray.get(_compact_shard_dir.remote(
+        d, max_bytes=max(sizes) * 2 + 1)) == 3
+    out = sorted(n for n in os.listdir(d) if n.endswith(".parquet"))
+    assert out == ["docs-00000.parquet", "docs-00001.parquet"]
+    merged = pa.concat_tables(
+        pq.read_table(os.path.join(d, n)) for n in out)
+    assert merged.sort_by("doc_id").equals(t)
+    for n in out:
+        ids = pq.read_table(os.path.join(d, n))["doc_id"].to_pylist()
+        assert ids == sorted(ids)
