@@ -1009,7 +1009,10 @@ def _compact_docstore(docs_dir: str) -> None:
     doc_id-SORTED file per shard restores O(shards) opens and gives
     range/isin filters real row-group pruning. Runs BEFORE the
     _DOCS_DONE marker: a crash mid-compaction (merged file + stale
-    blocks would double rows) is cleaned by the resume rmtree."""
+    blocks would double rows) is cleaned by the resume rmtree. The
+    APPEND path deliberately does NOT compact: post-marker there is no
+    rmtree to clean a torn remove/rename window, and each append adds
+    only O(touched shards) small files, which reads tolerate."""
     dirs = [os.path.join(docs_dir, n)
             for n in (sorted(os.listdir(docs_dir))
                       if os.path.isdir(docs_dir) else [])

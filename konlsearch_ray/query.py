@@ -764,10 +764,14 @@ class IndexReader:
             chunk = max(NEAR_FANOUT_CHUNK_MIN,
                         -(-len(cand) // NEAR_FANOUT_MAX_TASKS))
             task = _near_chunk_remote()
+            # Workers resolve paths against their own cwd; a custom
+            # analyzer ships to the object store ONCE, not per task.
+            index_dir = os.path.abspath(self.index_dir)
+            an = _ray.put(analyzer) if analyzer is not None else None
             refs = [
                 task.remote(
-                    self.index_dir, cand[i:i + chunk], seq, tset, slop,
-                    ordered, analyzer)
+                    index_dir, cand[i:i + chunk], seq, tset, slop,
+                    ordered, an)
                 for i in range(0, len(cand), chunk)]
             return [d for part in _ray.get(refs) for d in part]
         store = getattr(self, "_docstore", None)

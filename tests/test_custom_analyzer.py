@@ -125,3 +125,46 @@ def test_mecab_adapter_import_error_without_libs():
 
     with pytest.raises(ImportError, match="KoreanLexiconAnalyzer"):
         MecabMorphemeAnalyzer()
+
+
+def test_search_near_custom_analyzer_fanout(ray_session, tmp_path,
+                                            monkeypatch):
+    """search_near with a custom analyzer: the fan-out path ships the
+    analyzer to the object store once and matches the inline path."""
+    import pyarrow.parquet as pq
+
+    import konlsearch_ray.query as qmod
+
+    docs = pa.table({
+        "repo": pa.array(["r"] * 6),
+        "path": pa.array([f"p{i}" for i in range(6)]),
+        "commit": pa.array(["c" * 40] * 6),
+        "lang": pa.array(["python"] * 6),
+        "content": pa.array([
+            "마법소녀 alpha beta",          # 마법..소녀 adjacent (compound)
+            "마법 x y z 소녀",              # span 4
+            "마법 close 소녀 tail",         # span 2
+            "소녀 first then 마법",         # reversed, span 3
+            "마법 only here",
+            "소녀 only here",
+        ], pa.large_string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    idx = str(tmp_path / "i")
+    build_index(src, idx, IndexConfig(
+        shard_size=2, analyzer_factory=_analyzer_factory))
+    r = IndexReader(idx)
+    an = _analyzer_factory()
+    golden2 = r.search_near(["마법", "소녀"], slop=2, analyzer=an)
+    golden4 = r.search_near(["마법", "소녀"], slop=4, analyzer=an)
+    ordered = r.search_near(["마법", "소녀"], slop=3, analyzer=an,
+                            ordered=True)
+    assert golden2 == [1, 3] and golden4 == [1, 2, 3, 4]
+    assert ordered == [1, 3]
+    monkeypatch.setattr(qmod, "NEAR_FANOUT_MIN_CANDIDATES", 1)
+    monkeypatch.setattr(qmod, "NEAR_FANOUT_CHUNK_MIN", 2)
+    assert r.search_near(["마법", "소녀"], slop=2, analyzer=an) == golden2
+    assert r.search_near(["마법", "소녀"], slop=4, analyzer=an) == golden4
+    assert r.search_near(["마법", "소녀"], slop=3, analyzer=an,
+                         ordered=True) == ordered
