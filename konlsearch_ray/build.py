@@ -956,10 +956,51 @@ def _restore_cfg_from_meta(index_dir: str, cfg: IndexConfig) -> bool:
 COMPACT_RUN_MAX_BYTES = 512 << 20
 
 
+_COMPACT_SWAP = "_COMPACT_SWAP.json"
+
+
+def _compact_recover(d: str) -> None:
+    """Make a shard dir consistent after a torn compaction attempt.
+
+    Ray RETRIES a compaction task whose worker died (OOM mid-concat is
+    the realistic case), so the task must be idempotent: without
+    recovery, a retry that lands after remove-inputs/before
+    rename-outputs would see no ``.parquet`` files, 'succeed', and the
+    shard's rows would be silently gone even though the resume rmtree
+    never ran (the build as a whole did not crash). Protocol: outputs
+    are fully written under unique names as ``.tmpnew`` first, then a
+    swap marker records (condemned inputs, output names), then inputs
+    are removed and outputs renamed, then the marker is removed. Every
+    step re-runs safely: marker present → the outputs are complete, so
+    finish the swap; no marker → discard stray ``.tmpnew`` (inputs are
+    still intact). Output names never collide with input names (uuid
+    component), so recovery cannot delete a renamed output."""
+    swap = os.path.join(d, _COMPACT_SWAP)
+    if os.path.exists(swap):
+        with open(swap) as f:
+            plan = json.load(f)
+        for name in plan["condemned"]:
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                os.remove(p)
+        for name in plan["outputs"]:
+            tmp = os.path.join(d, name + ".tmpnew")
+            if os.path.exists(tmp):
+                os.replace(tmp, os.path.join(d, name))
+        os.remove(swap)
+    for n in os.listdir(d):
+        if n.endswith(".tmpnew") or n == _COMPACT_SWAP + ".tmp":
+            os.remove(os.path.join(d, n))
+
+
 @ray.remote
 def _compact_shard_dir(d: str, max_bytes: int = COMPACT_RUN_MAX_BYTES) -> int:
     """Merge one docstore shard dir's block files into few (usually one)
-    doc_id-sorted files; returns the number of files replaced."""
+    doc_id-sorted files; returns the number of files replaced.
+    Idempotent under task retry (see ``_compact_recover``)."""
+    import uuid as _uuid
+
+    _compact_recover(d)
     files = [os.path.join(d, n) for n in sorted(os.listdir(d))
              if n.endswith(".parquet")]
     if len(files) <= 1:
@@ -978,24 +1019,31 @@ def _compact_shard_dir(d: str, max_bytes: int = COMPACT_RUN_MAX_BYTES) -> int:
         run_bytes += sz
     if len(runs) == len(files):
         return 0  # every file already at/above the cap — nothing to gain
-    tmps = []
+    attempt = _uuid.uuid4().hex[:8]
+    outputs = []
     for j, run in enumerate(runs):
         t = pa.concat_tables(pq.read_table(f) for f in run)
         t = t.sort_by("doc_id")
         # Small row groups: files are doc_id-sorted, so point/multi/
         # range filters prune to the few groups whose [min,max]
         # intersect — the whole point of compacting is selective reads.
-        tmp = os.path.join(d, f"docs-{j:05d}.parquet.tmpnew")
-        pq.write_table(t, tmp, compression="zstd", use_dictionary=False,
+        out = f"docs-{attempt}-{j:05d}.parquet"
+        pq.write_table(t, os.path.join(d, out + ".tmpnew"),
+                       compression="zstd", use_dictionary=False,
                        row_group_size=1024)
-        tmps.append(tmp)
-    # Inputs out, outputs in. Not atomic as a whole — a crash here
-    # leaves a mixed dir, which is fine: compaction runs strictly
-    # before the _DOCS_DONE marker, so resume rmtrees the docs dir.
+        outputs.append(out)
+    swap = os.path.join(d, _COMPACT_SWAP)
+    with open(swap + ".tmp", "w") as f:
+        json.dump({"condemned": [os.path.basename(p) for p in files],
+                   "outputs": outputs}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(swap + ".tmp", swap)
     for f in files:
         os.remove(f)
-    for tmp in tmps:
-        os.replace(tmp, tmp[:-len(".tmpnew")])
+    for out in outputs:
+        os.replace(os.path.join(d, out + ".tmpnew"), os.path.join(d, out))
+    os.remove(swap)
     return len(files)
 
 

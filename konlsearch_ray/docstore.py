@@ -26,15 +26,25 @@ import pyarrow.parquet as pq
 
 
 class DocStore:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, *, _meta: dict | None = None,
+                 _dead: np.ndarray | None = None):
+        """``_meta`` / ``_dead`` inject pre-loaded state (the NEAR
+        fan-out ships them from the driver so each task skips the
+        index_meta.json read and the tombstone load)."""
         self.index_dir = index_dir
         self.docs_dir = os.path.join(index_dir, "docs")
-        with open(os.path.join(index_dir, "index_meta.json")) as f:
-            self.meta = json.load(f)
+        if _meta is not None:
+            self.meta = _meta
+        else:
+            with open(os.path.join(index_dir, "index_meta.json")) as f:
+                self.meta = json.load(f)
         self.shard_size = int(self.meta["shard_size"])
-        from konlsearch_ray.tombstone import load_tombstones
+        if _dead is not None:
+            self._dead = _dead
+        else:
+            from konlsearch_ray.tombstone import load_tombstones
 
-        self._dead = load_tombstones(index_dir)
+            self._dead = load_tombstones(index_dir)
         self._n_dead_live: int | None = None  # memoized live-dead count
 
     def _shard_dirs(self, shards: set[int] | None) -> list[str]:

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
 from enum import Enum
 
 import numpy as np
@@ -180,12 +181,19 @@ def _near_recheck(doc_ids: np.ndarray, contents, seq: list[str],
 
 def _near_recheck_chunk(index_dir: str, cand: list[int], seq: list[str],
                         tset: list[str], slop: int, ordered: bool,
-                        analyzer) -> list[int]:
+                        analyzer, store=None, meta=None,
+                        dead=None) -> list[int]:
     """One fan-out unit of the NEAR recheck: shard-pruned column-pruned
-    multi-get of this chunk's candidates, then the pure recheck."""
-    from konlsearch_ray.docstore import DocStore
+    multi-get of this chunk's candidates, then the pure recheck. The
+    inline path calls it too (with its cached ``store``) so the fetch
+    contract lives in exactly one place; fan-out tasks get the small
+    ``meta`` dict and the tombstone array shipped from the driver
+    (``dead`` rides an ObjectRef put once per reader) instead of
+    re-reading both from disk per task."""
+    if store is None:
+        from konlsearch_ray.docstore import DocStore
 
-    store = DocStore(index_dir)
+        store = DocStore(index_dir, _meta=meta, _dead=dead)
     content_col = store.meta.get("content_col", "content")
     tbl = store.get_multi(cand, columns=["doc_id", content_col])
     return _near_recheck(tbl["doc_id"].to_numpy(), tbl[content_col],
@@ -746,43 +754,76 @@ class IndexReader:
         cand = self.search(tset, SearchMode.AND)
         if not cand:
             return []
-        import ray as _ray
-
+        # ray stays a LAZY dependency of this module: only consult it if
+        # something else already imported it (never initialized == never
+        # imported == inline), so ray-free installs and small queries
+        # pay nothing.
+        _ray = sys.modules.get("ray")
         if (len(cand) >= NEAR_FANOUT_MIN_CANDIDATES
-                and _ray.is_initialized()
+                and _ray is not None and _ray.is_initialized()
                 and _ray.get_runtime_context().get_task_id() is None
                 and _ray.get_runtime_context().get_actor_id() is None):
-            # Big candidate set on the DRIVER: the recheck is
-            # embarrassingly parallel over docs, so fan it out as Ray
-            # tasks over contiguous id chunks (cand is ascending, so
-            # each task's shard-pruned multi-get touches few shard
-            # files and the concatenated results stay sorted). Workers
-            # keep the inline path — a nested-task wave launched from a
-            # saturated actor pool (QueryStage / ShardedQueryEngine,
-            # whose shards already parallelize the recheck) would
-            # deadlock waiting for CPUs its parents hold.
-            chunk = max(NEAR_FANOUT_CHUNK_MIN,
-                        -(-len(cand) // NEAR_FANOUT_MAX_TASKS))
-            task = _near_chunk_remote()
-            # Workers resolve paths against their own cwd; a custom
-            # analyzer ships to the object store ONCE, not per task.
-            index_dir = os.path.abspath(self.index_dir)
-            an = _ray.put(analyzer) if analyzer is not None else None
-            refs = [
-                task.remote(
-                    index_dir, cand[i:i + chunk], seq, tset, slop,
-                    ordered, an)
-                for i in range(0, len(cand), chunk)]
-            return [d for part in _ray.get(refs) for d in part]
+            hits = self._near_fanout(_ray, cand, seq, tset, slop, ordered,
+                                     analyzer)
+            if hits is not None:
+                return hits
         store = getattr(self, "_docstore", None)
         if store is None:
             from konlsearch_ray.docstore import DocStore
 
             store = self._docstore = DocStore(self.index_dir)
-        content_col = store.meta.get("content_col", "content")
-        tbl = store.get_multi(cand, columns=["doc_id", content_col])
-        return _near_recheck(tbl["doc_id"].to_numpy(), tbl[content_col],
-                             seq, tset, slop, ordered, analyzer)
+        return _near_recheck_chunk(self.index_dir, cand, seq, tset, slop,
+                                   ordered, analyzer, store=store)
+
+    def _near_fanout(self, _ray, cand, seq, tset, slop, ordered,
+                     analyzer) -> list[int] | None:
+        """Fan the NEAR recheck out as Ray tasks over contiguous
+        candidate-id chunks (cand is ascending, so each task's
+        shard-pruned multi-get touches few shard files and the
+        concatenated results stay sorted). Driver-only — a nested-task
+        wave launched from a saturated actor pool (QueryStage /
+        ShardedQueryEngine, whose shards already parallelize the
+        recheck) would deadlock waiting for CPUs its parents hold.
+        Assumes ``index_dir`` is on storage the workers can read — the
+        same contract every actor-pool serving path already has.
+        Returns None when the analyzer won't serialize (C-extension
+        backends like mecab/Kiwi): the caller falls back inline."""
+        store = getattr(self, "_docstore", None)
+        if store is None:
+            from konlsearch_ray.docstore import DocStore
+
+            store = self._docstore = DocStore(self.index_dir)
+        an = None
+        if analyzer is not None:
+            # Ship the analyzer to the object store ONCE per reader (a
+            # lexicon analyzer can carry MBs of state), re-shipping only
+            # if the caller passes a different instance.
+            if getattr(self, "_near_an_src", None) is not analyzer:
+                try:
+                    ref = _ray.put(analyzer)
+                except Exception:
+                    ref = None
+                self._near_an_src = analyzer
+                self._near_an_ref = ref
+            an = self._near_an_ref
+            if an is None:
+                return None
+        if getattr(self, "_near_dead_ref", None) is None:
+            # Tombstones ride one ObjectRef per reader — NOT re-read
+            # from disk by each task. Staleness matches the reader's
+            # own cached docstore.
+            self._near_dead_ref = _ray.put(store._dead)
+        chunk = max(NEAR_FANOUT_CHUNK_MIN,
+                    -(-len(cand) // NEAR_FANOUT_MAX_TASKS))
+        task = _near_chunk_remote()
+        # Workers resolve relative paths against their own cwd.
+        index_dir = os.path.abspath(self.index_dir)
+        refs = [
+            task.remote(index_dir, cand[i:i + chunk], seq, tset, slop,
+                        ordered, an, None, store.meta,
+                        self._near_dead_ref)
+            for i in range(0, len(cand), chunk)]
+        return [d for part in _ray.get(refs) for d in part]
 
     def search_complex(self, tree) -> list[int]:
         """tree = (left, right, 'AND'|'OR'); leaves are (tokens, mode)."""

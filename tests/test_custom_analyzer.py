@@ -168,3 +168,47 @@ def test_search_near_custom_analyzer_fanout(ray_session, tmp_path,
     assert r.search_near(["마법", "소녀"], slop=4, analyzer=an) == golden4
     assert r.search_near(["마법", "소녀"], slop=3, analyzer=an,
                          ordered=True) == ordered
+
+
+def test_search_near_unserializable_analyzer_falls_back_inline(
+        ray_session, tmp_path, monkeypatch):
+    """An analyzer holding a C-extension-like unpicklable resource (the
+    mecab/Kiwi shape) cannot ship to fan-out tasks: search_near must
+    fall back to the inline recheck, not crash."""
+    import threading
+
+    import pyarrow.parquet as pq
+
+    import konlsearch_ray.query as qmod
+
+    class LockedAnalyzer:
+        """Greedy lexicon analyzer with an unpicklable member."""
+
+        def __init__(self):
+            self._lock = threading.Lock()  # cloudpickle refuses locks
+            self._inner = _analyzer_factory()
+
+        def tokenize_many(self, texts):
+            with self._lock:
+                return self._inner.tokenize_many(texts)
+
+    docs = pa.table({
+        "repo": pa.array(["r"] * 3),
+        "path": pa.array([f"p{i}" for i in range(3)]),
+        "commit": pa.array(["c" * 40] * 3),
+        "lang": pa.array(["python"] * 3),
+        "content": pa.array(["마법 x 소녀", "마법 far far far far 소녀",
+                             "소녀 마법"], pa.large_string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    idx = str(tmp_path / "i")
+    build_index(src, idx, IndexConfig(
+        shard_size=2, analyzer_factory=_analyzer_factory))
+    r = IndexReader(idx)
+    an = LockedAnalyzer()
+    monkeypatch.setattr(qmod, "NEAR_FANOUT_MIN_CANDIDATES", 1)
+    assert r.search_near(["마법", "소녀"], slop=2, analyzer=an) == [1, 3]
+    # The failed put is cached: the second query reuses the verdict
+    # (slop=1 keeps only the adjacent pair in doc 3).
+    assert r.search_near(["마법", "소녀"], slop=1, analyzer=an) == [3]

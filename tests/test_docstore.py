@@ -167,10 +167,80 @@ def test_compaction_size_bounded_runs(store, tmp_path):
     assert ray.get(_compact_shard_dir.remote(
         d, max_bytes=max(sizes) * 2 + 1)) == 3
     out = sorted(n for n in os.listdir(d) if n.endswith(".parquet"))
-    assert out == ["docs-00000.parquet", "docs-00001.parquet"]
+    assert len(out) == 2 and all(n.startswith("docs-") for n in out)
     merged = pa.concat_tables(
         pq.read_table(os.path.join(d, n)) for n in out)
     assert merged.sort_by("doc_id").equals(t)
     for n in out:
         ids = pq.read_table(os.path.join(d, n))["doc_id"].to_pylist()
         assert ids == sorted(ids)
+
+
+def test_compaction_retry_idempotent(store, tmp_path):
+    """A retried compaction task must not lose rows, whatever point the
+    previous attempt died at (Ray retries worker-crashed tasks):
+    before the swap marker -> stray .tmpnew discarded, inputs intact;
+    after the marker -> recovery finishes the swap from the outputs."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from konlsearch_ray.build import _COMPACT_SWAP, _compact_shard_dir
+
+    t = pa.table({"doc_id": list(range(1, 41)),
+                  "content": [f"row {i}" for i in range(40)]})
+
+    def fresh(name):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        pq.write_table(t.slice(0, 20), os.path.join(d, "b0.parquet"))
+        pq.write_table(t.slice(20, 20), os.path.join(d, "b1.parquet"))
+        return d
+
+    def rows(d):
+        return pa.concat_tables(
+            pq.read_table(os.path.join(d, n)) for n in sorted(os.listdir(d))
+            if n.endswith(".parquet")).sort_by("doc_id")
+
+    # Crash BEFORE the marker: a half-written output is discarded and
+    # the retry recompacts from the intact inputs.
+    d = fresh("s0")
+    pq.write_table(t.slice(0, 5),
+                   os.path.join(d, "docs-dead-00000.parquet.tmpnew"))
+    assert ray.get(_compact_shard_dir.remote(d)) == 2
+    assert rows(d).equals(t)
+    assert not any(n.endswith(".tmpnew") for n in os.listdir(d))
+
+    # Crash AFTER the marker, inputs partially removed, outputs not yet
+    # renamed: the retry must finish the swap — the old code's retry
+    # would have seen one .parquet file and "succeeded" with half the
+    # rows gone.
+    d = fresh("s1")
+    pq.write_table(t.sort_by("doc_id"),
+                   os.path.join(d, "docs-cafe-00000.parquet.tmpnew"))
+    with open(os.path.join(d, _COMPACT_SWAP), "w") as f:
+        json.dump({"condemned": ["b0.parquet", "b1.parquet"],
+                   "outputs": ["docs-cafe-00000.parquet"]}, f)
+    os.remove(os.path.join(d, "b0.parquet"))  # torn input removal
+    assert ray.get(_compact_shard_dir.remote(d)) == 0  # recovered, 1 file
+    assert rows(d).equals(t)
+    assert sorted(os.listdir(d)) == ["docs-cafe-00000.parquet"]
+
+    # Crash AFTER some renames: condemned inputs still present must go,
+    # already-renamed outputs must survive recovery (unique names).
+    d = fresh("s2")
+    pq.write_table(t.slice(0, 20).sort_by("doc_id"),
+                   os.path.join(d, "docs-beef-00000.parquet"))  # renamed
+    pq.write_table(t.slice(20, 20).sort_by("doc_id"),
+                   os.path.join(d, "docs-beef-00001.parquet.tmpnew"))
+    with open(os.path.join(d, _COMPACT_SWAP), "w") as f:
+        json.dump({"condemned": ["b0.parquet", "b1.parquet"],
+                   "outputs": ["docs-beef-00000.parquet",
+                               "docs-beef-00001.parquet"]}, f)
+    ray.get(_compact_shard_dir.remote(d))
+    assert rows(d).equals(t)
+    assert not os.path.exists(os.path.join(d, "b0.parquet"))
+    assert not os.path.exists(os.path.join(d, "b1.parquet"))
