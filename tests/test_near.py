@@ -234,3 +234,33 @@ def test_near_fanout_parity(near_built, monkeypatch):
     assert fanned == golden
     # At least one query's AND candidate set truly splits into chunks.
     assert any(len(reader.search(t, "AND")) > 7 for t, _, _ in queries)
+
+
+def test_near_fanout_respects_tombstones(ray_session, tmp_path,
+                                         monkeypatch):
+    """Deleted docs must not resurface through the fan-out path (the
+    driver ships its tombstone array to the chunk tasks by ObjectRef)."""
+    import konlsearch_ray.query as qmod
+    from konlsearch_ray.tombstone import delete_docs
+
+    corpus_dir = write_corpus(str(tmp_path / "c"), 120, seed=11)
+    idx = str(tmp_path / "i")
+    build_index(corpus_dir, idx, IndexConfig(shard_size=32))
+    reader = IndexReader(idx)
+    docs = dict(zip(*[DocStore(idx).get_all()[c].to_pylist()
+                      for c in ("doc_id", "content")]))
+    import collections
+
+    df = collections.Counter()
+    for content in docs.values():
+        df.update(set(tokenize(content)))
+    t1, t2 = [t for t, _ in df.most_common(2)]
+    baseline = reader.search_near([t1, t2], slop=4)
+    assert len(baseline) >= 2
+    victims = baseline[:2]
+    delete_docs(idx, victims)
+    fresh = IndexReader(idx)  # reader + docstore reload the tombstones
+    monkeypatch.setattr(qmod, "NEAR_FANOUT_MIN_CANDIDATES", 1)
+    monkeypatch.setattr(qmod, "NEAR_FANOUT_CHUNK_MIN", 8)
+    got = fresh.search_near([t1, t2], slop=4)
+    assert got == [d for d in baseline if d not in victims]
