@@ -5,8 +5,9 @@ end)`` (half-open) and ``get_all`` over its RocksDB docstore (reference
 index.py:364-408). Here the docstore is the shard-partitioned Parquet
 written by the build (``docs/shard=K/``); reads prune at two levels:
 
-1. **shard pruning** — ``shard = (doc_id - 1) // shard_size`` maps an ID
-   set/range to the shard directories that can contain it;
+1. **shard pruning** — ``shard = trunc((doc_id - 1) / shard_size)``
+   (toward-zero, matching the build-side Arrow ``pc.divide``) maps an
+   ID set/range to the shard directories that can contain it;
 2. **row-group pruning** — the residual ``doc_id`` filter is pushed into
    the Parquet read (``pyarrow.parquet`` predicate pushdown).
 
@@ -72,11 +73,21 @@ class DocStore:
             t = t.filter(pa.array(keep))
         return t.sort_by("doc_id")
 
+    def _shard_of(self, doc_id: int) -> int:
+        """Shard of one id, with TRUNCATING (toward-zero) division —
+        the id_col build path partitions with Arrow ``pc.divide``
+        (build.py add_shard), which truncates, so doc_id 0 lives in
+        ``shard=0``; Python floor division would look in shard -1 and
+        silently miss a live document."""
+        n = int(doc_id) - 1
+        q = abs(n) // self.shard_size
+        return q if n >= 0 else -q
+
     def get(self, doc_id: int) -> dict | None:
         """Point lookup; None when absent or deleted (reference raises
         KeyError — callers can translate)."""
-        shard = (int(doc_id) - 1) // self.shard_size
-        t = self._read({shard}, pads.field("doc_id") == int(doc_id))
+        t = self._read({self._shard_of(doc_id)},
+                       pads.field("doc_id") == int(doc_id))
         if t.num_rows == 0:
             return None
         return {c: t[c][0].as_py() for c in t.schema.names}
@@ -117,7 +128,7 @@ class DocStore:
         ids = sorted(set(int(x) for x in doc_ids))
         if not ids:
             return pa.table({})
-        shards = {(i - 1) // self.shard_size for i in ids}
+        shards = {self._shard_of(i) for i in ids}
         return self._read(shards, pads.field("doc_id").isin(ids),
                           columns=columns)
 
@@ -131,7 +142,8 @@ class DocStore:
         if not ids:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "status": pa.array([], pa.string())})
-        found_t = self.get_multi(ids)
+        found_t = self.get_multi(ids, columns=["doc_id"])  # ids only —
+        # statuses never need the payload columns decompressed
         found = (set(found_t["doc_id"].to_pylist())
                  if found_t.num_rows else set())
         return pa.table({
@@ -145,8 +157,8 @@ class DocStore:
         """Half-open ``[start, end)`` (reference index.py:387-395)."""
         if end <= start:
             return pa.table({})
-        shards = set(range((start - 1) // self.shard_size,
-                           (end - 2) // self.shard_size + 1))
+        shards = set(range(self._shard_of(start),
+                           self._shard_of(end - 1) + 1))
         return self._read(
             shards,
             (pads.field("doc_id") >= int(start))

@@ -172,7 +172,7 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         raise ValueError(f"output {out_dir} already holds an index")
     metas = [_load_meta(d) for d in index_dirs]
     for key in ("shard_size", "id_col", "content_col", "store_cols",
-                "version"):
+                "version", "dedup", "sort_keys"):
         vals = {json.dumps(m.get(key)) for m in metas}
         if len(vals) != 1:
             raise ValueError(
@@ -199,10 +199,18 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         for d, s, off in zip(index_dirs, shard_sets, offsets):
             if off == 0:
                 continue
-            dl0 = os.path.join(d, "doclens", f"shard-{s[0]:06d}.parquet")
-            min_id = int(pc.min(
-                pq.read_table(dl0, columns=["doc_id"])["doc_id"]).as_py())
-            if min_id < 1:
+            # The lowest shard can be EMPTY (compaction after deleting
+            # every doc in it leaves a 0-row file): scan forward to the
+            # first shard that has rows; an all-empty index needs no
+            # guard (nothing shifts into an unaddressable id).
+            min_id = None
+            for num in s:
+                dl = os.path.join(d, "doclens", f"shard-{num:06d}.parquet")
+                col = pq.read_table(dl, columns=["doc_id"])["doc_id"]
+                if len(col):
+                    min_id = int(pc.min(col).as_py())
+                    break
+            if min_id is not None and min_id < 1:
                 raise ValueError(
                     f"remap_ids would shift index {d} (min doc_id "
                     f"{min_id}) — the id-0 clamp makes shifted 0-based "

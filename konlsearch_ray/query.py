@@ -126,17 +126,10 @@ def _near_recheck(doc_ids: np.ndarray, contents, seq: list[str],
 
         doc_idx, codes, pos, dictionary = analyze_strings_coded(contents)
     else:
-        streams = analyzer.tokenize_many(contents.to_pylist())
-        lens = np.array([len(s) for s in streams], dtype=np.int64)
-        doc_idx = np.repeat(np.arange(len(streams), dtype=np.int64), lens)
-        denc = pa.array(
-            [t for s in streams for t in s], pa.string(),
-        ).dictionary_encode()
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        dictionary = denc.dictionary
-        pos = (np.arange(lens.sum(), dtype=np.int64)
-               - np.repeat(np.cumsum(lens) - lens, lens))
+        from konlsearch_ray.analyzer import _coded_from_token_lists
+
+        doc_idx, codes, pos, dictionary = _coded_from_token_lists(
+            analyzer.tokenize_many(contents.to_pylist()))
     qcode_arr = pc.index_in(pa.array(tset, pa.string()),
                             value_set=dictionary)
     qcodes = {t: c for t, c in zip(tset, qcode_arr.to_pylist())}
@@ -1132,20 +1125,8 @@ def sharded_query_pipeline(
     import ray as _ray
     import ray.data  # noqa: F401
 
-    from konlsearch_ray.tombstone import load_tombstones
-
-    if len(load_tombstones(index_dir)):
-        # dictionary/ df is physical (pre-delete); subset readers cannot
-        # recompute live df for terms outside their subset.
-        raise ValueError(
-            "sharded_query_pipeline requires a compacted index — run "
-            "konlsearch_ray.tombstone.compact_index() first")
-    seg_dir = os.path.join(index_dir, "segments")
-    shard_ids = sorted(
-        int(n[len("shard-"):-len(".parquet")])
-        for n in os.listdir(seg_dir) if n.endswith(".parquet"))
-    num_subsets = max(1, min(num_subsets, len(shard_ids)))
-    groups = [shard_ids[i::num_subsets] for i in range(num_subsets)]
+    groups = _sharded_groups(index_dir, num_subsets,
+                             "sharded_query_pipeline")
 
     parts = [
         queries.map_batches(
@@ -1153,7 +1134,7 @@ def sharded_query_pipeline(
             fn_constructor_kwargs={"index_dir": index_dir, "shards": g,
                                    "partial": True},
             batch_format="pyarrow", concurrency=concurrency_per_subset)
-        for g in groups if g
+        for g in groups
     ]
     u = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
@@ -1215,6 +1196,27 @@ def sharded_query_pipeline(
                         batch_format="pandas"))
 
 
+def _sharded_groups(index_dir: str, k: int, caller: str) -> list[list[int]]:
+    """Validated round-robin shard groups for the sharded serving paths
+    (``sharded_query_pipeline`` and ``ShardedQueryEngine`` share this so
+    the compaction precondition and shard naming live in one place).
+    Requires a compacted index: dictionary/ df is physical (pre-delete)
+    and a subset reader cannot recompute live df for terms outside its
+    subset, so scores would drift from the whole-index reader."""
+    from konlsearch_ray.tombstone import load_tombstones
+
+    if len(load_tombstones(index_dir)):
+        raise ValueError(
+            f"{caller} requires a compacted index — run "
+            "konlsearch_ray.tombstone.compact_index() first")
+    seg_dir = os.path.join(index_dir, "segments")
+    shard_ids = sorted(
+        int(n[len("shard-"):-len(".parquet")])
+        for n in os.listdir(seg_dir) if n.endswith(".parquet"))
+    k = max(1, min(k, len(shard_ids)))
+    return [g for g in (shard_ids[i::k] for i in range(k)) if g]
+
+
 class ShardQueryActor:
     """One scatter-gather worker: serves queries over its shard subset.
 
@@ -1225,9 +1227,15 @@ class ShardQueryActor:
     """
 
     def __init__(self, index_dir: str, shards: list[int]):
+        from konlsearch_ray.docstore import DocStore
+
         self.index_dir = index_dir
         self.shard_set = set(shards)
         self.reader = IndexReader(index_dir, shards=shards, use_global_df=True)
+        # Long-lived serving state loads ONCE per actor: the filtered-
+        # BM25 path was rebuilding a DocStore (meta read + tombstone
+        # load) on every query.
+        self._docstore = DocStore(index_dir)
 
     def search(self, tokens, mode):
         return self.reader.search(tokens, mode)
@@ -1254,10 +1262,7 @@ class ShardQueryActor:
         """Filtered BM25 over this actor's shard subset: the metadata
         scan resolves ``flt`` against its OWN docstore shards only, so
         the allowed-id work parallelizes with the shards."""
-        from konlsearch_ray.docstore import DocStore
-
-        allowed = DocStore(self.index_dir).ids_matching(
-            flt, shards=self.shard_set)
+        allowed = self._docstore.ids_matching(flt, shards=self.shard_set)
         return self.reader.bm25_topk(tokens, k, allowed=allowed)
 
 
@@ -1277,24 +1282,10 @@ class ShardedQueryEngine:
     def __init__(self, index_dir: str, num_actors: int = 4):
         import ray as _ray
 
-        from konlsearch_ray.tombstone import load_tombstones
-
-        if len(load_tombstones(index_dir)):
-            # dictionary/ df is physical (pre-delete); a sharded reader
-            # can't recompute live df for terms outside its subset, so
-            # scores would drift from the whole-index reader.
-            raise ValueError(
-                "ShardedQueryEngine requires a compacted index — run "
-                "konlsearch_ray.tombstone.compact_index() first")
-        seg_dir = os.path.join(index_dir, "segments")
-        shard_ids = sorted(
-            int(n[len("shard-"):-len(".parquet")])
-            for n in os.listdir(seg_dir) if n.endswith(".parquet"))
-        num_actors = max(1, min(num_actors, len(shard_ids)))
-        groups = [shard_ids[i::num_actors] for i in range(num_actors)]
+        groups = _sharded_groups(index_dir, num_actors,
+                                 "ShardedQueryEngine")
         cls = _ray.remote(ShardQueryActor)
-        self._actors = [
-            cls.remote(index_dir, g) for g in groups if g]
+        self._actors = [cls.remote(index_dir, g) for g in groups]
 
     def search(self, tokens, mode="AND"):
         import ray as _ray

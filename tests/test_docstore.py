@@ -244,3 +244,31 @@ def test_compaction_retry_idempotent(store, tmp_path):
     assert rows(d).equals(t)
     assert not os.path.exists(os.path.join(d, "b0.parquet"))
     assert not os.path.exists(os.path.join(d, "b1.parquet"))
+
+
+def test_doc_id_zero_addressable(ray_session, tmp_path):
+    """id_col mode can carry doc_id 0; the build partitions it with
+    Arrow's TRUNCATING divide into shard=0, so the reader's shard
+    arithmetic must truncate too — floor division would probe shard -1
+    and silently miss a live doc (get/get_multi/get_range must agree)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from konlsearch_ray.build import IndexConfig, build_index
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["zero doc here", "one doc", "two doc",
+                          "three doc"], pa.large_string()),
+    })
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(docs, src)
+    idx = str(tmp_path / "i")
+    build_index(src, idx, IndexConfig(content_col="text", id_col="doc_id",
+                                      dedup=False, shard_size=2))
+    store = DocStore(idx)
+    assert store.get(0) is not None and store.get(0)["text"].startswith("zero")
+    assert store.get_multi([0, 2])["doc_id"].to_pylist() == [0, 2]
+    assert store.get_range(0, 2)["doc_id"].to_pylist() == [0, 1]
+    assert store.get_multi_status([0, 9])["status"].to_pylist() == [
+        "FOUND", "NOT_FOUND"]
