@@ -89,6 +89,40 @@ def normalize_query_tokens(tokens: list[str]) -> list[str]:
     return out
 
 
+def _positions_in_runs(doc_idx: np.ndarray) -> np.ndarray:
+    """Position in the kept stream per doc: running index within equal
+    doc_idx runs. Requires NON-DECREASING doc_idx (the
+    list_parent_indices / flatten order every caller produces) — the
+    one shared implementation of the run-length trick."""
+    n = len(doc_idx)
+    pos = np.zeros(n, dtype=np.int32)
+    if n:
+        starts = np.flatnonzero(np.diff(doc_idx)) + 1
+        seq = np.arange(n, dtype=np.int32)
+        run_start = np.zeros(n, dtype=np.int32)
+        run_start[starts] = seq[starts]
+        run_start = np.maximum.accumulate(run_start)
+        pos = seq - run_start
+    return pos
+
+
+def _emit_morph_union(texts: list[str], morphs) -> list[list[str]]:
+    """Shared ordered emission for the morpheme analyzers (reference
+    index.py:98-102 shape, ``morphs(w) ∪ split`` as a stream): each
+    normalized word followed by its segmentation when it decomposes."""
+    out = []
+    for text in texts:
+        toks = []
+        for raw in sanitize(text).split():
+            t = normalize_token(raw)
+            if t is None:
+                continue
+            toks.append(t)
+            toks.extend(morphs(t))
+        out.append(toks)
+    return out
+
+
 def analyze_strings(col: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
     """Vectorized analyzer over a string column.
 
@@ -109,22 +143,10 @@ def analyze_strings(col: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
     kept_parent = pc.filter(parent, keep)
 
     doc_idx = kept_parent.to_numpy(zero_copy_only=False).astype(np.int64)
-    # Position in the kept stream per doc: running index within equal doc_idx
-    # runs. doc_idx is non-decreasing (list_parent_indices order), so a
-    # vectorized run-length trick works.
-    n = len(doc_idx)
-    pos = np.zeros(n, dtype=np.int32)
-    if n:
-        starts = np.flatnonzero(np.diff(doc_idx)) + 1
-        seq = np.arange(n, dtype=np.int32)
-        run_start = np.zeros(n, dtype=np.int32)
-        run_start[starts] = seq[starts]
-        run_start = np.maximum.accumulate(run_start)
-        pos = seq - run_start
     return {
         "doc_idx": doc_idx,
         "term": kept_terms.to_numpy(zero_copy_only=False),
-        "pos": pos,
+        "pos": _positions_in_runs(doc_idx),
     }
 
 
@@ -176,17 +198,7 @@ class KoreanLexiconAnalyzer:
         return out
 
     def tokenize_many(self, texts: list[str]) -> list[list[str]]:
-        out = []
-        for text in texts:
-            toks = []
-            for raw in sanitize(text).split():
-                t = normalize_token(raw)
-                if t is None:
-                    continue
-                toks.append(t)
-                toks.extend(self._morphs(t))
-            out.append(toks)
-        return out
+        return _emit_morph_union(texts, self._morphs)
 
 
 class MecabMorphemeAnalyzer:
@@ -251,17 +263,7 @@ class MecabMorphemeAnalyzer:
         return out
 
     def tokenize_many(self, texts: list[str]) -> list[list[str]]:
-        out = []
-        for text in texts:
-            toks = []
-            for raw in sanitize(text).split():
-                t = normalize_token(raw)
-                if t is None:
-                    continue
-                toks.append(t)
-                toks.extend(self._morphs(t))
-            out.append(toks)
-        return out
+        return _emit_morph_union(texts, self._morphs)
 
 
 def _coded_from_token_lists(
@@ -278,16 +280,7 @@ def _coded_from_token_lists(
         denc = denc.combine_chunks()
     codes = (denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
              if len(flat) else np.zeros(0, dtype=np.int64))
-    n = len(doc_idx)
-    pos = np.zeros(n, dtype=np.int32)
-    if n:
-        starts = np.flatnonzero(np.diff(doc_idx)) + 1
-        seq = np.arange(n, dtype=np.int32)
-        run_start = np.zeros(n, dtype=np.int32)
-        run_start[starts] = seq[starts]
-        run_start = np.maximum.accumulate(run_start)
-        pos = seq - run_start
-    return doc_idx, codes, pos, denc.dictionary
+    return doc_idx, codes, _positions_in_runs(doc_idx), denc.dictionary
 
 
 def analyze_strings_coded(
@@ -317,16 +310,7 @@ def analyze_strings_coded(
     dictionary = denc.dictionary
 
     doc_idx = kept_parent.to_numpy(zero_copy_only=False).astype(np.int64)
-    n = len(doc_idx)
-    pos = np.zeros(n, dtype=np.int32)
-    if n:
-        starts = np.flatnonzero(np.diff(doc_idx)) + 1
-        seq = np.arange(n, dtype=np.int32)
-        run_start = np.zeros(n, dtype=np.int32)
-        run_start[starts] = seq[starts]
-        run_start = np.maximum.accumulate(run_start)
-        pos = seq - run_start
-    return doc_idx, codes, pos, dictionary
+    return doc_idx, codes, _positions_in_runs(doc_idx), dictionary
 
 
 def analyze_batch_coded(

@@ -117,7 +117,17 @@ def hash_hex_column(col, algo: str = "sha256") -> pa.Array:
     return pa.array(hashes, pa.string())
 
 
-def _sha256_batch(batch: pa.Table, content_col: str) -> pa.Table:
+def _sha256_batch(batch: pa.Table, content_col: str,
+                  drop_null_content: bool = False) -> pa.Table:
+    """Per-row content sha256. ``drop_null_content`` excludes null-
+    content rows (no sha, no tokens): the BUILD path sets it so bulk
+    ingest matches the append path's per-row ERROR semantics (appends
+    keep the rows to report a status; builds have no status channel —
+    previously all null rows dedup'd into ONE indexed empty doc)."""
+    if drop_null_content:
+        valid = pc.is_valid(batch[content_col])
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
     return batch.append_column(
         "content_sha256", hash_hex_column(batch[content_col], "sha256"))
 
@@ -202,10 +212,23 @@ def _build_shard(shard: int, shard_files: list[str], cfg: IndexConfig,
     flat_pos = np.concatenate(pos_parts)
     dl_docs = np.concatenate(dl_doc_parts)
     dl_vals = np.concatenate(dl_val_parts)
-    # A doc appears in exactly one sub-batch, so sort-by-doc has no dupes.
     o = np.argsort(dl_docs, kind="stable")
+    dl_sorted = dl_docs[o]
+    # Auto-assigned ids are unique by construction; a caller-owned
+    # id_col is not — two rows sharing an id would silently MERGE their
+    # postings (one entry with summed tf), duplicate doclens rows and
+    # inflate N. Ids partition into shards by range, so this per-shard
+    # check is complete.
+    if len(dl_sorted) > 1:
+        eq = dl_sorted[1:] == dl_sorted[:-1]
+        if np.any(eq):
+            dup = int(dl_sorted[1:][eq][0])
+            raise ValueError(
+                f"duplicate doc_id {dup} in shard {shard}: ids must be "
+                "unique (id_col mode passes caller ids through unchecked "
+                "until here)")
     return _encode_shard(shard, denc, flat_doc, flat_pos,
-                         dl_docs[o], dl_vals[o], index_dir)
+                         dl_sorted, dl_vals[o], index_dir)
 
 
 def _encode_shard(shard: int, denc: pa.DictionaryArray, flat_doc: np.ndarray,
@@ -364,6 +387,23 @@ def _col_as_sortable_str(t: pa.Table, col: str):
         biased = np_v.view(np.uint64) + np.uint64(1 << 63)  # wraps: order-preserving
         s = pc.ascii_lpad(pc.cast(pa.array(biased), pa.string()), 20, "0")
         return pc.if_else(valid, s, "")
+    if pa.types.is_floating(c.type):
+        # A plain string cast orders '10.5' < '2' — the two size paths
+        # would then keep DIFFERENT dedup winners (the huge path sorts
+        # by true value). IEEE trick: flip all bits of negatives and
+        # the sign bit of non-negatives, and the uint64 order equals
+        # the float order (NaN sorts last, as the largest exponent
+        # pattern); render as fixed-width hex.
+        v = (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        valid = pc.is_valid(v)
+        bits = (pc.fill_null(v, 0.0).cast(pa.float64())
+                .to_numpy(zero_copy_only=False).view(np.uint64))
+        flipped = np.where(bits >> np.uint64(63),
+                           ~bits, bits | np.uint64(1 << 63))
+        hexes = np.char.zfill(
+            np.char.mod("%x", flipped.astype(object)), 16)
+        s = pa.array(hexes.astype("U16"), pa.string())
+        return pc.if_else(valid, s, "")
     return pc.fill_null(c.cast(pa.string()), "")
 
 
@@ -511,7 +551,16 @@ def _estimate_rows(source) -> int:
     """Cheap row-count estimate: Parquet footer metadata for path sources,
     ``ds.count()`` for Dataset sources (metadata-cheap for read_parquet /
     from_arrow; an already-transformed Dataset pays one pass, which a
-    correct path choice at scale is worth)."""
+    correct path choice at scale is worth).
+
+    UNESTIMABLE sources (remote URIs this process can't stat, nested
+    layouts with no top-level parquet files, any reader error) return a
+    huge sentinel, NOT 0: the caller compares against
+    ``DEDUP_DRIVER_MAX_ROWS`` to pick the driver-rank path, and a 0
+    fallback would route an arbitrarily large corpus onto the driver —
+    the exact OOM the guard exists to prevent. Unknown size must take
+    the shuffle path (correct at any scale, merely slower when small)."""
+    unknown = DEDUP_DRIVER_MAX_ROWS + 1
     try:
         if isinstance(source, ray.data.Dataset):
             return int(source.count())
@@ -520,8 +569,9 @@ def _estimate_rows(source) -> int:
         elif isinstance(source, (list, tuple)):
             paths = list(source)
         else:
-            return 0
+            return unknown
         total = 0
+        saw_file = False
         for p in paths:
             if os.path.isdir(p):
                 files = [os.path.join(p, n) for n in os.listdir(p)
@@ -530,9 +580,10 @@ def _estimate_rows(source) -> int:
                 files = [p]
             for f in files:
                 total += pq.ParquetFile(f).metadata.num_rows
-        return total
+                saw_file = True
+        return total if saw_file else unknown
     except Exception:
-        return 0
+        return unknown
 
 
 @ray.remote
@@ -1031,7 +1082,17 @@ def _compact_shard_dir(d: str, max_bytes: int = COMPACT_RUN_MAX_BYTES) -> int:
         pq.write_table(t, os.path.join(d, out + ".tmpnew"),
                        compression="zstd", use_dictionary=False,
                        row_group_size=1024)
+        # The marker is fsynced below; a durable marker over
+        # page-cache-only outputs would let a power loss commit the
+        # input removal against truncated outputs — sync data first.
+        with open(os.path.join(d, out + ".tmpnew"), "rb") as f:
+            os.fsync(f.fileno())
         outputs.append(out)
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)  # directory entries for the .tmpnew files
+    finally:
+        os.close(dfd)
     swap = os.path.join(d, _COMPACT_SWAP)
     with open(swap + ".tmp", "w") as f:
         json.dump({"condemned": [os.path.basename(p) for p in files],
@@ -1093,7 +1154,8 @@ def _docs_phase(source, index_dir: str, cfg: IndexConfig) -> dict:
               else ray.data.read_parquet(source))
         return ds.map_batches(
             _sha256_batch, batch_format="pyarrow",
-            fn_kwargs={"content_col": cfg.content_col})
+            fn_kwargs={"content_col": cfg.content_col,
+                       "drop_null_content": True})
 
     ds = read()
     tie_tmp = None
@@ -1510,6 +1572,12 @@ def append_documents(
     # --- stream the new batch; light (sha, key) wave overlapped ---------
     ds = (source if isinstance(source, ray.data.Dataset)
           else ray.data.read_parquet(source))
+    # NOTE: appends ALWAYS auto-assign dense tail ids (arrival order —
+    # the reference's monotone counter), including on id_col indexes: a
+    # carried id column in the batch is deliberately ignored, assigned
+    # ids win (tested: test_advice_fixes.py
+    # test_append_with_preexisting_doc_id_column). Callers who need
+    # their own ids honored rebuild over the unioned source.
     ds = ds.map_batches(
         _sha256_batch, batch_format="pyarrow",
         fn_kwargs={"content_col": cfg.content_col})

@@ -163,6 +163,15 @@ def encode_postings_grouped(
     gaps = np.empty(n, dtype=np.int64)
     gaps[1:] = doc_s[1:] - doc_s[:-1]
     gaps[starts] = doc_s[starts]
+    # Same fail-fast contract as encode_posting: a non-increasing id
+    # within a term would wrap to a ~2^64 varint and decode into garbage
+    # with no error at any layer.
+    within = np.ones(n, dtype=bool)
+    within[starts] = False  # first entry per term is absolute, not a gap
+    if np.any(gaps[within] <= 0):
+        raise ValueError(
+            "encode_postings_grouped: doc_ids must be strictly "
+            "increasing within each term")
     cf = np.add.reduceat(tf_s.astype(np.int64), starts)
 
     gap_buf, gap_nb = varint_encode_with_sizes(gaps.astype(np.uint64))
