@@ -260,7 +260,8 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "dedup_doc_lines", "mix_by_lang", "token_pairs",
                "lang_entropy", "sample_weighted", "top_docs_ties",
                "wavg_price", "profile_events", "retention_weekly",
-               "daily_active_users", "twap_value"]
+               "daily_active_users", "twap_value",
+               "event_covar", "postings_export", "snippet_term", "mlt_doc"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1631,6 +1632,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
               .map_batches(xy, batch_format="pyarrow"))
         return grouped_regression(ev, "event_type", "x", "y")
 
+    def event_covar(sf_dir):
+        # Per-type sample covariance of cents value vs hour-of-day —
+        # exact integer sufficient statistics through the shared
+        # suffstat partial, bit-identical to the oracle's mirrored
+        # (n·Sxy − Sx·Sy)/(n·(n−1)) expression.
+        from konlsearch_ray.functions.stats import grouped_covar
+
+        def xy(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hour = pc.cast(pc.hour(t["ts"]), pa.int64())
+            return pa.table({"event_type": t["event_type"],
+                             "x": _cents_col(t), "y": hour})
+
+        ev = (_events(sf_dir)
+              .select_columns(["event_type", "ts", "value"])
+              .map_batches(xy, batch_format="pyarrow"))
+        return grouped_covar(ev, "event_type", "x", "y")
+
+    def postings_export(sf_dir):
+        # The inverted index decoded back to its logical (term, doc_id,
+        # tf) matrix — distributed fused-varint decode over the segment
+        # files with term-range parquet pushdown; the sparse
+        # term-document export every downstream sparse-retrieval /
+        # keyword-mining job consumes.
+        from konlsearch_ray.export import export_postings
+
+        return export_postings(_index_dir(sf_dir),
+                               term_start="b", term_stop="c")
+
+    def snippet_term(sf_dir):
+        # First-occurrence highlight windows (±2 kept tokens) for every
+        # doc matching 'table' — the stored first-position stream plus a
+        # shard-pruned docstore actor stage; pos is 1-based
+        # (list_position parity).
+        from konlsearch_ray.export import snippet_table
+
+        return snippet_table(_index_dir(sf_dir), "table", width=2)
+
+    def mlt_doc(sf_dir):
+        # More-like-this: doc 7's top-5 tf·idf terms as a BM25 OR query,
+        # source excluded — selection weight and scoring both mirrored
+        # by the oracle expression-for-expression.
+        top = _reader(sf_dir).more_like_this(7, n_terms=5, k=10)
+        return pa.table(
+            {"doc_id": pa.array([d for d, _ in top], pa.int64()),
+             "score": pa.array([round(s, 4) for _, s in top],
+                               pa.float64())})
+
     def union_userpairs(sf_dir):
         # SQL UNION: distinct (pair_id, type) rows across both halves —
         # one map-side pre-distinct + one keyed exchange, no join.
@@ -1808,6 +1858,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_weekly": retention_weekly,
         "daily_active_users": daily_active_users,
         "twap_value": twap_value,
+        "event_covar": event_covar,
+        "postings_export": postings_export,
+        "snippet_term": snippet_term,
+        "mlt_doc": mlt_doc,
     })
 
 
@@ -2885,4 +2939,49 @@ WHERE rn = 1"""
   FROM documents) WHERE rn <= 20"""
     out["bm25_sharded"] = out["bm25_topk"]
     out["ann_ivf_store"] = out["ann_topk"]
+    out["event_covar"] = """WITH b AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+s AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy
+      FROM b GROUP BY event_type)
+SELECT event_type, n,
+  CASE WHEN n < 2 THEN NULL
+       ELSE (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+            / (CAST(n AS DOUBLE)*(n-1))
+  END AS covar
+FROM s"""
+    out["postings_export"] = f"""WITH {_KEPT}, {_OCC}
+SELECT term, doc_id::BIGINT AS doc_id, count(*)::BIGINT AS tf FROM occ
+WHERE term >= 'b' AND term < 'c' GROUP BY term, doc_id
+ORDER BY term, doc_id"""
+    out["snippet_term"] = f"""WITH {_KEPT},
+m AS (SELECT doc_id, toks, list_position(toks, 'table') AS p FROM kept)
+SELECT doc_id::BIGINT AS doc_id, p::BIGINT AS pos,
+       array_to_string(toks[greatest(1, p-2):p+2], ' ') AS snippet
+FROM m WHERE coalesce(p, 0) > 0 ORDER BY doc_id"""
+    out["mlt_doc"] = f"""WITH {_KEPT}, {_OCC},
+tfsrc AS (SELECT term, count(*)::DOUBLE AS tf FROM occ
+          WHERE doc_id = 7 GROUP BY term),
+st AS (SELECT count(*)::DOUBLE AS n,
+       sum(len(toks))::BIGINT::DOUBLE / count(*)::DOUBLE AS avgdl FROM kept),
+dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM occ
+          GROUP BY term),
+sel AS (SELECT t.term FROM tfsrc t JOIN dfall d USING (term) CROSS JOIN st
+        ORDER BY t.tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+                 t.term LIMIT 5),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ
+       WHERE term IN (SELECT term FROM sel) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM kept),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM occ
+       WHERE term IN (SELECT term FROM sel) GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+         sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+       FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN st WHERE tf.doc_id <> 7 GROUP BY tf.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
     return _ordered(out)

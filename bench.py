@@ -342,6 +342,23 @@ def run_bench() -> dict:
     _probed_section(queries, "features", _features,
                     score=lambda o: -o["near_p50_ms"])
 
+    # --- index export throughput (full postings decode) -------------------
+    # The (term, doc_id, tf) sparse-matrix export over the whole code
+    # index: distributed fused-varint decode, the bulk-read twin of the
+    # build's encode path. Consumed with count() so timing measures the
+    # streamed decode, not a driver materialization.
+    def _export() -> dict:
+        from konlsearch_ray.export import export_postings
+
+        t0 = time.perf_counter()
+        n = export_postings(code_idx).count()
+        dt = time.perf_counter() - t0
+        return {"export_postings_sec": round(dt, 3),
+                "export_postings_mrows_s": round(n / dt / 1e6, 2)}
+
+    _probed_section(queries, "export", _export,
+                    score=lambda o: -o["export_postings_sec"])
+
     # --- cross-index merge over the sf documents table --------------------
     # Two shard-aligned half builds (untimed input prep), then the merge
     # itself: the disjoint path is file union + one finalize, so the

@@ -322,6 +322,69 @@ def grouped_corr(
     return nonempty_blocks(out, (key_col, "n", "corr"), fallback=fallback)
 
 
+def grouped_covar(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> ray.data.Dataset:
+    """Per-key exact SAMPLE covariance between two INTEGER columns —
+    SQL ``covar_samp`` — from the same exact integer sufficient
+    statistics as :func:`grouped_corr` (quantize floats upstream). The
+    one float expression
+
+        covar = (n·Sxy − Sx·Sy) / (n·(n−1))
+
+    evaluates once per key from exact int64 sums, so it is bit-identical
+    to any oracle that mirrors the expression (every operand cast to
+    double first, same operation order) — none of the order-dependent
+    drift of a streaming float covariance. ``n < 2`` emits NULL (SQL
+    ``covar_samp`` semantics); null keys and null-x/y rows are dropped
+    exactly as in ``grouped_corr`` (the partial is shared code).
+
+    Output: ``key_col``, ``n`` (int64), ``covar`` (float64). Same
+    overflow contract as ``grouped_corr``: per-key ``sum(x*y)`` must
+    fit int64 and stay below 2^53 for double-casting oracles.
+    """
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    for c in (x_col, y_col):
+        if not pa.types.is_integer(sch.field(c).type):
+            raise ValueError(
+                f"{c!r} must be integer-typed for exact covar partials "
+                f"(got {sch.field(c).type}); quantize upstream")
+
+    partial = _suffstat_partial(key_col, ktyp, x_col, y_col,
+                                ("n", "sx", "sy", "sxy"))
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "n": pa.array([], pa.int64()),
+        "covar": pa.array([], pa.float64()),
+    })
+
+    def merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        n = pc.sum(g["n"]).as_py()
+        sx, sy = pc.sum(g["sx"]).as_py(), pc.sum(g["sy"]).as_py()
+        sxy = pc.sum(g["sxy"]).as_py()
+        if n < 2:
+            cov = pa.nulls(1, pa.float64())
+        else:
+            num = float(n) * float(sxy) - float(sx) * float(sy)
+            cov = pa.array([num / (float(n) * float(n - 1))], pa.float64())
+        return pa.table({
+            key_col: g[key_col][:1],
+            "n": pa.array([n], pa.int64()),
+            "covar": cov,
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
+    return nonempty_blocks(out, (key_col, "n", "covar"), fallback=fallback)
+
+
 def grouped_regression(
     ds: ray.data.Dataset,
     key_col: str,

@@ -1039,6 +1039,42 @@ class IndexReader:
         top = sorted(sel.tolist(), key=lambda i: (-cand_scores[i], cand_ids[i]))[:k]
         return [(int(cand_ids[i]), float(cand_scores[i])) for i in top]
 
+    def more_like_this(self, doc_id: int, n_terms: int = 5, k: int = 10,
+                       prune: bool = True) -> list[tuple[int, float]]:
+        """Similar-document search (Lucene MoreLikeThis shape): select
+        the source doc's ``n_terms`` highest tf·idf terms, run them as a
+        BM25 OR query, exclude the source doc, return top ``k``.
+
+        Determinism contract (oracle-mirrored): the selection weight is
+        the ONE float expression ``tf · ln(1 + (N − df + 0.5)/(df + 0.5))``
+        over exact integer tf/df/N — identical to the BM25 idf — with
+        ties broken by ascending term; the scoring leg is the standard
+        ``bm25_topk`` (exact under pruning). Fetching ``k+1`` then
+        dropping the source is exact: at most one excluded doc means the
+        k best non-source docs all sit inside the overall top ``k+1``.
+
+        The source doc's term stream re-derives from the docstore
+        through the normative analyzer (same contract as
+        ``get_ordered_tokens``); an absent/deleted ``doc_id`` returns [].
+        """
+        store = getattr(self, "_docstore", None)
+        if store is None:
+            from konlsearch_ray.docstore import DocStore
+
+            store = self._docstore = DocStore(self.index_dir)
+        toks = store.get_ordered_tokens(doc_id)
+        if not toks:
+            return []
+        from collections import Counter
+
+        tf = Counter(toks)
+        weighted = sorted(
+            tf.items(),
+            key=lambda kv: (-(float(kv[1]) * self.idf(kv[0])), kv[0]))
+        sel_terms = [t for t, _ in weighted[:n_terms]]
+        hits = self.bm25_topk(sel_terms, k + 1, prune=prune)
+        return [(d, s) for d, s in hits if d != int(doc_id)][:k]
+
 
 class QueryStage:
     """Actor-pool query server for ``map_batches`` over a query table.

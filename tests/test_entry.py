@@ -26,12 +26,12 @@ def test_entry_smoke(ray_session):
 
 def test_registry_counts():
     """The ONE documented count (README/SURVEY/BASELINE all cite it):
-    119 queries() entries, 114 with oracles, 5 rows-only by design."""
+    123 queries() entries, 118 with oracles, 5 rows-only by design."""
     import __ray_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
-    assert len(q) == 119
-    assert len(o) == 114
+    assert len(q) == 123
+    assert len(o) == 118
     assert set(q) - set(o) == {
         "dedup_minhash", "curate_neardup", "approx_users", "embed_kmeans",
         "embed_pca"}
