@@ -11,6 +11,9 @@ driver contract). Commands mirror the reference's embedded API surface:
   delete   <index_dir> <doc_id> [...]     tombstone docs
   compact  <index_dir>                    rewrite segments without tombstones
   stats    <index_dir>                    print stats.json
+  export   <index_dir> <out_dir>          postings -> (term, doc_id, tf) parquet
+  snippet  <index_dir> <term>             first-occurrence highlight windows
+  mlt      <index_dir> <doc_id>           more-like-this similar docs
 """
 
 from __future__ import annotations
@@ -79,6 +82,24 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("index_dir")
 
+    ex = sub.add_parser("export")
+    ex.add_argument("index_dir"); ex.add_argument("out_dir")
+    ex.add_argument("--start", default=None,
+                    help="inclusive term-range lower bound (parquet pushdown)")
+    ex.add_argument("--stop", default=None,
+                    help="exclusive term-range upper bound")
+    ex.add_argument("--positions", action="store_true",
+                    help="include the stored first_pos column")
+
+    sn = sub.add_parser("snippet")
+    sn.add_argument("index_dir"); sn.add_argument("term")
+    sn.add_argument("--width", type=int, default=2)
+
+    ml = sub.add_parser("mlt")
+    ml.add_argument("index_dir"); ml.add_argument("doc_id", type=int)
+    ml.add_argument("--terms", type=int, default=5)
+    ml.add_argument("-k", type=int, default=10)
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -143,6 +164,29 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "stats":
         with open(f"{args.index_dir}/stats.json") as f:
             print(f.read())
+    elif args.cmd == "export":
+        _init_ray(args.num_cpus)
+        from konlsearch_ray.export import export_postings
+
+        ds = export_postings(args.index_dir, term_start=args.start,
+                             term_stop=args.stop,
+                             include_positions=args.positions)
+        ds.write_parquet(args.out_dir)
+        print(json.dumps({"out_dir": args.out_dir}))
+    elif args.cmd == "snippet":
+        _init_ray(args.num_cpus)
+        from konlsearch_ray.export import snippet_table
+
+        for row in snippet_table(args.index_dir, args.term,
+                                 width=args.width).take_all():
+            print(f"{row['doc_id']}\t{row['pos']}\t{row['snippet']}")
+    elif args.cmd == "mlt":
+        from konlsearch_ray.query import IndexReader
+
+        r = IndexReader(args.index_dir)
+        for doc, score in r.more_like_this(args.doc_id, n_terms=args.terms,
+                                           k=args.k):
+            print(f"{doc}\t{score:.4f}")
     return 0
 
 

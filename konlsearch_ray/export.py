@@ -241,6 +241,15 @@ def snippet_table(
                     "first_pos": pa.array(first_pos.astype(np.int64),
                                           pa.int64())})
     ds = ray.data.from_arrow(src)
+    # Cap the pool at the cluster's CPUs and autoscale UP from one
+    # actor: a fixed pool of size >= cluster CPUs pre-acquires every
+    # CPU before the upstream repartition can run — observed deadlock
+    # with a 2-CPU session and a fixed concurrency=2 pool. A (1, n)
+    # pool starts work immediately and grows only into free CPUs.
+    import ray as _ray
+
+    cpu_cap = max(1, int(_ray.cluster_resources().get("CPU", 1)))
+    concurrency = max(1, min(concurrency, cpu_cap))
     # One block per ~batch_size docs, capped so every pool actor gets
     # work without shattering a small match list into confetti.
     nblocks = max(1, min(concurrency * 2, src.num_rows // 64))
@@ -249,7 +258,7 @@ def snippet_table(
     out = ds.map_batches(
         _SnippetStage, batch_format="pyarrow",
         fn_constructor_args=(index_dir, term, width),
-        concurrency=min(concurrency, nblocks),
+        concurrency=(1, min(concurrency, nblocks)),
         batch_size=batch_size)
     from konlsearch_ray.functions.blocks import nonempty_blocks
 
