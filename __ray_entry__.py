@@ -261,7 +261,8 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "lang_entropy", "sample_weighted", "top_docs_ties",
                "wavg_price", "profile_events", "retention_weekly",
                "daily_active_users", "twap_value",
-               "event_covar", "postings_export", "snippet_term", "mlt_doc"]
+               "event_covar", "postings_export", "snippet_term", "mlt_doc",
+               "mlt_sharded", "bm25_explain"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1681,6 +1682,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "score": pa.array([round(s, 4) for _, s in top],
                                pa.float64())})
 
+    def mlt_sharded(sf_dir):
+        # Scatter-gather more-like-this must be rank-identical to the
+        # single reader: selection on the doc-owning actor (tf local,
+        # idf global), scoring through the sharded BM25 — same oracle.
+        from konlsearch_ray.query import ShardedQueryEngine
+
+        eng = ShardedQueryEngine(_index_dir(sf_dir), num_actors=3)
+        try:
+            top = eng.more_like_this(7, n_terms=5, k=10)
+        finally:
+            eng.shutdown()
+        return pa.table(
+            {"doc_id": pa.array([d for d, _ in top], pa.int64()),
+             "score": pa.array([round(s, 4) for _, s in top],
+                               pa.float64())})
+
+    def bm25_explain(sf_dir):
+        # Per-term score breakdown for doc 7 under the headline BM25
+        # query — Lucene-explain shape, every expression mirrored.
+        rows = _reader(sf_dir).explain(BM25_TOKENS, 7)
+        return pa.table(
+            {"term": pa.array([r["term"] for r in rows], pa.string()),
+             "tf": pa.array([r["tf"] for r in rows], pa.int64()),
+             "idf": pa.array([round(r["idf"], 4) for r in rows],
+                             pa.float64()),
+             "contrib": pa.array([round(r["contrib"], 4) for r in rows],
+                                 pa.float64())})
+
     def union_userpairs(sf_dir):
         # SQL UNION: distinct (pair_id, type) rows across both halves —
         # one map-side pre-distinct + one keyed exchange, no join.
@@ -1862,6 +1891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_export": postings_export,
         "snippet_term": snippet_term,
         "mlt_doc": mlt_doc,
+        "mlt_sharded": mlt_sharded,
+        "bm25_explain": bm25_explain,
     })
 
 
@@ -2984,4 +3015,19 @@ sc AS (SELECT tf.doc_id,
        CROSS JOIN st WHERE tf.doc_id <> 7 GROUP BY tf.doc_id)
 SELECT doc_id::BIGINT AS doc_id, round(s, 4) AS score FROM sc
 ORDER BY s DESC, doc_id LIMIT 10"""
+    out["mlt_sharded"] = out["mlt_doc"]
+    out["bm25_explain"] = f"""WITH {_KEPT}, {_OCC},
+tf AS (SELECT term, count(*)::BIGINT AS tf FROM occ
+       WHERE doc_id = 7 AND term IN {bm25_terms} GROUP BY term),
+st AS (SELECT count(*)::DOUBLE AS n,
+       sum(len(toks))::BIGINT::DOUBLE / count(*)::DOUBLE AS avgdl FROM kept),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM occ
+       WHERE term IN {bm25_terms} GROUP BY term),
+dl AS (SELECT len(toks)::DOUBLE AS dl FROM kept WHERE doc_id = 7)
+SELECT tf.term, tf.tf,
+  round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)), 4) AS idf,
+  round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf::DOUBLE * (1.2 + 1)
+        / (tf.tf::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+        4) AS contrib
+FROM tf JOIN df USING (term) CROSS JOIN st CROSS JOIN dl ORDER BY tf.term"""
     return _ordered(out)

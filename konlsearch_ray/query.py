@@ -1039,6 +1039,35 @@ class IndexReader:
         top = sorted(sel.tolist(), key=lambda i: (-cand_scores[i], cand_ids[i]))[:k]
         return [(int(cand_ids[i]), float(cand_scores[i])) for i in top]
 
+    def explain(self, tokens: list[str], doc_id: int) -> list[dict]:
+        """Per-term BM25 score breakdown for ONE document — the
+        search-engine debugging surface (Lucene ``explain`` shape).
+
+        Returns one row per query term present in the doc:
+        ``{"term", "tf", "idf", "contrib"}``, ordered by term
+        ascending; ``sum(contrib)`` equals the doc's ``bm25_topk``
+        score exactly (same kernel, same float ops). A term absent
+        from the doc (or the doc absent entirely) contributes no row.
+        """
+        toks = sorted(set(normalize_query_tokens(tokens)))
+        did = int(doc_id)
+        out = []
+        for t in toks:
+            ids, tfs = self.postings_scores(t)
+            if not len(ids):
+                continue
+            i = int(np.searchsorted(ids, did))
+            if i >= len(ids) or int(ids[i]) != did:
+                continue
+            tf = float(tfs[i])
+            w = self.idf(t)
+            dl = float(self.doc_len(np.array([did], dtype=np.int64))[0])
+            contrib = w * tf * (K1 + 1) / (
+                tf + K1 * (1 - B + B * dl / self.avgdl))
+            out.append({"term": t, "tf": int(tfs[i]), "idf": w,
+                        "contrib": contrib})
+        return out
+
     def more_like_this(self, doc_id: int, n_terms: int = 5, k: int = 10,
                        prune: bool = True) -> list[tuple[int, float]]:
         """Similar-document search (Lucene MoreLikeThis shape): select
@@ -1065,15 +1094,22 @@ class IndexReader:
         toks = store.get_ordered_tokens(doc_id)
         if not toks:
             return []
-        from collections import Counter
-
-        tf = Counter(toks)
-        weighted = sorted(
-            tf.items(),
-            key=lambda kv: (-(float(kv[1]) * self.idf(kv[0])), kv[0]))
-        sel_terms = [t for t, _ in weighted[:n_terms]]
+        sel_terms = _mlt_select(toks, self.idf, n_terms)
         hits = self.bm25_topk(sel_terms, k + 1, prune=prune)
         return [(d, s) for d, s in hits if d != int(doc_id)][:k]
+
+
+def _mlt_select(toks: list[str], idf, n_terms: int) -> list[str]:
+    """The ONE more-like-this term-selection rule, shared by the single
+    reader and the sharded engine so their results stay rank-identical:
+    weight = ``tf · idf(term)`` (float product of exact inputs, mirrored
+    by the SQL oracle), ties broken by ascending term."""
+    from collections import Counter
+
+    tf = Counter(toks)
+    weighted = sorted(
+        tf.items(), key=lambda kv: (-(float(kv[1]) * idf(kv[0])), kv[0]))
+    return [t for t, _ in weighted[:n_terms]]
 
 
 class QueryStage:
@@ -1301,6 +1337,19 @@ class ShardQueryActor:
         allowed = self._docstore.ids_matching(flt, shards=self.shard_set)
         return self.reader.bm25_topk(tokens, k, allowed=allowed)
 
+    def mlt_terms(self, doc_id: int, n_terms: int):
+        """More-like-this term selection, answered ONLY by the actor
+        whose shard subset owns ``doc_id`` (None otherwise — exactly one
+        actor responds per query). tf comes from this actor's docstore
+        row; idf is global (dictionary-backed), so the selection equals
+        the single reader's bit-for-bit (shared ``_mlt_select``)."""
+        if self._docstore._shard_of(int(doc_id)) not in self.shard_set:
+            return None
+        toks = self._docstore.get_ordered_tokens(int(doc_id))
+        if not toks:
+            return [] if toks is not None else None
+        return _mlt_select(toks, self.reader.idf, n_terms)
+
 
 class ShardedQueryEngine:
     """Distributed query serving: K actors × disjoint shard subsets.
@@ -1410,6 +1459,23 @@ class ShardedQueryEngine:
         merged = [t for p in parts for t in p]
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
+
+    def more_like_this(self, doc_id: int, n_terms: int = 5,
+                       k: int = 10) -> list[tuple[int, float]]:
+        """Scatter-gather more-like-this, rank-identical to
+        ``IndexReader.more_like_this``: term selection runs on the ONE
+        actor owning the doc's shard (tf local, idf global), then the
+        selected terms fan out through the standard sharded BM25 with
+        the exact k+1 source-exclusion argument."""
+        import ray as _ray
+
+        parts = _ray.get([a.mlt_terms.remote(int(doc_id), n_terms)
+                          for a in self._actors])
+        sel = next((p for p in parts if p is not None), None)
+        if not sel:
+            return []
+        hits = self.bm25_topk(sel, k + 1)
+        return [(d, s) for d, s in hits if d != int(doc_id)][:k]
 
     def shutdown(self):
         import ray as _ray

@@ -181,6 +181,42 @@ def test_more_like_this_absent_doc_empty(export_built):
     assert IndexReader(index_dir).more_like_this(10 ** 9) == []
 
 
+def test_more_like_this_sharded_parity(export_built):
+    from konlsearch_ray.query import IndexReader, ShardedQueryEngine
+
+    index_dir, docs = export_built
+    reader = IndexReader(index_dir)
+    eng = ShardedQueryEngine(index_dir, num_actors=2)
+    try:
+        for src in list(sorted(docs))[:6] + [10 ** 9]:
+            assert eng.more_like_this(src, n_terms=4, k=10) == \
+                reader.more_like_this(src, n_terms=4, k=10)
+    finally:
+        eng.shutdown()
+
+
+def test_explain_sums_to_bm25_score(export_built):
+    from konlsearch_ray.query import IndexReader
+
+    index_dir, docs = export_built
+    reader = IndexReader(index_dir)
+    counts = collections.Counter(
+        t for text in docs.values() for t in set(tokenize(text)))
+    toks = [t for t, _ in counts.most_common(3)]
+    top = reader.bm25_topk(toks, 5)
+    assert top
+    for doc, score in top:
+        rows = reader.explain(toks, doc)
+        assert rows == sorted(rows, key=lambda r: r["term"])
+        assert sum(r["contrib"] for r in rows) == pytest.approx(
+            score, rel=0, abs=1e-12)
+        for r in rows:
+            assert r["tf"] == tokenize(docs[doc]).count(r["term"])
+    # Absent doc / absent term contribute no rows.
+    assert reader.explain(toks, 10 ** 9) == []
+    assert reader.explain(["zzqqxxnotaterm"], top[0][0]) == []
+
+
 def test_grouped_covar_exact(ray_session):
     import ray
 
