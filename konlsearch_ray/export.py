@@ -96,6 +96,19 @@ def export_postings(
         [("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64())]
         + ([("first_pos", pa.int64())] if include_positions else []))
 
+    def _blob(batch: pa.Table, name: str) -> memoryview:
+        """All rows of a binary column as ONE buffer slice — rows are
+        contiguous after combine_chunks, so the concatenation is a
+        zero-copy view (same trick as tombstone._binary_col_data), not
+        an O(rows) ``b"".join`` of per-row bytes objects."""
+        col = batch[name].combine_chunks().cast(pa.large_binary())
+        bufs = col.buffers()
+        offs = np.frombuffer(bufs[1], np.int64,
+                             count=len(col) + 1 + col.offset)[col.offset:]
+        if bufs[2] is None:
+            return memoryview(b"")
+        return memoryview(bufs[2])[int(offs[0]):int(offs[-1])]
+
     def decode(batch: pa.Table) -> pa.Table:
         from konlsearch_ray.codec import varint_decode
 
@@ -109,10 +122,9 @@ def export_postings(
         total = int(df.sum())
         if not total:
             return out_schema.empty_table()
-        gaps_blob = b"".join(batch["doc_ids_bin"].to_pylist())
-        tfs_blob = b"".join(batch["tfs_bin"].to_pylist())
-        gaps = varint_decode(gaps_blob, total).astype(np.int64)
-        tfs = varint_decode(tfs_blob, total).astype(np.int64)
+        gaps = varint_decode(_blob(batch, "doc_ids_bin"),
+                             total).astype(np.int64)
+        tfs = varint_decode(_blob(batch, "tfs_bin"), total).astype(np.int64)
         # Segmented cumsum: within each segment row the first gap is the
         # absolute doc id, later gaps are deltas.
         starts = np.concatenate(([0], np.cumsum(df)[:-1]))
@@ -129,9 +141,9 @@ def export_postings(
                     "doc_id": pa.array(docs, pa.int64()),
                     "tf": pa.array(tfs, pa.int64())}
         if include_positions:
-            pos_blob = b"".join(batch["pos_bin"].to_pylist())
             cols_out["first_pos"] = pa.array(
-                varint_decode(pos_blob, total).astype(np.int64), pa.int64())
+                varint_decode(_blob(batch, "pos_bin"),
+                              total).astype(np.int64), pa.int64())
         t = pa.table(cols_out, schema=out_schema)
         if dead_ref is not None:
             dead_np = ray.get(dead_ref)
@@ -141,11 +153,11 @@ def export_postings(
 
     files = _segment_files(index_dir)
     ds = ray.data.read_parquet(files, columns=cols, filter=flt)
-    from konlsearch_ray.functions.blocks import nonempty_blocks
-
-    out = ds.map_batches(decode, batch_format="pyarrow")
-    return nonempty_blocks(out, tuple(out_schema.names),
-                           fallback=out_schema.empty_table())
+    # No nonempty_blocks wrapper: it would iterate the internal ref
+    # bundles and pin the whole decoded matrix — the export must stay a
+    # stream. decode already emits schema-correct (possibly empty)
+    # tables, so every block carries out_schema.
+    return ds.map_batches(decode, batch_format="pyarrow")
 
 
 _SNIPPET_SCHEMA = pa.schema(
@@ -156,17 +168,38 @@ class _SnippetStage:
     """Actor-pool stage: docstore handle + analyzer load once per actor
     (``__init__``), window slicing per batch (``__call__``)."""
 
-    def __init__(self, index_dir: str, term: str, width: int):
+    def __init__(self, index_dir: str, width: int, analyzer_factory=None):
         from konlsearch_ray.docstore import DocStore
 
         self.store = DocStore(index_dir)
         self.content_col = self.store.meta.get("content_col", "content")
-        self.term = term
         self.width = int(width)
+        self.analyzer = analyzer_factory() if analyzer_factory else None
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _flat_tokens(self, col: pa.Array | pa.ChunkedArray) -> dict:
+        """Flat (doc_idx, term, pos) kept-occurrence streams — the
+        normative vectorized analyzer, or the injected analyzer's
+        ``tokenize_many`` flattened to the same shape (indexes built
+        with a custom analyzer_factory must snippet with the same one,
+        or positions won't match the stored first_pos stream)."""
         from konlsearch_ray.analyzer import analyze_strings
 
+        if self.analyzer is None:
+            return analyze_strings(col)
+        texts = [x if x is not None else "" for x in col.to_pylist()]
+        lists = self.analyzer.tokenize_many(texts)
+        lens = np.array([len(x) for x in lists], dtype=np.int64)
+        return {
+            "doc_idx": np.repeat(np.arange(len(lists), dtype=np.int64),
+                                 lens),
+            "term": np.array([t for toks in lists for t in toks],
+                             dtype=object),
+            "pos": np.concatenate(
+                [np.arange(n, dtype=np.int32) for n in lens]
+                or [np.array([], dtype=np.int32)]),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         if not batch.num_rows:
             return _SNIPPET_SCHEMA.empty_table()
         req_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -183,7 +216,7 @@ class _SnippetStage:
         order = np.argsort(req_ids, kind="stable")
         pos_in_req = order[np.searchsorted(req_ids[order], got_ids)]
         fp = req_fp[pos_in_req]
-        toks = analyze_strings(rows[self.content_col])
+        toks = self._flat_tokens(rows[self.content_col])
         doc_idx, term_np, pos = toks["doc_idx"], toks["term"], toks["pos"]
         lo = (fp - self.width)[doc_idx]
         hi = (fp + self.width)[doc_idx]
@@ -214,6 +247,7 @@ def snippet_table(
     width: int = 2,
     concurrency: int = 4,
     batch_size: int = 1024,
+    analyzer_factory=None,
 ) -> ray.data.Dataset:
     """Highlight snippets for every live doc matching ``term``.
 
@@ -228,11 +262,19 @@ def snippet_table(
     docstore actor pool whose reads are shard- and row-group-pruned.
     The normative analyzer re-derives the kept stream (tokenization is
     a pure function of content — same contract as
-    ``DocStore.get_ordered_tokens``); custom-analyzer indexes should
-    pass their own stage.
+    ``DocStore.get_ordered_tokens``); indexes built with a custom
+    ``analyzer_factory`` must pass the SAME factory here so windows
+    align with the stored first_pos stream.
     """
+    from konlsearch_ray.analyzer import normalize_query_tokens
     from konlsearch_ray.query import IndexReader
 
+    # Same normalization as every query path (uppercase-ASCII input
+    # would silently miss the lowercased stored vocabulary otherwise).
+    norm = normalize_query_tokens([term])
+    if not norm:
+        return ray.data.from_arrow(_SNIPPET_SCHEMA.empty_table())
+    term = norm[0]
     reader = IndexReader(index_dir)
     doc_ids, _tfs, first_pos = reader.postings(term)
     if not len(doc_ids):
@@ -257,7 +299,7 @@ def snippet_table(
         ds = ds.repartition(nblocks)
     out = ds.map_batches(
         _SnippetStage, batch_format="pyarrow",
-        fn_constructor_args=(index_dir, term, width),
+        fn_constructor_args=(index_dir, width, analyzer_factory),
         concurrency=(1, min(concurrency, nblocks)),
         batch_size=batch_size)
     from konlsearch_ray.functions.blocks import nonempty_blocks

@@ -1051,6 +1051,9 @@ class IndexReader:
         """
         toks = sorted(set(normalize_query_tokens(tokens)))
         did = int(doc_id)
+        dl = None  # constant per doc — resolved on the FIRST matching
+        # term (doc_len on an id absent from the corpus is undefined,
+        # so it must not run for docs no query term contains)
         out = []
         for t in toks:
             ids, tfs = self.postings_scores(t)
@@ -1061,7 +1064,8 @@ class IndexReader:
                 continue
             tf = float(tfs[i])
             w = self.idf(t)
-            dl = float(self.doc_len(np.array([did], dtype=np.int64))[0])
+            if dl is None:
+                dl = float(self.doc_len(np.array([did], dtype=np.int64))[0])
             contrib = w * tf * (K1 + 1) / (
                 tf + K1 * (1 - B + B * dl / self.avgdl))
             out.append({"term": t, "tf": int(tfs[i]), "idf": w,
@@ -1069,7 +1073,8 @@ class IndexReader:
         return out
 
     def more_like_this(self, doc_id: int, n_terms: int = 5, k: int = 10,
-                       prune: bool = True) -> list[tuple[int, float]]:
+                       prune: bool = True,
+                       analyzer=None) -> list[tuple[int, float]]:
         """Similar-document search (Lucene MoreLikeThis shape): select
         the source doc's ``n_terms`` highest tf·idf terms, run them as a
         BM25 OR query, exclude the source doc, return top ``k``.
@@ -1083,15 +1088,17 @@ class IndexReader:
         k best non-source docs all sit inside the overall top ``k+1``.
 
         The source doc's term stream re-derives from the docstore
-        through the normative analyzer (same contract as
-        ``get_ordered_tokens``); an absent/deleted ``doc_id`` returns [].
+        (same contract as ``get_ordered_tokens``); indexes built with a
+        custom analyzer_factory must pass the SAME ``analyzer`` here or
+        the tf counts won't match the indexed stream. An absent/deleted
+        ``doc_id`` returns [].
         """
         store = getattr(self, "_docstore", None)
         if store is None:
             from konlsearch_ray.docstore import DocStore
 
             store = self._docstore = DocStore(self.index_dir)
-        toks = store.get_ordered_tokens(doc_id)
+        toks = store.get_ordered_tokens(doc_id, analyzer=analyzer)
         if not toks:
             return []
         sel_terms = _mlt_select(toks, self.idf, n_terms)

@@ -116,6 +116,18 @@ def test_snippet_table_matches_bruteforce(export_built):
         assert expect[int(d)] == (int(p1), sn)
 
 
+def test_snippet_normalizes_query_term(export_built):
+    from konlsearch_ray.export import snippet_table
+
+    index_dir, docs = export_built
+    counts = collections.Counter(
+        t for text in docs.values() for t in set(tokenize(text)))
+    term = counts.most_common(1)[0][0]
+    lower = snippet_table(index_dir, term).to_pandas()
+    upper = snippet_table(index_dir, term.upper()).to_pandas()
+    assert len(lower) and lower.equals(upper)
+
+
 def test_snippet_unknown_term_empty_with_schema(export_built):
     from konlsearch_ray.export import snippet_table
 
