@@ -262,7 +262,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "wavg_price", "profile_events", "retention_weekly",
                "daily_active_users", "twap_value",
                "event_covar", "postings_export", "snippet_term", "mlt_doc",
-               "mlt_sharded", "bm25_explain"]
+               "mlt_sharded", "bm25_explain", "spell_suggest"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -1698,6 +1698,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "score": pa.array([round(s, 4) for _, s in top],
                                pa.float64())})
 
+    def spell_suggest(sf_dir):
+        # Did-you-mean: vocabulary terms at Levenshtein distance exactly
+        # 1 from the misspelling 'tabl', ranked by global df (term-asc
+        # ties) — shared integer ed==1 verifier, SQL levenshtein oracle.
+        hits = _reader(sf_dir).suggest_spelling("tabl", k=5)
+        return pa.table(
+            {"df": pa.array([d for d, _ in hits], pa.int64()),
+             "term": pa.array([t for _, t in hits], pa.string())})
+
     def bm25_explain(sf_dir):
         # Per-term score breakdown for doc 7 under the headline BM25
         # query — Lucene-explain shape, every expression mirrored.
@@ -1893,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_doc": mlt_doc,
         "mlt_sharded": mlt_sharded,
         "bm25_explain": bm25_explain,
+        "spell_suggest": spell_suggest,
     })
 
 
@@ -3030,4 +3040,9 @@ SELECT tf.term, tf.tf,
         / (tf.tf::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
         4) AS contrib
 FROM tf JOIN df USING (term) CROSS JOIN st CROSS JOIN dl ORDER BY tf.term"""
+    out["spell_suggest"] = f"""WITH {_KEPT}, {_OCC},
+v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM occ
+      GROUP BY term)
+SELECT df, term FROM v WHERE levenshtein(term, 'tabl') = 1
+ORDER BY df DESC, term LIMIT 5"""
     return _ordered(out)

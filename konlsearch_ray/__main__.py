@@ -14,6 +14,7 @@ driver contract). Commands mirror the reference's embedded API surface:
   export   <index_dir> <out_dir>          postings -> (term, doc_id, tf) parquet
   snippet  <index_dir> <term>             first-occurrence highlight windows
   mlt      <index_dir> <doc_id>           more-like-this similar docs
+  spell    <index_dir> <term>             did-you-mean (edit-distance-1)
 """
 
 from __future__ import annotations
@@ -99,6 +100,10 @@ def main(argv: list[str] | None = None) -> int:
     ml.add_argument("index_dir"); ml.add_argument("doc_id", type=int)
     ml.add_argument("--terms", type=int, default=5)
     ml.add_argument("-k", type=int, default=10)
+
+    sp = sub.add_parser("spell")
+    sp.add_argument("index_dir"); sp.add_argument("term")
+    sp.add_argument("-k", type=int, default=5)
 
     args = p.parse_args(argv)
 
@@ -187,6 +192,12 @@ def main(argv: list[str] | None = None) -> int:
         for doc, score in r.more_like_this(args.doc_id, n_terms=args.terms,
                                            k=args.k):
             print(f"{doc}\t{score:.4f}")
+    elif args.cmd == "spell":
+        from konlsearch_ray.query import IndexReader
+
+        r = IndexReader(args.index_dir)
+        for df, t in r.suggest_spelling(args.term, k=args.k):
+            print(f"{t}\t{df}")
     return 0
 
 

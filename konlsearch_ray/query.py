@@ -1072,6 +1072,55 @@ class IndexReader:
                         "contrib": contrib})
         return out
 
+    def suggest_spelling(self, term: str, k: int = 5) -> list[tuple[int, str]]:
+        """Did-you-mean: vocabulary terms at Levenshtein distance
+        EXACTLY 1 from ``term``, ranked by global df descending (term
+        ascending on ties) — the classic spell-correction suggester.
+
+        Returns ``[(df, term), ...]`` (at most ``k``). The scan is the
+        same cost-∝-vocabulary contract as ``search_contains`` /
+        ``search_regex``: a length-(±1) prefilter over the dictionary's
+        term column, then the shared exact vectorized ed==1 verifier
+        (``functions.fuzzy._ed1_mask`` — pure integer codepoint
+        comparisons, so a SQL ``levenshtein(term, q) = 1`` oracle agrees
+        bit-for-bit). The dictionary (term, global df) loads once per
+        reader and is cached.
+        """
+        from konlsearch_ray.functions.fuzzy import _ed1_mask
+
+        q = normalize_query_tokens([term])
+        if not q:
+            return []
+        qs = q[0]
+        cache = getattr(self, "_dict_cache", None)
+        if cache is None:
+            d = os.path.join(self.index_dir, "dictionary")
+            files = [os.path.join(d, n) for n in sorted(os.listdir(d))
+                     if n.endswith(".parquet")]
+            parts = [pq.read_table(f, columns=["term", "df"])
+                     for f in files]
+            t = pa.concat_tables(parts) if parts else pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())})
+            terms_u = np.asarray(t["term"].to_numpy(zero_copy_only=False),
+                                 dtype="U")
+            cache = self._dict_cache = (
+                terms_u, np.char.str_len(terms_u).astype(np.int64),
+                t["df"].to_numpy(zero_copy_only=False).astype(np.int64))
+        terms_u, lens, dfs = cache
+        if not len(terms_u):
+            return []
+        cand = np.flatnonzero(np.abs(lens - len(qs)) <= 1)
+        if not len(cand):
+            return []
+        # NOTE: dtype="U" would silently truncate to U1 — let numpy
+        # infer the itemsize from qs.
+        ok = _ed1_mask(terms_u[cand], np.full(len(cand), qs))
+        hits = cand[ok]
+        ranked = sorted(((int(dfs[i]), str(terms_u[i])) for i in hits),
+                        key=lambda t2: (-t2[0], t2[1]))[:k]
+        return ranked
+
     def more_like_this(self, doc_id: int, n_terms: int = 5, k: int = 10,
                        prune: bool = True,
                        analyzer=None) -> list[tuple[int, float]]:

@@ -229,6 +229,32 @@ def test_explain_sums_to_bm25_score(export_built):
     assert reader.explain(["zzqqxxnotaterm"], top[0][0]) == []
 
 
+def _dp_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_spelling_matches_bruteforce(export_built):
+    from konlsearch_ray.query import IndexReader
+
+    index_dir, docs = export_built
+    reader = IndexReader(index_dir)
+    vocab = collections.Counter(
+        t for text in docs.values() for t in set(tokenize(text)))
+    for q in ["tabl", "merg", "xmerge", "a", "zzzz"]:
+        want = sorted(((df, t) for t, df in vocab.items()
+                       if _dp_lev(t, q) == 1),
+                      key=lambda x: (-x[0], x[1]))[:5]
+        assert reader.suggest_spelling(q, k=5) == want, q
+    assert reader.suggest_spelling("") == []
+
+
 def test_grouped_covar_exact(ray_session):
     import ray
 
