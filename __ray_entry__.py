@@ -262,7 +262,8 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "wavg_price", "profile_events", "retention_weekly",
                "daily_active_users", "twap_value",
                "event_covar", "postings_export", "snippet_term", "mlt_doc",
-               "mlt_sharded", "bm25_explain", "spell_suggest"]
+               "mlt_sharded", "bm25_explain", "spell_suggest",
+               "search_andnot", "value_stddev"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -344,6 +345,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def search_complex(sf_dir):
         tree = (((["table"], "AND"), (["merge"], "AND"), "AND"),
                 ((["vector"], "AND"), (["spark"], "AND"), "AND"), "OR")
+        return _ids_table(_reader(sf_dir).search_complex(tree))
+
+    def search_andnot(sf_dir):
+        # MUST_NOT / SQL EXCEPT over the complex-tree evaluator: docs
+        # with BOTH 'table' and 'merge' but WITHOUT 'vector'. Disjoint
+        # shards make the difference distribute unchanged.
+        tree = ((["table", "merge"], "AND"), (["vector"], "AND"), "ANDNOT")
         return _ids_table(_reader(sf_dir).search_complex(tree))
 
     def search_prefix_docs(sf_dir):
@@ -1698,6 +1706,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "score": pa.array([round(s, 4) for _, s in top],
                                pa.float64())})
 
+    def value_stddev(sf_dir):
+        # Per-type sample standard deviation of cents value — exact
+        # integer suffstats, one mirrored sqrt expression.
+        from konlsearch_ray.functions.stats import grouped_stddev
+
+        ev = _cents_events(sf_dir, ["event_id", "event_type", "value"])
+        return grouped_stddev(ev, "event_type", "v")
+
     def spell_suggest(sf_dir):
         # Did-you-mean: vocabulary terms at Levenshtein distance exactly
         # 1 from the misspelling 'tabl', ranked by global df (term-asc
@@ -1903,6 +1919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_sharded": mlt_sharded,
         "bm25_explain": bm25_explain,
         "spell_suggest": spell_suggest,
+        "search_andnot": search_andnot,
+        "value_stddev": value_stddev,
     })
 
 
@@ -3045,4 +3063,24 @@ v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM occ
       GROUP BY term)
 SELECT df, term FROM v WHERE levenshtein(term, 'tabl') = 1
 ORDER BY df DESC, term LIMIT 5"""
+    out["search_andnot"] = f"""WITH {_KEPT}, {_OCC},
+d AS (SELECT DISTINCT doc_id, term FROM occ)
+SELECT doc_id::BIGINT AS doc_id FROM (
+  SELECT doc_id FROM d WHERE term IN ('table', 'merge')
+  GROUP BY doc_id HAVING count(*) = 2
+  EXCEPT
+  SELECT doc_id FROM d WHERE term = 'vector'
+) ORDER BY doc_id"""
+    out["value_stddev"] = """WITH b AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS x
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+s AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(x*x)::BIGINT AS sxx
+      FROM b GROUP BY event_type)
+SELECT event_type, n,
+  CASE WHEN n < 2 THEN NULL
+       ELSE sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                 / (CAST(n AS DOUBLE)*(n-1)))
+  END AS stddev
+FROM s"""
     return _ordered(out)

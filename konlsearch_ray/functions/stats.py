@@ -385,6 +385,63 @@ def grouped_covar(
     return nonempty_blocks(out, (key_col, "n", "covar"), fallback=fallback)
 
 
+def grouped_stddev(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+) -> ray.data.Dataset:
+    """Per-key exact SAMPLE standard deviation of an INTEGER column —
+    SQL ``stddev_samp`` — from the shared suffstat partial (quantize
+    floats upstream). The one float expression
+
+        stddev = sqrt((n·Sxx − Sx²) / (n·(n−1)))
+
+    evaluates from exact int64 sums (the numerator is ≥ 0 exactly, so
+    no clamping is needed); ``n < 2`` emits NULL, a constant column
+    emits 0.0 — both matching ``stddev_samp``. Null keys / null values
+    drop exactly as in ``grouped_corr``.
+
+    Output: ``key_col``, ``n`` (int64), ``stddev`` (float64). Same
+    overflow contract as the other suffstat operators.
+    """
+    sch = _arrow_schema(ds)
+    ktyp = sch.field(key_col).type
+    if not pa.types.is_integer(sch.field(x_col).type):
+        raise ValueError(
+            f"{x_col!r} must be integer-typed for exact stddev partials "
+            f"(got {sch.field(x_col).type}); quantize upstream")
+
+    partial = _suffstat_partial(key_col, ktyp, x_col, x_col,
+                                ("n", "sx", "sxx"))
+
+    fallback = pa.table({
+        key_col: pa.array([], ktyp),
+        "n": pa.array([], pa.int64()),
+        "stddev": pa.array([], pa.float64()),
+    })
+
+    def merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return fallback
+        n = pc.sum(g["n"]).as_py()
+        sx, sxx = pc.sum(g["sx"]).as_py(), pc.sum(g["sxx"]).as_py()
+        if n < 2:
+            sd = pa.nulls(1, pa.float64())
+        else:
+            var = (float(n) * float(sxx) - float(sx) * float(sx)) / (
+                float(n) * float(n - 1))
+            sd = pa.array([np.sqrt(var)], pa.float64())
+        return pa.table({
+            key_col: g[key_col][:1],
+            "n": pa.array([n], pa.int64()),
+            "stddev": sd,
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
+    return nonempty_blocks(out, (key_col, "n", "stddev"), fallback=fallback)
+
+
 def grouped_regression(
     ds: ray.data.Dataset,
     key_col: str,

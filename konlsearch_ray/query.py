@@ -819,7 +819,8 @@ class IndexReader:
         return [d for part in _ray.get(refs) for d in part]
 
     def search_complex(self, tree) -> list[int]:
-        """tree = (left, right, 'AND'|'OR'); leaves are (tokens, mode)."""
+        """tree = (left, right, 'AND'|'OR'|'ANDNOT'); leaves are
+        (tokens, mode)."""
         return [int(x) for x in np.sort(self._eval(tree))]
 
     def _eval(self, node) -> np.ndarray:
@@ -829,6 +830,12 @@ class IndexReader:
         lres, rres = self._eval(left), self._eval(right)
         if op == "AND":
             return np.intersect1d(lres, rres, assume_unique=True)
+        if op == "ANDNOT":
+            # Set difference (SQL EXCEPT / Lucene MUST_NOT). Distributes
+            # over the sharded engine unchanged: every doc lives in
+            # exactly one shard, so per-shard differences union to the
+            # global difference.
+            return np.setdiff1d(lres, rres, assume_unique=True)
         return np.union1d(lres, rres)
 
     # --- BM25 -----------------------------------------------------------

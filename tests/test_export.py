@@ -279,6 +279,57 @@ def test_grouped_covar_exact(ray_session):
         assert out.loc[i, "covar"] == want  # bit-identical, not allclose
 
 
+def test_search_andnot_matches_bruteforce(export_built):
+    from konlsearch_ray.query import IndexReader, ShardedQueryEngine
+
+    index_dir, docs = export_built
+    counts = collections.Counter(
+        t for text in docs.values() for t in set(tokenize(text)))
+    a, b, c = [t for t, _ in counts.most_common(3)]
+    tree = (([a, b], "AND"), ([c], "AND"), "ANDNOT")
+    reader = IndexReader(index_dir)
+    got = reader.search_complex(tree)
+    want = sorted(d for d, text in docs.items()
+                  if {a, b} <= set(tokenize(text))
+                  and c not in set(tokenize(text)))
+    assert got == want
+    eng = ShardedQueryEngine(index_dir, num_actors=2)
+    try:
+        assert eng.search_complex(tree) == want
+    finally:
+        eng.shutdown()
+
+
+def test_grouped_stddev_exact(ray_session):
+    import math
+
+    import ray
+
+    from konlsearch_ray.functions.stats import grouped_stddev
+
+    rng = np.random.default_rng(5)
+    k = np.repeat(["a", "b"], 50)
+    x = rng.integers(-100, 100, size=100)
+    t = pa.table({"k": pa.array(k), "x": pa.array(x, pa.int64())})
+    out = (grouped_stddev(ray.data.from_arrow(t).repartition(4), "k", "x")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for i, key in enumerate(["a", "b"]):
+        m = k == key
+        n = int(m.sum())
+        sx = int(x[m].sum())
+        sxx = int((x[m].astype(np.int64) ** 2).sum())
+        want = math.sqrt((float(n) * float(sxx) - float(sx) * float(sx))
+                         / (float(n) * float(n - 1)))
+        assert out.loc[i, "stddev"] == want  # bit-identical
+
+    # n=1 -> NULL; constant column -> exactly 0.0
+    t2 = pa.table({"k": pa.array(["a", "b", "b", "b"]),
+                   "x": pa.array([5, 7, 7, 7], pa.int64())})
+    out2 = (grouped_stddev(ray.data.from_arrow(t2), "k", "x")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert np.isnan(out2.loc[0, "stddev"]) and out2.loc[1, "stddev"] == 0.0
+
+
 def test_grouped_covar_null_and_single_row(ray_session):
     import ray
 
