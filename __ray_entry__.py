@@ -3079,8 +3079,8 @@ s AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
       FROM b GROUP BY event_type)
 SELECT event_type, n,
   CASE WHEN n < 2 THEN NULL
-       ELSE sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
-                 / (CAST(n AS DOUBLE)*(n-1)))
+       ELSE sqrt(greatest((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                          / (CAST(n AS DOUBLE)*(n-1)), 0))
   END AS stddev
 FROM s"""
     return _ordered(out)

@@ -210,7 +210,9 @@ def run_bench() -> dict:
     # ~96 shards: enough task waves that per-shard time skew doesn't leave
     # cores idle at the tail, at any leg size.
     shard_size = max(1024, BENCH_DOCS // 96)
-    stats_box: dict = {}
+    stats_by_time: dict = {}  # per-attempt stats, keyed by the rounded
+    # wall time, so the breakdown reported later matches the CHOSEN
+    # attempt (not just the last one run)
 
     def _code_build() -> dict:
         shutil.rmtree(code_idx, ignore_errors=True)
@@ -218,15 +220,14 @@ def run_bench() -> dict:
         stats = build_index(
             CORPUS_DIR, code_idx,
             IndexConfig(shard_size=shard_size, tokenize_batch_size=2048))
-        dt = time.perf_counter() - t0
-        stats_box.clear()
-        stats_box.update(stats)
-        return {"index_build_code": round(dt, 3),
+        dt = round(time.perf_counter() - t0, 3)
+        stats_by_time[dt] = stats
+        return {"index_build_code": dt,
                 "index_build_docs_per_sec": round(stats["N"] / dt, 1)}
 
     _probed_section(queries, "code_build", _code_build,
                     score=lambda o: -o["index_build_code"])
-    stats = stats_box
+    stats = stats_by_time[queries["index_build_code"]]
 
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         ray.shutdown()

@@ -97,17 +97,11 @@ def export_postings(
         + ([("first_pos", pa.int64())] if include_positions else []))
 
     def _blob(batch: pa.Table, name: str) -> memoryview:
-        """All rows of a binary column as ONE buffer slice — rows are
-        contiguous after combine_chunks, so the concatenation is a
-        zero-copy view (same trick as tombstone._binary_col_data), not
-        an O(rows) ``b"".join`` of per-row bytes objects."""
-        col = batch[name].combine_chunks().cast(pa.large_binary())
-        bufs = col.buffers()
-        offs = np.frombuffer(bufs[1], np.int64,
-                             count=len(col) + 1 + col.offset)[col.offset:]
-        if bufs[2] is None:
-            return memoryview(b"")
-        return memoryview(bufs[2])[int(offs[0]):int(offs[-1])]
+        """All rows of a binary column as ONE zero-copy buffer slice —
+        the shared tombstone helper, not an O(rows) ``b"".join``."""
+        from konlsearch_ray.tombstone import _binary_col_data
+
+        return _binary_col_data(batch[name])
 
     def decode(batch: pa.Table) -> pa.Table:
         from konlsearch_ray.codec import varint_decode

@@ -394,12 +394,14 @@ def grouped_stddev(
     SQL ``stddev_samp`` — from the shared suffstat partial (quantize
     floats upstream). The one float expression
 
-        stddev = sqrt((n·Sxx − Sx²) / (n·(n−1)))
+        stddev = sqrt(greatest((n·Sxx − Sx²) / (n·(n−1)), 0))
 
-    evaluates from exact int64 sums (the numerator is ≥ 0 exactly, so
-    no clamping is needed); ``n < 2`` emits NULL, a constant column
-    emits 0.0 — both matching ``stddev_samp``. Null keys / null values
-    drop exactly as in ``grouped_corr``.
+    evaluates from exact int64 sums. The numerator is ≥ 0 EXACTLY but
+    its float evaluation can round a few ulp negative on constant
+    groups with large values, so both sides clamp at 0 (the oracle via
+    ``greatest``); ``n < 2`` emits NULL, a constant column emits 0.0 —
+    both matching ``stddev_samp``. Null keys / null values drop exactly
+    as in ``grouped_corr``.
 
     Output: ``key_col``, ``n`` (int64), ``stddev`` (float64). Same
     overflow contract as the other suffstat operators.
@@ -428,9 +430,14 @@ def grouped_stddev(
         if n < 2:
             sd = pa.nulls(1, pa.float64())
         else:
+            # Clamp at 0: the EXACT numerator n·Sxx − Sx² is ≥ 0, but
+            # the float evaluation can round a few ulp negative for
+            # constant/near-constant groups with large values (observed:
+            # 13 × 123456789 → −3.28), which would NaN here and
+            # hard-error a SQL oracle's sqrt. Mirror with greatest(.., 0).
             var = (float(n) * float(sxx) - float(sx) * float(sx)) / (
                 float(n) * float(n - 1))
-            sd = pa.array([np.sqrt(var)], pa.float64())
+            sd = pa.array([np.sqrt(max(var, 0.0))], pa.float64())
         return pa.table({
             key_col: g[key_col][:1],
             "n": pa.array([n], pa.int64()),

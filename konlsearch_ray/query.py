@@ -79,6 +79,22 @@ def _string_col_to_S(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return out.ravel().view(f"S{width}")
 
 
+def _read_dictionary(index_dir: str) -> pa.Table:
+    """The global ``dictionary/`` (term, df) table — ONE loader shared
+    by the reader's global-df init and the spell suggester so the file
+    walk / projection / concat logic lives in one place."""
+    d = os.path.join(index_dir, "dictionary")
+    parts = [
+        pq.read_table(os.path.join(d, n), columns=["term", "df"])
+        for n in (sorted(os.listdir(d)) if os.path.isdir(d) else [])
+        if n.endswith(".parquet")
+    ]
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    return pa.concat_tables(parts)
+
+
 def _prefix_upper(pb: bytes) -> bytes | None:
     """Smallest byte string greater than every string with prefix ``pb``
     (big-endian increment with 0xFF carry); None when no upper bound
@@ -314,14 +330,8 @@ class IndexReader:
         self._global_df: tuple[np.ndarray, np.ndarray] | None = None
         self._gdf_memo: dict[str, int] = {}
         if use_global_df:
-            d = os.path.join(index_dir, "dictionary")
-            parts = [
-                pq.read_table(os.path.join(d, n), columns=["term", "df"])
-                for n in (sorted(os.listdir(d)) if os.path.isdir(d) else [])
-                if n.endswith(".parquet")
-            ]
-            if parts:
-                dt = pa.concat_tables(parts)
+            dt = _read_dictionary(index_dir)
+            if dt.num_rows:
                 terms_s = _string_col_to_S(dt["term"])
                 order = np.argsort(terms_s, kind="stable")
                 dfs = dt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1101,14 +1111,12 @@ class IndexReader:
         qs = q[0]
         cache = getattr(self, "_dict_cache", None)
         if cache is None:
-            d = os.path.join(self.index_dir, "dictionary")
-            files = [os.path.join(d, n) for n in sorted(os.listdir(d))
-                     if n.endswith(".parquet")]
-            parts = [pq.read_table(f, columns=["term", "df"])
-                     for f in files]
-            t = pa.concat_tables(parts) if parts else pa.table(
-                {"term": pa.array([], pa.string()),
-                 "df": pa.array([], pa.int64())})
+            # A second representation, not a second source: the global-df
+            # init keeps UTF-8 BYTES (S-dtype, for searchsorted probes);
+            # ed1 needs CODEPOINTS (U-dtype — bytes→str via astype would
+            # mangle Hangul), so the suggester caches its own U array
+            # from the same shared loader.
+            t = _read_dictionary(self.index_dir)
             terms_u = np.asarray(t["term"].to_numpy(zero_copy_only=False),
                                  dtype="U")
             cache = self._dict_cache = (

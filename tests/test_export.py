@@ -329,6 +329,15 @@ def test_grouped_stddev_exact(ray_session):
             .to_pandas().sort_values("k").reset_index(drop=True))
     assert np.isnan(out2.loc[0, "stddev"]) and out2.loc[1, "stddev"] == 0.0
 
+    # Large constant values: the float numerator rounds a few ulp
+    # negative (13 x 123456789 -> -3.28 exactly-0 numerator) — the
+    # clamp must emit 0.0, never NaN, matching the greatest(.., 0)
+    # oracle side.
+    t3 = pa.table({"k": pa.array(["c"] * 13),
+                   "x": pa.array([123456789] * 13, pa.int64())})
+    out3 = grouped_stddev(ray.data.from_arrow(t3), "k", "x").take_all()
+    assert out3[0]["stddev"] == 0.0
+
 
 def test_grouped_covar_null_and_single_row(ray_session):
     import ray
