@@ -97,6 +97,33 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return np.bitwise_or.reduceat(contrib, starts)
 
 
+def decode_doc_ids_grouped(blob, df: np.ndarray) -> np.ndarray:
+    """Concatenated per-term delta-gap varint streams → absolute int64
+    doc ids, in one pass.
+
+    ``df`` gives each sub-list's entry count; per the
+    ``encode_postings_grouped`` contract the FIRST gap of every sub-list
+    is the absolute doc id and later gaps are deltas, so absolutization
+    is a full cumsum minus the running total just before each sub-list
+    start (segmented cumsum). This is the codec's most
+    invariant-sensitive trick — the ONE shared implementation behind
+    the reader's fused cross-shard decode, tombstone compaction's shard
+    rewrite, and the postings export. Zero-length sub-lists are allowed.
+    """
+    df = np.ascontiguousarray(df, dtype=np.int64)
+    total = int(df.sum())
+    if not total:
+        return np.zeros(0, dtype=np.int64)
+    gaps = varint_decode(blob, total).astype(np.int64)
+    c = np.cumsum(gaps)
+    starts = np.concatenate(([0], np.cumsum(df)[:-1]))
+    # c[starts - 1] with starts==0 would wrap to c[-1]; np.where keeps
+    # the evaluation safe and picks 0 for the first (and any empty-run)
+    # boundary.
+    prev = np.where(starts > 0, c[np.maximum(starts - 1, 0)], 0)
+    return c - np.repeat(prev, df)
+
+
 def encode_posting(
     doc_ids: np.ndarray, tfs: np.ndarray, positions: np.ndarray
 ) -> dict:

@@ -116,16 +116,12 @@ def export_postings(
         total = int(df.sum())
         if not total:
             return out_schema.empty_table()
-        gaps = varint_decode(_blob(batch, "doc_ids_bin"),
-                             total).astype(np.int64)
+        from konlsearch_ray.codec import decode_doc_ids_grouped
+
         tfs = varint_decode(_blob(batch, "tfs_bin"), total).astype(np.int64)
-        # Segmented cumsum: within each segment row the first gap is the
-        # absolute doc id, later gaps are deltas.
-        starts = np.concatenate(([0], np.cumsum(df)[:-1]))
-        c = np.cumsum(gaps)
-        base = np.zeros(len(df), dtype=np.int64)
-        base[1:] = c[starts[1:] - 1]  # cumsum just before each row start
-        docs = c - np.repeat(base, df)
+        # Shared segmented-cumsum re-absolutization (first gap per
+        # segment row is the absolute doc id).
+        docs = decode_doc_ids_grouped(_blob(batch, "doc_ids_bin"), df)
         term_col = (batch["term"].combine_chunks()
                     if isinstance(batch["term"], pa.ChunkedArray)
                     else batch["term"])

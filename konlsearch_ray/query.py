@@ -498,15 +498,12 @@ class IndexReader:
             offs, data = self._seg_bin(si, "tfs_bin")
             blobs_tf.append(data[offs[i]:offs[i + 1]])
         if dfs:
+            from konlsearch_ray.codec import decode_doc_ids_grouped
+
             n = int(sum(dfs))
             dfs_np = np.asarray(dfs, dtype=np.int64)
-            gaps = varint_decode(b"".join(blobs_doc), n).astype(np.int64)
-            c = np.cumsum(gaps)
-            prev = np.zeros(len(dfs_np), dtype=np.int64)
-            if len(dfs_np) > 1:
-                prev[1:] = c[np.cumsum(dfs_np)[:-1] - 1]
             out = (
-                c - np.repeat(prev, dfs_np),
+                decode_doc_ids_grouped(b"".join(blobs_doc), dfs_np),
                 varint_decode(b"".join(blobs_tf), n).astype(np.int32),
             )
         else:
@@ -1111,29 +1108,36 @@ class IndexReader:
         qs = q[0]
         cache = getattr(self, "_dict_cache", None)
         if cache is None:
-            # A second representation, not a second source: the global-df
-            # init keeps UTF-8 BYTES (S-dtype, for searchsorted probes);
-            # ed1 needs CODEPOINTS (U-dtype — bytes→str via astype would
-            # mangle Hangul), so the suggester caches its own U array
-            # from the same shared loader.
+            # Cache the Arrow term column + codepoint lengths + dfs; the
+            # padded U-dtype conversion (4 bytes x longest term PER term
+            # — hundreds of MB on a wide source-code vocabulary) happens
+            # per query on the length-prefiltered CANDIDATE subset only.
+            # (The global-df init keeps UTF-8 BYTES for searchsorted;
+            # ed1 needs CODEPOINTS — bytes→str astype would mangle
+            # Hangul — hence this second, lazily-built representation.)
             t = _read_dictionary(self.index_dir)
-            terms_u = np.asarray(t["term"].to_numpy(zero_copy_only=False),
-                                 dtype="U")
+            term_col = t["term"].combine_chunks()
+            lens = pc.utf8_length(term_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
             cache = self._dict_cache = (
-                terms_u, np.char.str_len(terms_u).astype(np.int64),
+                term_col, lens,
                 t["df"].to_numpy(zero_copy_only=False).astype(np.int64))
-        terms_u, lens, dfs = cache
-        if not len(terms_u):
+        term_col, lens, dfs = cache
+        if not len(term_col):
             return []
         cand = np.flatnonzero(np.abs(lens - len(qs)) <= 1)
         if not len(cand):
             return []
+        cand_u = np.asarray(
+            term_col.take(pa.array(cand)).to_numpy(zero_copy_only=False),
+            dtype="U")
         # NOTE: dtype="U" would silently truncate to U1 — let numpy
         # infer the itemsize from qs.
-        ok = _ed1_mask(terms_u[cand], np.full(len(cand), qs))
+        ok = _ed1_mask(cand_u, np.full(len(cand), qs))
         hits = cand[ok]
-        ranked = sorted(((int(dfs[i]), str(terms_u[i])) for i in hits),
-                        key=lambda t2: (-t2[0], t2[1]))[:k]
+        ranked = sorted(
+            ((int(dfs[i]), str(u)) for i, u in zip(hits, cand_u[ok])),
+            key=lambda t2: (-t2[0], t2[1]))[:k]
         return ranked
 
     def more_like_this(self, doc_id: int, n_terms: int = 5, k: int = 10,
@@ -1408,15 +1412,28 @@ class ShardQueryActor:
         allowed = self._docstore.ids_matching(flt, shards=self.shard_set)
         return self.reader.bm25_topk(tokens, k, allowed=allowed)
 
-    def mlt_terms(self, doc_id: int, n_terms: int):
+    def mlt_terms(self, doc_id: int, n_terms: int, analyzer_factory=None):
         """More-like-this term selection, answered ONLY by the actor
         whose shard subset owns ``doc_id`` (None otherwise — exactly one
         actor responds per query). tf comes from this actor's docstore
         row; idf is global (dictionary-backed), so the selection equals
-        the single reader's bit-for-bit (shared ``_mlt_select``)."""
+        the single reader's bit-for-bit (shared ``_mlt_select``).
+        ``analyzer_factory``: same contract as the single reader's
+        ``analyzer`` arg — custom-analyzer indexes must select over the
+        SAME token stream that was indexed. The built analyzer caches
+        per actor (keyed by factory)."""
         if self._docstore._shard_of(int(doc_id)) not in self.shard_set:
             return None
-        toks = self._docstore.get_ordered_tokens(int(doc_id))
+        analyzer = None
+        if analyzer_factory is not None:
+            memo = getattr(self, "_mlt_analyzers", None)
+            if memo is None:
+                memo = self._mlt_analyzers = {}
+            analyzer = memo.get(analyzer_factory)
+            if analyzer is None:
+                analyzer = memo[analyzer_factory] = analyzer_factory()
+        toks = self._docstore.get_ordered_tokens(int(doc_id),
+                                                 analyzer=analyzer)
         if not toks:
             return [] if toks is not None else None
         return _mlt_select(toks, self.reader.idf, n_terms)
@@ -1532,16 +1549,20 @@ class ShardedQueryEngine:
         return merged[:k]
 
     def more_like_this(self, doc_id: int, n_terms: int = 5,
-                       k: int = 10) -> list[tuple[int, float]]:
+                       k: int = 10,
+                       analyzer_factory=None) -> list[tuple[int, float]]:
         """Scatter-gather more-like-this, rank-identical to
         ``IndexReader.more_like_this``: term selection runs on the ONE
         actor owning the doc's shard (tf local, idf global), then the
         selected terms fan out through the standard sharded BM25 with
-        the exact k+1 source-exclusion argument."""
+        the exact k+1 source-exclusion argument. Custom-analyzer indexes
+        pass the FACTORY (actors build + cache it; same contract as the
+        single reader's ``analyzer`` arg)."""
         import ray as _ray
 
-        parts = _ray.get([a.mlt_terms.remote(int(doc_id), n_terms)
-                          for a in self._actors])
+        parts = _ray.get([
+            a.mlt_terms.remote(int(doc_id), n_terms, analyzer_factory)
+            for a in self._actors])
         sel = next((p for p in parts if p is not None), None)
         if not sel:
             return []

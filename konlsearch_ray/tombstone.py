@@ -100,14 +100,11 @@ def _rewrite_shard(batch: pa.Table, index_dir: str, dead: np.ndarray) -> pa.Tabl
         df = (seg["df"].to_numpy().astype(np.int64)
               if nterms else np.zeros(0, np.int64))
         total = int(df.sum())
-        gaps = varint_decode(_binary_col_data(seg["doc_ids_bin"]), total)
+        from konlsearch_ray.codec import decode_doc_ids_grouped
+
         tfs = varint_decode(_binary_col_data(seg["tfs_bin"]), total)
         poss = varint_decode(_binary_col_data(seg["pos_bin"]), total)
-        c = np.cumsum(gaps.astype(np.int64))
-        prev = np.zeros(nterms, dtype=np.int64)
-        if nterms > 1:
-            prev[1:] = c[np.cumsum(df)[:-1] - 1]
-        ids = c - np.repeat(prev, df)
+        ids = decode_doc_ids_grouped(_binary_col_data(seg["doc_ids_bin"]), df)
         keep = ~np.isin(ids, dead)
         term_of = np.repeat(np.arange(nterms, dtype=np.int64), df)
         new_df = np.bincount(term_of[keep], minlength=nterms)

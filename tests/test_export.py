@@ -207,6 +207,27 @@ def test_more_like_this_sharded_parity(export_built):
         eng.shutdown()
 
 
+def test_more_like_this_sharded_custom_analyzer_parity(export_built):
+    """The analyzer pass-through must keep sharded == single even when
+    the selection stream comes from a non-normative analyzer (parity of
+    the plumbing; both sides see the same token stream)."""
+    from konlsearch_ray.analyzer import KoreanLexiconAnalyzer
+    from konlsearch_ray.query import IndexReader, ShardedQueryEngine
+
+    index_dir, docs = export_built
+    reader = IndexReader(index_dir)
+    eng = ShardedQueryEngine(index_dir, num_actors=2)
+    try:
+        for src in list(sorted(docs))[:3]:
+            assert eng.more_like_this(
+                src, n_terms=4, k=10,
+                analyzer_factory=KoreanLexiconAnalyzer) == \
+                reader.more_like_this(src, n_terms=4, k=10,
+                                      analyzer=KoreanLexiconAnalyzer())
+    finally:
+        eng.shutdown()
+
+
 def test_explain_sums_to_bm25_score(export_built):
     from konlsearch_ray.query import IndexReader
 
