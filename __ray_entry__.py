@@ -263,7 +263,7 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "daily_active_users", "twap_value",
                "event_covar", "postings_export", "snippet_term", "mlt_doc",
                "mlt_sharded", "bm25_explain", "spell_suggest",
-               "search_andnot", "value_stddev"]
+               "search_andnot", "value_stddev", "facet_lang"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -346,6 +346,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tree = (((["table"], "AND"), (["merge"], "AND"), "AND"),
                 ((["vector"], "AND"), (["spark"], "AND"), "AND"), "OR")
         return _ids_table(_reader(sf_dir).search_complex(tree))
+
+    def facet_lang(sf_dir):
+        # Faceted search (terms-aggregation shape): hit counts for the
+        # headline AND query grouped by the stored `lang` metadata
+        # column. sf0.01 exercises the id-pushdown multi-get leg; the
+        # broadcast Dataset-scan leg is pytest-gated (test_facets).
+        return _reader(sf_dir).facet_counts(AND_TOKENS, "lang")
 
     def search_andnot(sf_dir):
         # MUST_NOT / SQL EXCEPT over the complex-tree evaluator: docs
@@ -1921,6 +1928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": spell_suggest,
         "search_andnot": search_andnot,
         "value_stddev": value_stddev,
+        "facet_lang": facet_lang,
     })
 
 
@@ -3071,6 +3079,14 @@ SELECT doc_id::BIGINT AS doc_id FROM (
   EXCEPT
   SELECT doc_id FROM d WHERE term = 'vector'
 ) ORDER BY doc_id"""
+    out["facet_lang"] = f"""WITH {_KEPT}, {_OCC},
+hits AS (
+  SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM occ)
+  WHERE term IN {_sql_in(AND_TOKENS)}
+  GROUP BY doc_id HAVING count(*) = {len(AND_TOKENS)})
+SELECT d.lang AS facet, count(*)::BIGINT AS n
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.lang ORDER BY n DESC, facet"""
     out["value_stddev"] = """WITH b AS (
   SELECT event_type, CAST(round(value*100) AS BIGINT) AS x
   FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),

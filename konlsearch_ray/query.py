@@ -121,6 +121,12 @@ NEAR_FANOUT_MIN_CANDIDATES = 512
 NEAR_FANOUT_CHUNK_MIN = 128
 NEAR_FANOUT_MAX_TASKS = 256
 
+# Facet counts above this hit-set size stop pushing an `isin(ids)`
+# predicate into the Parquet read (the filter expression itself scales
+# with the hit set) and instead stream the docstore as a Dataset with
+# the sorted ids broadcast once — see IndexReader.facet_counts.
+FACET_SCAN_MIN_HITS = 50_000
+
 
 def _near_recheck(doc_ids: np.ndarray, contents, seq: list[str],
                   tset: list[str], slop: int, ordered: bool,
@@ -1172,6 +1178,79 @@ class IndexReader:
         sel_terms = _mlt_select(toks, self.idf, n_terms)
         hits = self.bm25_topk(sel_terms, k + 1, prune=prune)
         return [(d, s) for d, s in hits if d != int(doc_id)][:k]
+
+    def facet_counts(self, tokens: list[str], facet_col: str,
+                     mode: SearchMode | str = SearchMode.AND,
+                     k: int = 0) -> pa.Table:
+        """Faceted search: hit counts grouped by a stored metadata
+        column (Lucene facets / terms-aggregation shape). Runs the
+        Boolean search, then counts ``facet_col`` values over ONLY the
+        matching docs' metadata rows.
+
+        Returns ``(facet, n)`` ordered by ``n`` desc, ``facet`` asc
+        (nulls last); ``k > 0`` keeps the top ``k`` facets. A null
+        facet value counts as its own group (SQL ``GROUP BY``
+        semantics). ``facet_col`` must have been persisted at build
+        time via ``IndexConfig.store_cols``.
+
+        Scale shape: metadata leaves storage column-pruned to
+        ``(doc_id, facet_col)``. Small hit sets resolve through the
+        id-pushdown multi-get (shard + row-group pruning); past
+        ``FACET_SCAN_MIN_HITS`` the sorted hit ids are broadcast ONCE
+        (``ray.put``) and the docstore streams as a Dataset whose
+        per-block partial is a searchsorted membership test +
+        ``count_all`` group — the only rows that ever reach the driver
+        are ``(facet, partial_count)`` pairs, bounded by facet
+        cardinality × blocks, never the hit set itself.
+        """
+        ids = self.search(tokens, mode)
+        store = getattr(self, "_docstore", None)
+        if store is None:
+            from konlsearch_ray.docstore import DocStore
+
+            store = self._docstore = DocStore(self.index_dir)
+        if len(ids) <= FACET_SCAN_MIN_HITS:
+            if not ids:
+                empty = pa.table({"facet": pa.array([], pa.string()),
+                                  "n": pa.array([], pa.int64())})
+                return empty
+            meta = store.get_multi(ids, columns=["doc_id", facet_col])
+            part = pa.table({"facet": meta[facet_col]})
+            folded = part.group_by("facet").aggregate([([], "count_all")])
+        else:
+            import ray
+
+            ids_ref = ray.put(np.asarray(ids, dtype=np.int64))
+
+            def _facet_partial(t: pa.Table) -> pa.Table:
+                hit_ids = ray.get(ids_ref)  # zero-copy shared-memory read
+                col = t["doc_id"].to_numpy()
+                pos = np.searchsorted(hit_ids, col)
+                pos[pos >= len(hit_ids)] = 0
+                mask = hit_ids[pos] == col
+                vals = t[facet_col].filter(pa.array(mask))
+                return (pa.table({"facet": vals})
+                        .group_by("facet")
+                        .aggregate([([], "count_all")]))
+
+            parts = store.scan(columns=[facet_col]).map_batches(
+                _facet_partial, batch_format="pyarrow").take_all()
+            if not parts:
+                return pa.table({"facet": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            folded = (pa.Table.from_pylist(
+                parts, schema=pa.schema([("facet", pa.string()),
+                                         ("count_all", pa.int64())]))
+                .group_by("facet").aggregate([("count_all", "sum")]))
+        n_name = [c for c in folded.column_names if c != "facet"][0]
+        out = pa.table({"facet": folded["facet"],
+                        "n": pc.cast(folded[n_name], pa.int64())})
+        order = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                                ("facet", "ascending")])
+        out = out.take(order)
+        if k > 0:
+            out = out.slice(0, k)
+        return out.combine_chunks()
 
 
 def _mlt_select(toks: list[str], idf, n_terms: int) -> list[str]:
