@@ -1517,6 +1517,22 @@ class ShardQueryActor:
             return [] if toks is not None else None
         return _mlt_select(toks, self.reader.idf, n_terms)
 
+    def facet_partial(self, tokens, facet_col, mode="AND"):
+        """Per-actor facet partial: Boolean hits over this actor's
+        shard subset, metadata read from its OWN docstore shards only
+        (``get_multi`` prunes to the dirs the hit ids live in) — hit
+        ids never leave the actor; only the bounded ``(facet, n)``
+        pairs cross the wire."""
+        ids = self.reader.search(tokens, mode)
+        if not ids:
+            return []
+        meta = self._docstore.get_multi(ids, columns=["doc_id", facet_col])
+        folded = (pa.table({"facet": meta[facet_col]})
+                  .group_by("facet").aggregate([([], "count_all")]))
+        n_name = [c for c in folded.column_names if c != "facet"][0]
+        return list(zip(folded["facet"].to_pylist(),
+                        folded[n_name].to_pylist()))
+
 
 class ShardedQueryEngine:
     """Distributed query serving: K actors × disjoint shard subsets.
@@ -1647,6 +1663,34 @@ class ShardedQueryEngine:
             return []
         hits = self.bm25_topk(sel, k + 1)
         return [(d, s) for d, s in hits if d != int(doc_id)][:k]
+
+    def facet_counts(self, tokens: list[str], facet_col: str,
+                     mode="AND", k: int = 0) -> pa.Table:
+        """Scatter-gather faceted search, count-identical to
+        ``IndexReader.facet_counts``: each doc lives in exactly one
+        shard, so the per-actor ``(facet, n)`` partials SUM — the only
+        cross-actor traffic is one bounded partial list per actor per
+        query, never the hit sets. Same output contract: ``(facet, n)``
+        ordered by ``n`` desc, facet asc (nulls last), top ``k`` if
+        ``k > 0``."""
+        import ray as _ray
+
+        parts = _ray.get([a.facet_partial.remote(tokens, facet_col, mode)
+                          for a in self._actors])
+        cnt: dict = {}
+        for p in parts:
+            for f, n in p:
+                cnt[f] = cnt.get(f, 0) + int(n)
+        rows = sorted(cnt.items(),
+                      key=lambda kv: (-kv[1], kv[0] is None,
+                                      kv[0] if kv[0] is not None else ""))
+        if k > 0:
+            rows = rows[:k]
+        if not rows:
+            return pa.table({"facet": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"facet": pa.array([f for f, _ in rows]),
+                         "n": pa.array([n for _, n in rows], pa.int64())})
 
     def shutdown(self):
         import ray as _ray

@@ -81,6 +81,28 @@ def test_facets_topk_and_empty(facet_built):
     assert empty.column_names == ["facet", "n"]
 
 
+def test_facets_sharded_parity(facet_built):
+    # Scatter-gather facets must equal the single reader exactly:
+    # disjoint shard subsets make the per-actor partials sum.
+    from konlsearch_ray.query import ShardedQueryEngine
+
+    reader, store = facet_built
+    eng = ShardedQueryEngine(reader.index_dir, num_actors=3)
+    try:
+        for tokens, mode in ([(["class", "def"], "AND"),
+                              (["class", "def", "import"], "OR")]):
+            single = reader.facet_counts(tokens, "grp", mode=mode)
+            sharded = eng.facet_counts(tokens, "grp", mode=mode)
+            assert sharded.to_pylist() == single.to_pylist()
+        top2 = eng.facet_counts(["def"], "grp", k=2)
+        assert top2.num_rows == 2
+        assert (top2.to_pylist()
+                == reader.facet_counts(["def"], "grp", k=2).to_pylist())
+        assert eng.facet_counts(["qqqzzznope"], "grp").num_rows == 0
+    finally:
+        eng.shutdown()
+
+
 def test_facets_null_group_counted(facet_built):
     reader, store = facet_built
     # A broad OR over common tokens should include some null-facet docs.
