@@ -1091,9 +1091,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def heavy_hitters_q(sf_dir):
         # The integer-typed twin of top_tokens: exact top-10 most
-        # frequent order custkeys through the full Misra-Gries →
-        # hierarchical value-hash fold → exact recount path. Exact
-        # because distinct custkeys < capacity (the documented regime).
+        # frequent order custkeys. custkey is near-uniform (no true
+        # heavy hitters), so this exercises the CERTIFIED path: the
+        # sketch's tracked error bound rejects the recount at sf0.1
+        # (14,999 distinct > capacity, top counts ~22 < n/capacity)
+        # and the operator falls back to the exact bucketed count —
+        # deterministic exact output at every sf.
         from konlsearch_ray.functions.aggregates import heavy_hitters
 
         orders = _rp_clean(os.path.join(sf_dir, "orders.parquet"),

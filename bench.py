@@ -397,7 +397,8 @@ def run_bench() -> dict:
         duckdb.sql(f"COPY (SELECT * FROM read_parquet('{src}') WHERE {pred})"
                    f" TO '{mroot}/{name}.parquet' (FORMAT PARQUET)")
     mcfg = IndexConfig(content_col="text", id_col="doc_id", dedup=False,
-                       sort_keys=[], shard_size=mshard)
+                       sort_keys=[], shard_size=mshard,
+                       store_cols=["lang"])
     build_index(f"{mroot}/a.parquet", f"{mroot}/ia", mcfg)
     build_index(f"{mroot}/b.parquet", f"{mroot}/ib", mcfg)
     t0 = time.perf_counter()
@@ -405,6 +406,17 @@ def run_bench() -> dict:
                            f"{mroot}/merged")
     queries["merge_sec"] = round(time.perf_counter() - t0, 3)
     assert mstats["N"], "merged index is empty"
+
+    # Faceted search over the merged index's stored lang column (the
+    # one bench index built over a metadata-bearing table): Boolean
+    # search + grouped metadata counts, id-pushdown multi-get leg.
+    from konlsearch_ray.query import IndexReader as _IR
+
+    _fr = _IR(f"{mroot}/merged")
+    t0 = time.perf_counter()
+    _ft = _fr.facet_counts(["table"], "lang")
+    queries["facet_counts_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+    assert _ft.num_rows, "facet result is empty"
 
     # --- distributed query serving throughput -----------------------------
     import pyarrow as pa

@@ -404,20 +404,22 @@ def pivot_counts(
 
 
 def _mg_reduce(vals: pa.Array, counts: np.ndarray, capacity: int
-               ) -> tuple[pa.Array, np.ndarray]:
+               ) -> tuple[pa.Array, np.ndarray, int]:
     """Misra-Gries reduction of an exact (value, count) summary to at
     most ``capacity`` survivors: subtract the (capacity+1)-th largest
     count from everyone, drop the non-positive. Standard guarantee: any
     value whose true count exceeds (total decrements) survives, and a
     surviving count underestimates by at most the sum of per-fold
-    thresholds (<= n/capacity overall)."""
+    thresholds (<= n/capacity overall). Returns that threshold as the
+    third element — the EXACT per-value undercount this call introduced
+    (0 when nothing was reduced) — so callers can certify results."""
     if len(counts) <= capacity:
-        return vals, counts
+        return vals, counts, 0
     thresh = np.partition(counts, len(counts) - capacity - 1)[
         len(counts) - capacity - 1]
     adj = counts - thresh
     keep = adj > 0
-    return vals.filter(pa.array(keep)), adj[keep]
+    return vals.filter(pa.array(keep)), adj[keep], int(thresh)
 
 
 def heavy_hitters(
@@ -426,10 +428,11 @@ def heavy_hitters(
     k: int = 10,
     capacity: int = 8192,
     nbuckets: int | None = None,
+    exact: bool | str = "auto",
 ) -> ray.data.Dataset:
-    """Top-k most frequent values with EXACT counts, in bounded memory —
-    the heavy-hitters pattern for columns whose full vocabulary does not
-    fit anywhere (Misra-Gries 1982, public algorithm).
+    """Top-k most frequent values with EXACT counts — the heavy-hitters
+    pattern for columns whose full vocabulary does not fit anywhere
+    (Misra-Gries 1982, public algorithm), with a CERTIFIED answer.
 
     Bounded stages, two passes over the data:
 
@@ -443,24 +446,41 @@ def heavy_hitters(
        ``4k``; one final task merges the <= nbuckets x 4k survivors.
        No task ever folds the full capacity x blocks stream — the r4
        single-task fold was the one scale-killer in this family
-       (VERDICT r4 What's-wrong #3). MG containment is preserved:
-       per-bucket thresholds total <= n_bucket/capacity <= n/capacity,
-       and a globally-top-4k value is top-4k within its bucket;
+       (VERDICT r4 What's-wrong #3);
     3. an exact RECOUNT pass over the data restricted to the candidates
        (broadcast ``is_in`` filter), folded through the SAME value-hash
        buckets (per-bucket exact sums, then one <= |candidates|-row
        top-k task) — emitted counts are exact, top-k by (count desc,
        value asc).
 
-    Null values are dropped (SQL COUNT semantics). For a uniform column
-    (no heavy hitters) the candidate set can miss boundary ties — the
-    guarantee is only meaningful when counts exceed n/capacity.
+    CERTIFICATION (``exact="auto"``, the default): the sketch passes
+    track their exact error budget — ``D`` = sum of per-block MG
+    decrement thresholds + the max per-bucket threshold (the precise
+    amount any value's estimate can undercount), and ``cut`` = the
+    largest estimate dropped by a top-4k truncation. Any value that is
+    NOT a candidate has true count <= cut + D, so when the k-th
+    recounted count exceeds that bound the top-k is PROVABLY exact and
+    is returned. When the bound does not hold (near-uniform columns —
+    counts close to n/capacity, where the MG guarantee is vacuous) the
+    operator falls back to the exact path: per-block full value_counts
+    → value-hash-bucket exact sums → per-bucket top-k → one <=
+    k x nbuckets-row merge. The fallback's exchange moves the block
+    vocabulary (distinct-per-block x blocks rows) — heavier than the
+    sketch, still never the raw stream — so the answer is always exact
+    AND deterministic regardless of block partitioning. ``exact=True``
+    skips the sketch and runs that path directly; ``exact=False`` keeps
+    the uncertified sketch+recount (bounded, top-k containment only
+    guaranteed when true counts clear n/capacity).
+
+    Null values are dropped (SQL COUNT semantics).
     """
     from konlsearch_ray.functions.blocks import default_nbuckets
     from konlsearch_ray.functions.temporal import _key_bucket
 
     if k < 1 or capacity < 4 * k:
         raise ValueError("need k >= 1 and capacity >= 4k")
+    if exact not in (True, False, "auto"):
+        raise ValueError("exact must be True, False or 'auto'")
     nbuckets = nbuckets or default_nbuckets()
     vtype = _arrow_schema(ds).field(value_col).type
     empty = pa.table({value_col: pa.array([], vtype),
@@ -468,11 +488,33 @@ def heavy_hitters(
     empty_b = pa.table({value_col: pa.array([], vtype),
                         "n": pa.array([], pa.int64()),
                         "__hh_bucket": pa.array([], pa.int64())})
+    # Sentinel meta codes threaded through the fold so the driver can
+    # reconstruct the exact error budget: 0 = candidate estimate,
+    # 2 = truncation cut (driver takes max), 3 = per-block MG threshold
+    # (driver sums), 4 = per-bucket MG threshold (driver takes max —
+    # a value lives in exactly one bucket).
+    empty_m = pa.table({value_col: pa.array([], vtype),
+                        "n": pa.array([], pa.int64()),
+                        "__hh_meta": pa.array([], pa.int8())})
 
     def _with_bucket(vals: pa.Array, counts: np.ndarray) -> pa.Table:
         return pa.table({value_col: vals,
                          "n": pa.array(counts, pa.int64()),
                          "__hh_bucket": pa.array(_key_bucket(vals, nbuckets))})
+
+    def _sentinel_b(n: int) -> pa.Table:
+        return pa.table({value_col: pa.array([None], vtype),
+                         "n": pa.array([int(n)], pa.int64()),
+                         "__hh_bucket": pa.array([-1], pa.int64())})
+
+    def _meta_rows(tab: pa.Table, code: int) -> pa.Table:
+        return tab.append_column(
+            "__hh_meta", pa.array([code] * tab.num_rows, pa.int8()))
+
+    def _sentinel_m(n: int, code: int) -> pa.Table:
+        return pa.table({value_col: pa.array([None], vtype),
+                         "n": pa.array([int(n)], pa.int64()),
+                         "__hh_meta": pa.array([code], pa.int8())})
 
     def partial(t: pa.Table) -> pa.Table:
         col = t[value_col]
@@ -484,8 +526,11 @@ def heavy_hitters(
         vals, counts = (vc.field(0),
                         vc.field(1).to_numpy(zero_copy_only=False)
                         .astype(np.int64))
-        vals, counts = _mg_reduce(vals, counts, capacity)
-        return _with_bucket(vals, counts)
+        vals, counts, thr = _mg_reduce(vals, counts, capacity)
+        out = _with_bucket(vals, counts)
+        if thr:
+            out = pa.concat_tables([out, _sentinel_b(thr)])
+        return out
 
     def _sum_by_value(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
         g = (t.select([value_col, "n"]).group_by(value_col)
@@ -494,21 +539,37 @@ def heavy_hitters(
         return (g[value_col].combine_chunks(),
                 g["n"].to_numpy(zero_copy_only=False).astype(np.int64))
 
-    def _top4k(vals: pa.Array, counts: np.ndarray) -> pa.Table:
-        order = np.lexsort((np.arange(len(counts)), -counts))[:4 * k]
+    def _top4k(vals: pa.Array, counts: np.ndarray
+               ) -> tuple[pa.Table, int]:
+        """Keep the 4k largest estimates; also return the largest
+        DROPPED estimate (0 if nothing was dropped) — the truncation
+        term of the certification bound."""
+        order = np.lexsort((np.arange(len(counts)), -counts))
+        cut = int(counts[order[4 * k]]) if len(order) > 4 * k else 0
+        order = order[:4 * k]
         return pa.table({value_col: vals.take(pa.array(order)),
-                         "n": pa.array(counts[order], pa.int64())})
+                         "n": pa.array(counts[order], pa.int64())}), cut
 
     def bucket_merge(t: pa.Table) -> pa.Table:
         if not t.num_rows:
-            return empty
+            return empty_m
+        if t["__hh_bucket"][0].as_py() == -1:
+            # The sentinel group: per-block MG thresholds — fold to one
+            # summed row (driver needs only the total).
+            return _sentinel_m(pc.sum(t["n"]).as_py() or 0, 3)
         vals, counts = _sum_by_value(t)
-        vals, counts = _mg_reduce(vals, counts, capacity)
-        return _top4k(vals, counts)
+        vals, counts, thr = _mg_reduce(vals, counts, capacity)
+        top, cut = _top4k(vals, counts)
+        parts = [_meta_rows(top, 0)]
+        if thr:
+            parts.append(_sentinel_m(thr, 4))
+        if cut:
+            parts.append(_sentinel_m(cut, 2))
+        return pa.concat_tables(parts)
 
     def merge(t: pa.Table) -> pa.Table:
         if not t.num_rows:
-            return empty
+            return empty_m
         # Buckets partition the value space, so each value's summed
         # count is COMPLETE across blocks — but it is still a Misra-
         # Gries UNDERESTIMATE (per-block + per-bucket decrements), and
@@ -516,18 +577,84 @@ def heavy_hitters(
         # 4k-candidate set (the 4x slack absorbs ranking jitter near the
         # cut); the exact recount pass below is what repairs them —
         # never emit them as answers.
-        vals = t[value_col].combine_chunks()
-        counts = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return _top4k(vals, counts)
+        meta = t["__hh_meta"]
+        data = t.filter(pc.equal(meta, 0))
+        s3 = pc.sum(t.filter(pc.equal(meta, 3))["n"]).as_py() or 0
+        s4 = pc.max(t.filter(pc.equal(meta, 4))["n"]).as_py() or 0
+        c2 = pc.max(t.filter(pc.equal(meta, 2))["n"]).as_py() or 0
+        vals = data[value_col].combine_chunks()
+        counts = data["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top, cut = _top4k(vals, counts)
+        return pa.concat_tables([
+            _meta_rows(top, 0), _sentinel_m(s3, 3), _sentinel_m(s4, 4),
+            _sentinel_m(max(c2, cut), 2)])
 
-    cand = (ds.map_batches(partial, batch_format="pyarrow")
+    def _exact_topk_path() -> ray.data.Dataset:
+        # Exact fallback: full per-block value_counts (no MG cap), exact
+        # per-bucket sums (values are bucket-disjoint, so per-bucket
+        # top-k contains the global top-k), one k x nbuckets-row merge.
+        def full_partial(t: pa.Table) -> pa.Table:
+            col = t[value_col]
+            col = (col.combine_chunks()
+                   if isinstance(col, pa.ChunkedArray) else col)
+            col = col.drop_null()
+            if not len(col):
+                return empty_b
+            vc = col.value_counts()
+            return _with_bucket(
+                vc.field(0),
+                vc.field(1).to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+
+        def bucket_exact(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return empty
+            vals, counts = _sum_by_value(t)
+            # Tie-break must be (n desc, value ASC) — the same total
+            # order as the final topk — or a globally-tied value can be
+            # cut at the bucket boundary (positional lexsort did that).
+            summed = pa.table({value_col: vals,
+                               "n": pa.array(counts, pa.int64())})
+            return topk(summed)
+
+        out = (ds.map_batches(full_partial, batch_format="pyarrow")
+               .groupby("__hh_bucket")
+               .map_groups(bucket_exact, batch_format="pyarrow")
+               .repartition(1)
+               .map_batches(topk, batch_format="pyarrow", batch_size=None))
+        return nonempty_blocks(out, (value_col, "n"), fallback=empty)
+
+    def topk(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        # per-bucket sums are exact and disjoint: one sort, take k.
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            (value_col, "ascending")])
+        return t.take(idx[:k]).replace_schema_metadata(None)
+
+    if exact is True:
+        return _exact_topk_path()
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__hh_bucket")
             .map_groups(bucket_merge, batch_format="pyarrow")
             .repartition(1)
             .map_batches(merge, batch_format="pyarrow", batch_size=None)
             .take_all())
+    cand = [r for r in rows if r["__hh_meta"] == 0]
+    err_d = (sum(r["n"] for r in rows if r["__hh_meta"] == 3)
+             + max((r["n"] for r in rows if r["__hh_meta"] == 4),
+                   default=0))
+    bound = err_d + max((r["n"] for r in rows if r["__hh_meta"] == 2),
+                        default=0)
     cand_vals = pa.array([r[value_col] for r in cand], vtype)
     if not len(cand_vals):
+        # No survivors. Under exact="auto" that is NOT proof of an
+        # empty column — a uniform block can MG-reduce to zero rows
+        # (every count <= the eviction threshold) — so certify through
+        # the exact path; it returns empty only when the data truly is.
+        if exact == "auto" and bound > 0:
+            return _exact_topk_path()
         return ray.data.from_arrow(empty)
 
     def recount(t: pa.Table) -> pa.Table:
@@ -549,20 +676,25 @@ def heavy_hitters(
         return pa.table({value_col: vals,
                          "n": pa.array(counts, pa.int64())})
 
-    def topk(t: pa.Table) -> pa.Table:
-        if not t.num_rows:
-            return empty
-        # per-bucket sums are exact and disjoint: one sort, take k.
-        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
-                                            (value_col, "ascending")])
-        return t.take(idx[:k]).replace_schema_metadata(None)
-
     out = (ds.map_batches(recount, batch_format="pyarrow")
            .groupby("__hh_bucket")
            .map_groups(bucket_sum, batch_format="pyarrow")
            .repartition(1)
            .map_batches(topk, batch_format="pyarrow", batch_size=None))
-    return nonempty_blocks(out, (value_col, "n"), fallback=empty)
+    if exact is False:
+        return nonempty_blocks(out, (value_col, "n"), fallback=empty)
+    # exact="auto": certify the recounted top-k against the tracked
+    # error budget — any non-candidate's true count is <= bound, so a
+    # k-th exact count ABOVE the bound proves no value was missed
+    # (ties included: a tied missing value would itself clear the bound
+    # and hence be a candidate). Materializing here is k rows.
+    got = out.take_all()
+    if len(got) == k and min(r["n"] for r in got) > bound:
+        return ray.data.from_arrow(
+            pa.table({value_col: pa.array([r[value_col] for r in got],
+                                          vtype),
+                      "n": pa.array([r["n"] for r in got], pa.int64())}))
+    return _exact_topk_path()
 
 def melt(
     ds: ray.data.Dataset,

@@ -1232,6 +1232,35 @@ def test_heavy_hitters_hierarchical_fold_invariant(ray_session):
         assert got == expect
 
 
+def test_heavy_hitters_near_uniform_certified_fallback(ray_session):
+    """The regime the MG guarantee cannot certify (distinct >> capacity,
+    top counts ~ n/capacity): exact='auto' must detect it via the
+    tracked error bound and fall back to the exact path — same exact,
+    deterministic top-k at ANY block partitioning, and equal to
+    exact=True. This is the sf0.1 custkey shape that flaked the local
+    gate when the old path trusted an uncertified candidate set."""
+    import ray.data
+
+    from konlsearch_ray.functions.aggregates import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # 2000 distinct values, counts 1..3 — no value clears n/capacity.
+    vals = np.concatenate([np.full(1 + (v % 3), v) for v in range(2000)])
+    rng.shuffle(vals)
+    from collections import Counter
+
+    cnt = Counter(vals.tolist())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+    for nparts in (2, 5, 16):
+        ds = ray.data.from_arrow(pa.table(
+            {"v": pa.array(vals, pa.int64())})).repartition(nparts)
+        out = heavy_hitters(ds, "v", k=7, capacity=32).to_pandas()
+        assert list(zip(out["v"].tolist(), out["n"].tolist())) == want
+        out_t = heavy_hitters(ds, "v", k=7, capacity=32,
+                              exact=True).to_pandas()
+        assert list(zip(out_t["v"].tolist(), out_t["n"].tolist())) == want
+
+
 def test_equi_join_empty_sides_keep_joined_schema(ray_session):
     """Empty/all-null-key sides must not reach the hash-shuffle join
     (0-row inputs crash it) and must keep the full joined schema with
