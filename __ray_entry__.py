@@ -263,7 +263,8 @@ _ROUND5_NEW = ["fuzzy_terms", "funnel_view_purchase", "sample_per_lang",
                "daily_active_users", "twap_value",
                "event_covar", "postings_export", "snippet_term", "mlt_doc",
                "mlt_sharded", "bm25_explain", "spell_suggest",
-               "search_andnot", "value_stddev", "facet_lang"]
+               "search_andnot", "value_stddev", "facet_lang",
+               "search_min2"]
 _REGISTRY_ORDER = (_CORE + _NEVER_DRIVER_VERIFIED + _PREVIOUSLY_VERIFIED
                    + _ROUND5_NEW)
 
@@ -346,6 +347,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tree = (((["table"], "AND"), (["merge"], "AND"), "AND"),
                 ((["vector"], "AND"), (["spark"], "AND"), "AND"), "OR")
         return _ids_table(_reader(sf_dir).search_complex(tree))
+
+    def search_min2(sf_dir):
+        # minimum_should_match: docs matching >= 2 of 3 query terms —
+        # the OR/AND middle ground (Lucene minimum_should_match m-of-n).
+        return _ids_table(_reader(sf_dir).search_min_should(
+            ["table", "merge", "vector"], 2))
 
     def facet_lang(sf_dir):
         # Faceted search (terms-aggregation shape): hit counts for the
@@ -1932,6 +1939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_andnot": search_andnot,
         "value_stddev": value_stddev,
         "facet_lang": facet_lang,
+        "search_min2": search_min2,
     })
 
 
@@ -3082,6 +3090,10 @@ SELECT doc_id::BIGINT AS doc_id FROM (
   EXCEPT
   SELECT doc_id FROM d WHERE term = 'vector'
 ) ORDER BY doc_id"""
+    out["search_min2"] = f"""WITH {_KEPT}, {_OCC}
+SELECT doc_id::BIGINT AS doc_id FROM (SELECT DISTINCT doc_id, term FROM occ)
+WHERE term IN ('table', 'merge', 'vector')
+GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id"""
     out["facet_lang"] = f"""WITH {_KEPT}, {_OCC},
 hits AS (
   SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM occ)

@@ -613,6 +613,34 @@ class IndexReader:
             prev = cur
         return [int(x) for x in cand[ok]]
 
+    def search_min_should(self, tokens: list[str], m: int) -> list[int]:
+        """Docs matching at least ``m`` DISTINCT query terms (Lucene
+        ``minimum_should_match``): OR with a match-count threshold —
+        ``m=1`` is OR, ``m=len(terms)`` is AND, anything between is the
+        recall/precision dial neither reaches. Ascending doc ids.
+
+        Query terms dedup (a repeated term must not double-count a
+        match). Per-term posting lists hold unique doc ids, so the
+        match count per doc is one ``np.unique(return_counts=True)``
+        over the concatenated postings — no per-doc Python.
+        """
+        if m < 1:
+            raise ValueError(f"m must be >= 1, got {m}")
+        toks = sorted(set(normalize_query_tokens(tokens)))
+        if not toks or m > len(toks):
+            return []
+        parts = []
+        for t in toks:
+            ids = self.postings_scores(t)[0]
+            if self.search_log is not None and len(ids):
+                self.search_log.log(t, len(ids))
+            parts.append(ids)
+        allids = np.concatenate(parts)
+        if not len(allids):
+            return []
+        vals, counts = np.unique(allids, return_counts=True)
+        return [int(x) for x in vals[counts >= m]]
+
     def expand_prefix(self, prefix: str, limit: int = 64) -> list[str]:
         """Distinct stored terms starting with ``prefix``, bytewise
         (= codepoint) lexicographic order, capped at ``limit``.
@@ -1481,6 +1509,9 @@ class ShardQueryActor:
     def search_near(self, tokens, slop, ordered=False):
         return self.reader.search_near(tokens, slop=slop, ordered=ordered)
 
+    def search_min_should(self, tokens, m):
+        return self.reader.search_min_should(tokens, m)
+
     def bm25_topk(self, tokens, k, boosts=None):
         return self.reader.bm25_topk(tokens, k, boosts=boosts)
 
@@ -1615,6 +1646,18 @@ class ShardedQueryEngine:
         import ray as _ray
 
         parts = _ray.get([a.search_near.remote(tokens, slop, ordered)
+                          for a in self._actors])
+        out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
+                                      for p in parts]))
+        return [int(x) for x in out]
+
+    def search_min_should(self, tokens, m):
+        """Scatter-gather minimum_should_match: a doc's match count is
+        complete within the one actor owning its shard, so per-actor
+        results concatenate exactly like plain Boolean search."""
+        import ray as _ray
+
+        parts = _ray.get([a.search_min_should.remote(tokens, m)
                           for a in self._actors])
         out = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
                                       for p in parts]))

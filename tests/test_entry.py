@@ -26,12 +26,12 @@ def test_entry_smoke(ray_session):
 
 def test_registry_counts():
     """The ONE documented count (README/SURVEY/BASELINE all cite it):
-    129 queries() entries, 124 with oracles, 5 rows-only by design."""
+    130 queries() entries, 125 with oracles, 5 rows-only by design."""
     import __ray_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
-    assert len(q) == 129
-    assert len(o) == 124
+    assert len(q) == 130
+    assert len(o) == 125
     assert set(q) - set(o) == {
         "dedup_minhash", "curate_neardup", "approx_users", "embed_kmeans",
         "embed_pca"}

@@ -35,6 +35,26 @@ def test_boolean_modes_match(built):
         assert engine.search(tokens, mode) == reader.search(tokens, mode), (tokens, mode)
 
 
+def test_min_should_match(built):
+    engine, reader = built
+    toks = ["def", "return", "마법"]
+    # m=1 is OR, m=len is AND; the middle value is the new surface.
+    assert reader.search_min_should(toks, 1) == reader.search(toks, "OR")
+    assert reader.search_min_should(toks, 3) == reader.search(toks, "AND")
+    mid = reader.search_min_should(toks, 2)
+    assert set(reader.search(toks, "AND")) <= set(mid) <= set(
+        reader.search(toks, "OR"))
+    assert len(mid) > len(reader.search(toks, "AND"))  # non-trivial
+    for m in (1, 2, 3, 4):
+        assert engine.search_min_should(toks, m) == \
+            reader.search_min_should(toks, m), m
+    # duplicate query terms must not double-count a single match
+    assert reader.search_min_should(["def", "def", "return"], 2) == \
+        reader.search(["def", "return"], "AND")
+    with pytest.raises(ValueError):
+        reader.search_min_should(toks, 0)
+
+
 def test_complex_matches(built):
     engine, reader = built
     tree = (((["def"], "AND"), (["마법"], "OR"), "AND"),
