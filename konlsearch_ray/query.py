@@ -1340,6 +1340,14 @@ class QueryStage:
                 for r, d in enumerate(hits):
                     qids.append(qid); docs.append(d); ranks.append(r); scores.append(0.0)
                     modes.append(mode); ks.append(int(k))
+            elif mode == "MSM":
+                # minimum_should_match: the k column carries m. A doc's
+                # match count is complete within its owning shard, so
+                # partial/sharded serving concatenates like Boolean.
+                hits = self.reader.search_min_should(tokens, int(k))
+                for r, d in enumerate(hits):
+                    qids.append(qid); docs.append(d); ranks.append(r); scores.append(0.0)
+                    modes.append(mode); ks.append(int(k))
             else:
                 for r, d in enumerate(self.reader.search(tokens, mode)):
                     qids.append(qid); docs.append(d); ranks.append(r); scores.append(0.0)

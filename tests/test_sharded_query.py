@@ -107,12 +107,15 @@ def test_sharded_query_pipeline_matches_whole_index(ray_session, tmp_path):
     idx = str(tmp_path / "qi")
     build_index(corpus, idx, IndexConfig(shard_size=64))
     qt = pa.table({
-        "qid": pa.array(range(6), pa.int64()),
+        "qid": pa.array(range(7), pa.int64()),
         "tokens": pa.array(
             [["def", "return"], ["import"], ["def"], ["class", "self"],
-             ["getidx", "return"], ["zznothing"]], pa.list_(pa.string())),
-        "mode": pa.array(["BM25", "AND", "BM25", "PHRASE", "BM25", "AND"]),
-        "k": pa.array([10, 0, 5, 0, 10, 0], pa.int64()),
+             ["getidx", "return"], ["zznothing"],
+             ["def", "return", "class"]], pa.list_(pa.string())),
+        "mode": pa.array(["BM25", "AND", "BM25", "PHRASE", "BM25", "AND",
+                          "MSM"]),
+        # MSM carries m in the k column (2-of-3 terms).
+        "k": pa.array([10, 0, 5, 0, 10, 0, 2], pa.int64()),
     })
     whole = (rd.from_arrow(qt).map_batches(
         QueryStage, fn_constructor_kwargs={"index_dir": idx},
@@ -123,6 +126,13 @@ def test_sharded_query_pipeline_matches_whole_index(ray_session, tmp_path):
     assert whole[["qid", "doc_id", "rank"]].values.tolist() == \
         shard[["qid", "doc_id", "rank"]].values.tolist()
     assert (whole["score"].to_numpy() == shard["score"].to_numpy()).all()  # bit-identical
+    # The MSM row served the reader surface exactly (m=2 of 3 terms).
+    from konlsearch_ray.query import IndexReader
+
+    msm = whole[whole["qid"] == 6]["doc_id"].tolist()
+    assert msm == IndexReader(idx).search_min_should(
+        ["def", "return", "class"], 2)
+    assert msm  # non-trivial
 
 
 def test_sharded_pipeline_bucketed_merge_path(ray_session, tmp_path):
