@@ -217,6 +217,16 @@ class DocStore:
                 np.where(found, "FOUND", "NOT_FOUND")),
         })
 
+    def schema(self) -> pa.Schema:
+        """Parquet schema of the docstore rows — a footer-only read of
+        the first shard file (all shards share one schema; the build
+        writes them from a single Dataset)."""
+        for d in self._shard_dirs(None):
+            for n in sorted(os.listdir(d)):
+                if n.endswith(".parquet"):
+                    return pq.read_schema(os.path.join(d, n))
+        return pa.schema([("doc_id", pa.int64())])
+
     def scan(self, columns: list[str] | None = None):
         """The docstore as a streaming ``ray.data.Dataset`` (column-pruned
         read over the shard partitions, tombstones filtered per batch) —

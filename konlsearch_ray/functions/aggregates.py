@@ -481,6 +481,10 @@ def heavy_hitters(
         raise ValueError("need k >= 1 and capacity >= 4k")
     if exact not in (True, False, "auto"):
         raise ValueError("exact must be True, False or 'auto'")
+    if exact != "auto":
+        # Normalize truthy/falsy spellings (0/1, np.bool_) so the
+        # identity dispatch below cannot silently route them to "auto".
+        exact = bool(exact)
     nbuckets = nbuckets or default_nbuckets()
     vtype = _arrow_schema(ds).field(value_col).type
     empty = pa.table({value_col: pa.array([], vtype),
@@ -689,7 +693,12 @@ def heavy_hitters(
     # (ties included: a tied missing value would itself clear the bound
     # and hence be a candidate). Materializing here is k rows.
     got = out.take_all()
-    if len(got) == k and min(r["n"] for r in got) > bound:
+    # bound == 0 means no MG decrement and no truncation happened
+    # anywhere — the candidate set IS the full distinct-value set, so a
+    # sub-k result is simply a column with < k distinct values and the
+    # recount is complete as-is (no fallback needed).
+    if got and (bound == 0
+                or (len(got) == k and min(r["n"] for r in got) > bound)):
         return ray.data.from_arrow(
             pa.table({value_col: pa.array([r[value_col] for r in got],
                                           vtype),

@@ -128,6 +128,39 @@ NEAR_FANOUT_MAX_TASKS = 256
 FACET_SCAN_MIN_HITS = 50_000
 
 
+def _empty_facets(ftype: "pa.DataType | None" = None) -> pa.Table:
+    return pa.table({"facet": pa.array([], ftype or pa.string()),
+                     "n": pa.array([], pa.int64())})
+
+
+def _named_facet_n(g: pa.Table) -> pa.Table:
+    """Normalize a one-aggregate group_by output to (facet, n) by NAME
+    (the aggregate column's generated name varies by kernel/version)."""
+    n_name = [c for c in g.column_names if c != "facet"][0]
+    return pa.table({"facet": g["facet"],
+                     "n": pc.cast(g[n_name], pa.int64())})
+
+
+def _fold_facet_counts(vals) -> pa.Table:
+    """(facet, n) value counts of an Arrow (chunked) array, keeping the
+    null group (SQL GROUP BY semantics) and the array's own type — the
+    ONE fold shared by every facet path so they cannot diverge."""
+    return _named_facet_n(
+        pa.table({"facet": vals}).group_by("facet")
+        .aggregate([([], "count_all")]))
+
+
+def _sort_facets(t: pa.Table, k: int) -> pa.Table:
+    """The facet output contract: (n desc, facet asc, nulls last),
+    top ``k`` when k > 0."""
+    order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                          ("facet", "ascending")])
+    t = t.take(order)
+    if k > 0:
+        t = t.slice(0, k)
+    return t.combine_chunks()
+
+
 def _near_recheck(doc_ids: np.ndarray, contents, seq: list[str],
                   tset: list[str], slop: int, ordered: bool,
                   analyzer) -> list[int]:
@@ -1239,15 +1272,15 @@ class IndexReader:
             store = self._docstore = DocStore(self.index_dir)
         if len(ids) <= FACET_SCAN_MIN_HITS:
             if not ids:
-                empty = pa.table({"facet": pa.array([], pa.string()),
-                                  "n": pa.array([], pa.int64())})
-                return empty
+                return _empty_facets()
             meta = store.get_multi(ids, columns=["doc_id", facet_col])
-            part = pa.table({"facet": meta[facet_col]})
-            folded = part.group_by("facet").aggregate([([], "count_all")])
+            out = _fold_facet_counts(meta[facet_col])
         else:
             import ray
 
+            # The stored column's own type — the fold must return it
+            # whatever the hit-set size (footer-only read).
+            ftype = store.schema().field(facet_col).type
             ids_ref = ray.put(np.asarray(ids, dtype=np.int64))
 
             def _facet_partial(t: pa.Table) -> pa.Table:
@@ -1256,29 +1289,18 @@ class IndexReader:
                 pos = np.searchsorted(hit_ids, col)
                 pos[pos >= len(hit_ids)] = 0
                 mask = hit_ids[pos] == col
-                vals = t[facet_col].filter(pa.array(mask))
-                return (pa.table({"facet": vals})
-                        .group_by("facet")
-                        .aggregate([([], "count_all")]))
+                return _fold_facet_counts(t[facet_col].filter(pa.array(mask)))
 
             parts = store.scan(columns=[facet_col]).map_batches(
                 _facet_partial, batch_format="pyarrow").take_all()
             if not parts:
-                return pa.table({"facet": pa.array([], pa.string()),
-                                 "n": pa.array([], pa.int64())})
-            folded = (pa.Table.from_pylist(
-                parts, schema=pa.schema([("facet", pa.string()),
-                                         ("count_all", pa.int64())]))
-                .group_by("facet").aggregate([("count_all", "sum")]))
-        n_name = [c for c in folded.column_names if c != "facet"][0]
-        out = pa.table({"facet": folded["facet"],
-                        "n": pc.cast(folded[n_name], pa.int64())})
-        order = pc.sort_indices(out, sort_keys=[("n", "descending"),
-                                                ("facet", "ascending")])
-        out = out.take(order)
-        if k > 0:
-            out = out.slice(0, k)
-        return out.combine_chunks()
+                return _empty_facets(ftype)
+            out = _named_facet_n(
+                pa.Table.from_pylist(
+                    parts, schema=pa.schema([("facet", ftype),
+                                             ("n", pa.int64())]))
+                .group_by("facet").aggregate([("n", "sum")]))
+        return _sort_facets(out, k)
 
 
 def _mlt_select(toks: list[str], idf, n_terms: int) -> list[str]:
@@ -1328,30 +1350,24 @@ class QueryStage:
             batch["k"].to_pylist(),
         ):
             if mode == "BM25":
-                for r, (d, s) in enumerate(self.reader.bm25_topk(tokens, int(k))):
-                    qids.append(qid); docs.append(d); ranks.append(r); scores.append(s)
-                    modes.append(mode); ks.append(int(k))
+                pairs = self.reader.bm25_topk(tokens, int(k))
             elif mode in ("NEAR", "ONEAR"):
                 # Proximity modes: the k column carries the slop. The
                 # docstore recheck is shard-local, so partial/sharded
                 # serving concatenates exactly like Boolean modes.
-                hits = self.reader.search_near(
-                    tokens, slop=int(k), ordered=(mode == "ONEAR"))
-                for r, d in enumerate(hits):
-                    qids.append(qid); docs.append(d); ranks.append(r); scores.append(0.0)
-                    modes.append(mode); ks.append(int(k))
+                pairs = [(d, 0.0) for d in self.reader.search_near(
+                    tokens, slop=int(k), ordered=(mode == "ONEAR"))]
             elif mode == "MSM":
                 # minimum_should_match: the k column carries m. A doc's
                 # match count is complete within its owning shard, so
                 # partial/sharded serving concatenates like Boolean.
-                hits = self.reader.search_min_should(tokens, int(k))
-                for r, d in enumerate(hits):
-                    qids.append(qid); docs.append(d); ranks.append(r); scores.append(0.0)
-                    modes.append(mode); ks.append(int(k))
+                pairs = [(d, 0.0) for d in
+                         self.reader.search_min_should(tokens, int(k))]
             else:
-                for r, d in enumerate(self.reader.search(tokens, mode)):
-                    qids.append(qid); docs.append(d); ranks.append(r); scores.append(0.0)
-                    modes.append(mode); ks.append(int(k))
+                pairs = [(d, 0.0) for d in self.reader.search(tokens, mode)]
+            for r, (d, s) in enumerate(pairs):
+                qids.append(qid); docs.append(d); ranks.append(r); scores.append(s)
+                modes.append(mode); ks.append(int(k))
         out = {
             "qid": pa.array(qids, pa.int64()),
             "doc_id": pa.array(docs, pa.int64()),
@@ -1561,16 +1577,16 @@ class ShardQueryActor:
         shard subset, metadata read from its OWN docstore shards only
         (``get_multi`` prunes to the dirs the hit ids live in) — hit
         ids never leave the actor; only the bounded ``(facet, n)``
-        pairs cross the wire."""
+        pairs cross the wire, plus the stored column's Arrow type so
+        the merged table keeps it even when every facet is null."""
+        ftype = self._docstore.schema().field(facet_col).type
         ids = self.reader.search(tokens, mode)
         if not ids:
-            return []
+            return ftype, []
         meta = self._docstore.get_multi(ids, columns=["doc_id", facet_col])
-        folded = (pa.table({"facet": meta[facet_col]})
-                  .group_by("facet").aggregate([([], "count_all")]))
-        n_name = [c for c in folded.column_names if c != "facet"][0]
-        return list(zip(folded["facet"].to_pylist(),
-                        folded[n_name].to_pylist()))
+        folded = _fold_facet_counts(meta[facet_col])
+        return ftype, list(zip(folded["facet"].to_pylist(),
+                               folded["n"].to_pylist()))
 
 
 class ShardedQueryEngine:
@@ -1728,20 +1744,16 @@ class ShardedQueryEngine:
 
         parts = _ray.get([a.facet_partial.remote(tokens, facet_col, mode)
                           for a in self._actors])
+        ftype = parts[0][0] if parts else None
         cnt: dict = {}
-        for p in parts:
+        for _, p in parts:
             for f, n in p:
                 cnt[f] = cnt.get(f, 0) + int(n)
-        rows = sorted(cnt.items(),
-                      key=lambda kv: (-kv[1], kv[0] is None,
-                                      kv[0] if kv[0] is not None else ""))
-        if k > 0:
-            rows = rows[:k]
-        if not rows:
-            return pa.table({"facet": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table({"facet": pa.array([f for f, _ in rows]),
-                         "n": pa.array([n for _, n in rows], pa.int64())})
+        if not cnt:
+            return _empty_facets(ftype)
+        return _sort_facets(
+            pa.table({"facet": pa.array(list(cnt.keys()), ftype),
+                      "n": pa.array(list(cnt.values()), pa.int64())}), k)
 
     def shutdown(self):
         import ray as _ray

@@ -33,11 +33,17 @@ def facet_built(ray_session, tmp_path_factory):
     grp = pa.array([None if i % 17 == 0 else f"g{i % 4}"
                     for i in range(table.num_rows)])
     table = table.append_column("grp", grp)
+    # An int-typed facet column: both physical paths must preserve the
+    # stored Arrow type, not coerce to string.
+    yr = pa.array([2020 + (i % 3) for i in range(table.num_rows)],
+                  pa.int64())
+    table = table.append_column("yr", yr)
     src = str(root / "corpus.parquet")
     pq.write_table(table, src)
     index_dir = str(root / "index")
     build_index(src, index_dir,
-                IndexConfig(shard_size=64, store_cols=["grp"], dedup=False))
+                IndexConfig(shard_size=64, store_cols=["grp", "yr"],
+                            dedup=False))
     return IndexReader(index_dir), DocStore(index_dir)
 
 
@@ -99,8 +105,26 @@ def test_facets_sharded_parity(facet_built):
         assert (top2.to_pylist()
                 == reader.facet_counts(["def"], "grp", k=2).to_pylist())
         assert eng.facet_counts(["qqqzzznope"], "grp").num_rows == 0
+        # Typed parity: the merged table keeps the stored column type.
+        sh_yr = eng.facet_counts(["def"], "yr")
+        assert sh_yr.schema.field("facet").type == pa.int64()
+        assert sh_yr.to_pylist() == reader.facet_counts(
+            ["def"], "yr").to_pylist()
     finally:
         eng.shutdown()
+
+
+def test_facets_int_typed_column_both_paths(facet_built, monkeypatch):
+    # The scan path must emit the column's OWN type (it used to
+    # hardcode string and crash on int64 facets past the threshold).
+    reader, store = facet_built
+    small = reader.facet_counts(["def"], "yr")
+    assert small.schema.field("facet").type == pa.int64()
+    monkeypatch.setattr(qmod, "FACET_SCAN_MIN_HITS", 0)
+    big = reader.facet_counts(["def"], "yr")
+    assert big.schema.field("facet").type == pa.int64()
+    assert small.to_pylist() == big.to_pylist()
+    assert small.num_rows == 3
 
 
 def test_facets_null_group_counted(facet_built):
