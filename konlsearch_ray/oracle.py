@@ -75,6 +75,21 @@ class OracleIndex:
                 result = ids if i == 0 else (result & ids)
         return sorted(result)
 
+    def search_min_should(self, tokens: list[str], m: int) -> list[int]:
+        """minimum_should_match golden: docs in at least ``m`` of the
+        DISTINCT query terms' posting sets (m=1 is OR, m=n is AND)."""
+        if m < 1:
+            raise ValueError(f"m must be >= 1, got {m}")
+        toks = sorted(set(normalize_query_tokens(tokens)))
+        if not toks or m > len(toks):
+            return []
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in toks:
+            cnt.update(self._ids(t))
+        return sorted(d for d, c in cnt.items() if c >= m)
+
     def _phrase(self, toks: list[str]) -> list[int]:
         out = []
         for d in self.search(toks, "AND"):

@@ -83,6 +83,15 @@ def test_boolean_search_matches_oracle(built):
         assert reader.search(tokens, mode) == oracle.search(tokens, mode), (tokens, mode)
 
 
+def test_min_should_matches_oracle(built):
+    _, reader, oracle, _, _ = built
+    for tokens in (["def", "return", "class"], ["def", "마법", "건담"],
+                   ["zzznope", "def", "import"]):
+        for m in (1, 2, 3, 4):
+            assert reader.search_min_should(tokens, m) == \
+                oracle.search_min_should(tokens, m), (tokens, m)
+
+
 def test_phrase_matches_oracle(built):
     _, reader, oracle, _, _ = built
     for tokens in [["def", "return"], ["return", "def"], ["import", "self"],

@@ -117,6 +117,32 @@ def test_oracle_boolean_invariants(docs):
                 assert and_r == set()
 
 
+@given(texts)
+@settings(max_examples=50, deadline=None)
+def test_min_should_lattice_invariants(docs):
+    """minimum_should_match lattice over the golden oracle: msm(1)=OR,
+    msm(n)=AND, msm is monotone decreasing in m, and every result doc
+    really sits in >= m of the term posting sets."""
+    from konlsearch_ray.oracle import build_oracle
+
+    o = build_oracle({i + 1: t for i, t in enumerate(docs)})
+    toks = sorted(o.postings)[:3] + ["zzznope"]
+    n = len(set(toks))
+    assert o.search_min_should(toks, 1) == o.search(toks, "OR")
+    prev = None
+    for m in range(1, n + 1):
+        got = o.search_min_should(toks, m)
+        if prev is not None:
+            assert set(got) <= set(prev)
+        prev = got
+        for d in got:
+            assert sum(d in o.postings.get(t, ()) for t in set(toks)) >= m
+    # msm(n) over n distinct terms = full intersection = AND (the
+    # reference's seed-then-intersect and plain intersection agree,
+    # including the absent-token-anywhere ⇒ empty case).
+    assert o.search_min_should(toks, n) == o.search(toks, "AND")
+
+
 # --- round-3 operator kernels (pure, no Ray) -------------------------------
 
 texts_st = st.lists(
